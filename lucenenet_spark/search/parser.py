@@ -1,0 +1,177 @@
+"""Classic query-parser subset → Query AST.
+
+Covers the surface the reference's classic QueryParser exposes
+(``QueryParser/Classic/QueryParserBase.cs:188,443-920``):
+``term``, ``"a phrase"``, ``+must -not``, infix ``AND OR NOT``,
+``boost^2.5``, ``prefix*``, ``wild?card*``, ``fuzzy~`` / ``fuzzy~1``,
+``[a TO b]`` / ``{a TO b}``, parentheses. Bare terms run through the
+analyzer (GetFieldQuery semantics: stopwords vanish, multi-token text
+becomes a phrase); wildcard/fuzzy/range terms are lowercased but not
+analyzed (LowercaseExpandedTerms default).
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucenenet_spark.analysis.analyzer import analyze
+from lucenenet_spark.search.queries import (
+    BooleanClause,
+    BooleanQuery,
+    FuzzyQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<quoted>"[^"]*")
+    | (?P<range>[\[{]\s*\S+\s+TO\s+\S+\s*[\]}])
+    | (?P<and>AND\b)
+    | (?P<or>OR\b)
+    | (?P<not>NOT\b)
+    | (?P<plus>\+)
+    | (?P<minus>-)
+    | (?P<word>[^\s()^]+)
+    )""",
+    re.VERBOSE,
+)
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)")
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def peek(self):
+        if self.i >= len(self.s):
+            return None, None
+        m = _TOKEN.match(self.s, self.i)
+        if not m:
+            return None, None
+        kind = m.lastgroup
+        return kind, m
+
+    def next(self):
+        kind, m = self.peek()
+        if m:
+            self.i = m.end()
+        return kind, m
+
+    def maybe_boost(self) -> float:
+        m = _BOOST.match(self.s, self.i)
+        if m:
+            self.i = m.end()
+            return float(m.group(1))
+        return 1.0
+
+    def parse(self) -> Query:
+        clauses: list[BooleanClause] = []
+        pending_occur: Occur | None = None
+        prev_operator: str | None = None
+        while True:
+            kind, m = self.peek()
+            if kind is None or kind == "rparen":
+                break
+            self.next()
+            if kind == "plus":
+                pending_occur = Occur.MUST
+                continue
+            if kind == "minus" or kind == "not":
+                pending_occur = Occur.MUST_NOT
+                continue
+            if kind == "and":
+                prev_operator = "AND"
+                # retroactively make previous clause MUST (classic parser)
+                if clauses and clauses[-1].occur == Occur.SHOULD:
+                    clauses[-1] = BooleanClause(clauses[-1].query, Occur.MUST)
+                continue
+            if kind == "or":
+                prev_operator = "OR"
+                continue
+            q: Query | None = None
+            if kind == "lparen":
+                q = self.parse()
+                k2, _ = self.next()  # consume ')'
+                q = _boosted(q, self.maybe_boost())
+            elif kind == "quoted":
+                text = m.group("quoted")[1:-1]
+                pairs = analyze(text)
+                boost = self.maybe_boost()
+                # "x"~2 slop: parse and ignore slop>0 for now (exact only)
+                sm = re.match(r"~(\d+)", self.s[self.i :])
+                if sm:
+                    self.i += sm.end()
+                if not pairs:
+                    q = None
+                elif len(pairs) == 1:
+                    q = TermQuery(boost=boost, term=pairs[0][0])
+                else:
+                    base = pairs[0][1]
+                    q = PhraseQuery(
+                        boost=boost,
+                        phrase_terms=tuple(t for t, _ in pairs),
+                        term_positions=tuple(p - base for _, p in pairs),
+                    )
+            elif kind == "range":
+                body = m.group("range")
+                inc_lo, inc_hi = body[0] == "[", body[-1] == "]"
+                lo, hi = re.match(r"[\[{]\s*(\S+)\s+TO\s+(\S+)\s*[\]}]", body).groups()
+                boost = self.maybe_boost()
+                q = TermRangeQuery(
+                    boost=boost,
+                    lower=None if lo == "*" else lo.lower(),
+                    upper=None if hi == "*" else hi.lower(),
+                    include_lower=inc_lo,
+                    include_upper=inc_hi,
+                )
+            elif kind == "word":
+                word = m.group("word")
+                boost_later = True
+                fm = re.match(r"(.+?)~(\d?)$", word)
+                if fm and not word.startswith("~"):
+                    base, edits = fm.group(1), fm.group(2)
+                    boost = self.maybe_boost()
+                    q = FuzzyQuery(
+                        boost=boost, term=base.lower(), max_edits=int(edits) if edits else 2
+                    )
+                elif "*" in word or "?" in word:
+                    boost = self.maybe_boost()
+                    if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                        q = PrefixQuery(boost=boost, prefix=word[:-1].lower())
+                    else:
+                        q = WildcardQuery(boost=boost, pattern=word.lower())
+                else:
+                    boost = self.maybe_boost()
+                    pairs = analyze(word)
+                    if not pairs:
+                        q = None
+                    elif len(pairs) == 1:
+                        q = TermQuery(boost=boost, term=pairs[0][0])
+                    else:
+                        q = PhraseQuery(
+                            boost=boost, phrase_terms=tuple(t for t, _ in pairs)
+                        )
+            if q is None:
+                pending_occur = None
+                continue
+            occur = pending_occur or Occur.SHOULD
+            if pending_occur is None and prev_operator == "AND":
+                occur = Occur.MUST
+            clauses.append(BooleanClause(q, occur))
+            pending_occur = None
+        return BooleanQuery(clauses=tuple(clauses))
+
+
+def parse_query(s: str) -> Query:
+    """Parse a classic-syntax query string; single-clause boolean
+    collapses via Query.rewrite at search time."""
+    return _Parser(s).parse()

@@ -1,0 +1,257 @@
+"""Query AST — the user-facing operator surface (SURVEY.md §2.9).
+
+Mirrors the reference query types' *semantics* (not structure):
+TermQuery (``Search/TermQuery.cs``), BooleanQuery with
+MUST/SHOULD/MUST_NOT + minimumNumberShouldMatch
+(``Search/BooleanQuery.cs``, ``BooleanClause.cs:120``), PhraseQuery
+(``Search/PhraseQuery.cs``), multi-term queries that expand against
+the term dictionary (Prefix/Wildcard/Fuzzy/TermRange —
+``Search/PrefixQuery.cs`` etc.), MatchAllDocsQuery, ConstantScoreQuery
+and DisjunctionMaxQuery (``Search/DisjunctionMaxQuery.cs:69-77``).
+
+``rewrite()`` applies the reference's logical rewrites: single-clause
+BooleanQuery collapses with boost folding (``BooleanQuery.cs:531-560``)
+and multi-term queries expand to a ConstantScore/Boolean form once the
+matching terms are known (``Search/MultiTermQuery.cs`` rewrite modes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Sequence
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        """All index terms this query touches (for stats prefetch)."""
+        return []
+
+    def rewrite(self, term_dictionary=None) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str = ""
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur = Occur.SHOULD
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...] = ()
+    minimum_number_should_match: int = 0
+
+    @staticmethod
+    def of(*pairs: tuple[Query, Occur], boost: float = 1.0, min_should_match: int = 0):
+        return BooleanQuery(
+            boost=boost,
+            clauses=tuple(BooleanClause(q, o) for q, o in pairs),
+            minimum_number_should_match=min_should_match,
+        )
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for c in self.clauses:
+            out.extend(c.query.terms())
+        return out
+
+    def rewrite(self, term_dictionary=None) -> Query:
+        clauses = tuple(
+            BooleanClause(c.query.rewrite(term_dictionary), c.occur) for c in self.clauses
+        )
+        # BooleanQuery.cs:531-560 — one positive clause, no minMatch:
+        # collapse to the clause with boosts multiplied
+        if (
+            len(clauses) == 1
+            and clauses[0].occur != Occur.MUST_NOT
+            and self.minimum_number_should_match == 0
+        ):
+            inner = clauses[0].query
+            return _with_boost(inner, inner.boost * self.boost)
+        return BooleanQuery(self.boost, clauses, self.minimum_number_should_match)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0): terms at consecutive positions, scored
+    with BM25 over the phrase frequency and summed idf
+    (``Search/ExactPhraseScorer.cs``; weight idf sum per
+    ``BM25Similarity.IdfExplain(collectionStats, termStats[])``)."""
+
+    phrase_terms: tuple[str, ...] = ()
+    # relative positions, defaults to 0..n-1; stopword gaps allowed
+    term_positions: tuple[int, ...] | None = None
+
+    def positions(self) -> tuple[int, ...]:
+        return self.term_positions or tuple(range(len(self.phrase_terms)))
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query = field(default_factory=MatchAllDocsQuery)
+
+    def terms(self) -> list[str]:
+        return self.query.terms()
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max(clause scores) + tie_breaker * (sum - max) per doc
+    (``Search/DisjunctionMaxQuery.cs:69-77``)."""
+
+    disjuncts: tuple[Query, ...] = ()
+    tie_breaker: float = 0.0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.disjuncts:
+            out.extend(q.terms())
+        return out
+
+
+class MultiTermQuery(Query):
+    """Base for queries that expand against the term dictionary
+    (``Search/MultiTermQuery.cs``). ``matches(terms)`` filters a
+    sorted numpy/str sequence; expansion happens in
+    ``IndexSearcher._expand`` as a DataFrame predicate instead of a
+    TermsEnum automaton walk."""
+
+    def dict_predicate(self):  # -> pyspark Column over F.col('term')
+        raise NotImplementedError
+
+    def python_predicate(self, term: str) -> bool:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    prefix: str = ""
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.col("term").startswith(self.prefix)
+
+    def python_predicate(self, term: str) -> bool:
+        return term.startswith(self.prefix)
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    """``*`` any run, ``?`` single char (``Search/WildcardQuery.cs``)."""
+
+    pattern: str = ""
+
+    def _regex(self) -> str:
+        import re as _re
+
+        out = []
+        for ch in self.pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(_re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.col("term").rlike(self._regex())
+
+    def python_predicate(self, term: str) -> bool:
+        import re as _re
+
+        return _re.match(self._regex(), term) is not None
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """Levenshtein distance <= max_edits (default 2, the automaton
+    ceiling in ``Search/FuzzyQuery.cs:58`` /
+    ``Util/Automaton/LevenshteinAutomata.cs``)."""
+
+    term: str = ""
+    max_edits: int = 2
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.levenshtein(F.col("term"), F.lit(self.term)) <= self.max_edits
+
+    def python_predicate(self, term: str) -> bool:
+        return _levenshtein(term, self.term) <= self.max_edits
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    """Terms in [lower, upper] byte order (``Search/TermRangeQuery.cs``)."""
+
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        c = F.lit(True)
+        if self.lower is not None:
+            c = c & (F.col("term") >= self.lower if self.include_lower else F.col("term") > self.lower)
+        if self.upper is not None:
+            c = c & (F.col("term") <= self.upper if self.include_upper else F.col("term") < self.upper)
+        return c
+
+    def python_predicate(self, term: str) -> bool:
+        if self.lower is not None:
+            if term < self.lower or (term == self.lower and not self.include_lower):
+                return False
+        if self.upper is not None:
+            if term > self.upper or (term == self.upper and not self.include_upper):
+                return False
+        return True
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _with_boost(q: Query, boost: float) -> Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=boost)

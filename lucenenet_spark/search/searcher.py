@@ -1,0 +1,464 @@
+"""Distributed BM25 top-k query engine (reference trace SURVEY.md §3.2).
+
+Compilation model: every Query node compiles to a DataFrame of
+``(docid: long, score: float)`` — float32 column, scores computed by
+numpy inside Arrow UDFs in exactly the reference's float32 operation
+order (``BM25Similarity.cs:254-264``), because Spark SQL float/float
+division promotes to double and would drift from the float32 oracle.
+
+Physical shape per node:
+
+- **TermQuery** — scan packed posting blocks filtered on ``term``
+  (parquet predicate pushdown + row-group min/max = the BlockTree
+  dictionary seek), unpack delta+varbyte blocks and score in one
+  ``mapInPandas`` — zero shuffles; a single-term top-k is
+  scan → UDF → TakeOrderedAndProject.
+- **BooleanQuery** — clause DataFrames union-all'd then hash-aggregated
+  on docid (Spark's partial/final hash agg *is* the reference's
+  bucket-table bulk scorer, ``Search/BooleanScorer.cs:136``):
+  MUST = count(must-matched) == n_must (ConjunctionScorer),
+  SHOULD = sum with optional minShouldMatch (DisjunctionSumScorer /
+  MinShouldMatchSumScorer), MUST_NOT = left_anti join (ReqExclScorer).
+  Clause scores are folded in clause-index order in float32 — the
+  pinned deterministic summation that makes results partition-count
+  invariant (the reference analog: TestSameScoresWithThreads).
+- **PhraseQuery** — positions join on docid over the flat posting
+  table + vectorized shifted-position intersection
+  (ExactPhraseScorer's chunked counting, done with numpy sets).
+- **MultiTermQuery** (prefix/wildcard/fuzzy/range) — expanded against
+  the term_stats dictionary DataFrame (a broadcast-size predicate
+  scan), then rewritten to the boolean pipeline
+  (``Search/MultiTermQuery.cs`` rewrite).
+
+Global statistics (df, ttf, maxDoc, sumTotalTermFreq) are collected
+once per query on the driver and baked into UDF closures — the exact
+scheme that makes distributed scores reproducible (the reference
+freezes stats in Weight before scoring, ``TermQuery.cs:188``,
+``IndexSearcher.cs:1070-1116``).
+
+Top-k: ``ORDER BY score DESC, docid ASC LIMIT k`` →
+TakeOrderedAndProject, a distributed bounded heap with per-partition
+heaps + driver merge — the same algorithm as TopScoreDocCollector +
+TopDocs.Merge (``Search/HitQueue.cs:88-105`` tie-break: smaller docid
+wins on equal score).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucenenet_spark.functions import bm25
+from lucenenet_spark.functions.varbyte import (
+    decode_freqs,
+    delta_decode_docids,
+)
+from lucenenet_spark.index.builder import InvertedIndex
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    MultiTermQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+SCORED = T.StructType(
+    [T.StructField("docid", T.LongType()), T.StructField("score", T.FloatType())]
+)
+
+
+@dataclass(frozen=True)
+class Hit:
+    docid: int
+    score: float
+
+
+class IndexSearcher:
+    def __init__(self, index: InvertedIndex, use_packed: bool = True, prune: bool = True):
+        self.index = index
+        self.use_packed = use_packed
+        self.prune = prune
+        self._avgdl = bm25.avg_field_length(index.sum_total_term_freq, index.max_doc)
+        self._cache = bm25.norm_cache(self._avgdl)
+
+    # ------------------------------------------------------------- API
+    def search(self, query: Query, k: int = 10) -> list[Hit]:
+        df = self.search_df(query, k)
+        return [Hit(r["docid"], r["score"]) for r in df.collect()]
+
+    def search_df(self, query: Query, k: int | None = 10) -> DataFrame:
+        query = self._expand(query.rewrite())
+        stats = self._collect_stats(query)
+        scored = self._compile(query, stats, top_k=k)
+        if scored is None:
+            return self._empty()
+        out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+        return out.limit(k) if k is not None else out
+
+    def count(self, query: Query) -> int:
+        """TotalHitCountCollector analog."""
+        query = self._expand(query.rewrite())
+        stats = self._collect_stats(query)
+        scored = self._compile(query, stats, top_k=None)
+        return 0 if scored is None else scored.count()
+
+    # ------------------------------------------------- query expansion
+    def _expand(self, q: Query) -> Query:
+        """Rewrite MultiTermQuery nodes against the term dictionary
+        (DataFrame predicate scan instead of a TermsEnum automaton)."""
+        if isinstance(q, MultiTermQuery):
+            rows = (
+                self.index.term_stats.where(q.dict_predicate())
+                .select("term")
+                .orderBy("term")
+                .limit(MAX_CLAUSE_COUNT + 1)
+                .collect()
+            )
+            terms = [r["term"] for r in rows][:MAX_CLAUSE_COUNT]
+            from lucenenet_spark.search.queries import FuzzyQuery
+
+            if isinstance(q, FuzzyQuery):
+                # TopTermsScoringBooleanQueryRewrite-style: each variant
+                # keeps a boost scaled by edit similarity
+                # (FuzzyTermsEnum boost = 1 - edits/min-len)
+                clauses = []
+                for t in terms:
+                    edits = _levenshtein(t, q.term)
+                    sim = 1.0 - edits / min(len(t), len(q.term))
+                    clauses.append((TermQuery(boost=q.boost * sim, term=t), Occur.SHOULD))
+                return BooleanQuery.of(*clauses) if clauses else BooleanQuery.of()
+            # constant-score rewrite (CONSTANT_SCORE_AUTO default for
+            # prefix/wildcard/range): uniform score = boost
+            inner = BooleanQuery.of(
+                *[(TermQuery(term=t), Occur.SHOULD) for t in terms]
+            )
+            return ConstantScoreQuery(boost=q.boost, query=inner)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                q.boost,
+                tuple(
+                    type(c)(self._expand(c.query), c.occur) for c in q.clauses
+                ),
+                q.minimum_number_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                q.boost, tuple(self._expand(d) for d in q.disjuncts), q.tie_breaker
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(q.boost, self._expand(q.query))
+        return q
+
+    def _collect_stats(self, q: Query) -> dict[str, tuple[int, int]]:
+        terms = sorted(set(q.terms()))
+        if not terms:
+            return {}
+        rows = self.index.term_stats.where(F.col("term").isin(terms)).collect()
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    # ------------------------------------------------------ compilation
+    def _empty(self) -> DataFrame:
+        return self.index.docs.sparkSession.createDataFrame([], SCORED)
+
+    def _compile(self, q: Query, stats, top_k: int | None) -> DataFrame | None:
+        """Returns scored-docs DF or None for a provably-empty result
+        (the reference's null-Scorer)."""
+        if isinstance(q, TermQuery):
+            return self._term_scores(q.term, q.boost, stats, top_k)
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docs.select(
+                "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            )
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._compile(q.query, stats, None)
+            if inner is None:
+                return None
+            return inner.select(
+                "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            )
+        if isinstance(q, BooleanQuery):
+            return self._boolean(q, stats)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._dismax(q, stats)
+        if isinstance(q, PhraseQuery):
+            return self._phrase(q, stats)
+        raise NotImplementedError(type(q).__name__)
+
+    # ----------------------------------------------------- term scorer
+    def _term_scores(
+        self, term: str, boost: float, stats, top_k: int | None
+    ) -> DataFrame | None:
+        if term not in stats:
+            return None
+        df_, _ttf = stats[term]
+        weight = bm25.term_weight(bm25.idf(df_, self.index.max_doc), boost)
+        cache = self._cache
+        if not self.use_packed:
+            return self._term_scores_flat(term, weight)
+
+        blocks = self.index.packed.where(F.col("term") == term)
+        if self.prune and top_k is not None:
+            blocks = self._prune_blocks(blocks, weight, cache, top_k)
+
+        w = float(weight)
+
+        def unpack_score(iterator):
+            wf = np.float32(w)
+            for pdf in iterator:
+                outs = []
+                for docs_enc, freqs_enc, norms_enc in zip(
+                    pdf["docs_enc"], pdf["freqs_enc"], pdf["norms_enc"]
+                ):
+                    d = delta_decode_docids(bytes(docs_enc))
+                    f = decode_freqs(bytes(freqs_enc)).astype(np.float32)
+                    n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
+                    s = (wf * f / (f + cache[n])).astype(np.float32)
+                    outs.append(pd.DataFrame({"docid": d, "score": s}))
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"docid": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")}
+                )
+
+        return blocks.mapInPandas(unpack_score, schema=SCORED)
+
+    def _term_scores_flat(self, term: str, weight) -> DataFrame:
+        """Flat-postings scorer (no block decode) — used when positions
+        or uncompressed postings are already in memory."""
+        cache = self._cache
+        w = float(weight)
+
+        def score_batch(iterator):
+            wf = np.float32(w)
+            for pdf in iterator:
+                f = pdf["freq"].to_numpy(dtype=np.float32)
+                n = pdf["norm"].to_numpy(dtype=np.int64)
+                s = (wf * f / (f + cache[n])).astype(np.float32)
+                yield pd.DataFrame({"docid": pdf["docid"], "score": s})
+
+        return (
+            self.index.postings.where(F.col("term") == term)
+            .select("docid", "freq", "norm")
+            .mapInPandas(score_batch, schema=SCORED)
+        )
+
+    def _prune_blocks(self, blocks: DataFrame, weight, cache, k: int) -> DataFrame:
+        """Block-max pruning (rank-safe, WAND-flavored; an addition the
+        4.8 reference lacks — SURVEY.md §4.2). Upper-bound score per
+        block from (max_freq, max_norm): score is increasing in freq
+        and in norm byte (shorter doc → bigger byte → smaller cache).
+        Driver collects only block *metadata* for the term (≤ a few
+        thousand rows/term at 10^9 docs), picks a threshold θ = k-th
+        best upper bound, and keeps blocks whose ub ≥ θ. Every block
+        that could contain a top-k doc survives ⇒ identical top-k.
+        """
+        meta = blocks.select(
+            "bucket", "block_id", "max_freq", "max_norm", "min_norm"
+        ).collect()
+        if len(meta) <= max(8, k):
+            return blocks
+        wf = np.float32(weight)
+        mf = np.array([m["max_freq"] for m in meta], dtype=np.float32)
+        mx = np.array([m["max_norm"] for m in meta], dtype=np.int64)
+        mn = np.array([m["min_norm"] for m in meta], dtype=np.int64)
+        # ub: no doc in the block can beat score(max_freq, max_norm)
+        # (score is increasing in freq and in norm byte)
+        ub = (wf * mf / (mf + cache[mx])).astype(np.float32)
+        # lb: the doc attaining max_freq has norm >= min_norm, so the
+        # block certifiably CONTAINS a doc scoring >= score(max_freq,
+        # min_norm). The k-th largest lb across blocks is therefore a
+        # certified k-th-best-score lower bound (k distinct docs, one
+        # per block) — pruning ub < θ is rank-safe.
+        lb = (wf * mf / (mf + cache[mn])).astype(np.float32)
+        theta = np.partition(lb, len(lb) - k)[len(lb) - k]
+        keep_idx = np.flatnonzero(ub >= theta)
+        if len(keep_idx) == len(meta):
+            return blocks
+        keep_df = blocks.sparkSession.createDataFrame(
+            [(int(meta[i]["bucket"]), int(meta[i]["block_id"])) for i in keep_idx],
+            "bucket long, block_id int",
+        )
+        return blocks.join(F.broadcast(keep_df), ["bucket", "block_id"], "inner")
+
+    # ----------------------------------------------------- boolean
+    def _clause_frames(self, clauses, stats):
+        """Compile positive clauses to (docid, cidx, kind, score)."""
+        frames = []
+        for cidx, c in enumerate(clauses):
+            if c.occur == Occur.MUST_NOT:
+                continue
+            sub = self._compile(c.query, stats, None)
+            if sub is None:
+                if c.occur == Occur.MUST:
+                    return None, True  # unmatched MUST ⇒ empty result
+                continue
+            frames.append(
+                sub.select(
+                    "docid",
+                    F.lit(cidx).alias("cidx"),
+                    F.lit(1 if c.occur == Occur.MUST else 0).alias("is_must"),
+                    "score",
+                )
+            )
+        return frames, False
+
+    def _boolean(self, q: BooleanQuery, stats) -> DataFrame | None:
+        if len(q.clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError("too many clauses")
+        must = [c for c in q.clauses if c.occur == Occur.MUST]
+        should = [c for c in q.clauses if c.occur == Occur.SHOULD]
+        nots = [c for c in q.clauses if c.occur == Occur.MUST_NOT]
+        if not must and not should:
+            return None  # pure negation matches nothing (needs MatchAll)
+
+        frames, dead = self._clause_frames(q.clauses, stats)
+        if dead or not frames:
+            return None
+        pos = frames[0]
+        for fdf in frames[1:]:
+            pos = pos.unionByName(fdf)
+
+        min_should = q.minimum_number_should_match
+        required_should = max(min_should, 0 if must else 1)
+
+        agg = pos.groupBy("docid").agg(
+            F.sum("is_must").alias("n_must"),
+            F.sum(1 - F.col("is_must")).alias("n_should"),
+            F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs"),
+        )
+        cond = (F.col("n_must") == len(must)) & (F.col("n_should") >= required_should)
+        agg = agg.where(cond)
+
+        boost = float(np.float32(q.boost))
+
+        @F.pandas_udf("float")
+        def fold(cs: pd.Series) -> pd.Series:
+            b = np.float32(boost)
+            out = np.empty(len(cs), dtype=np.float32)
+            for i, lst in enumerate(cs):
+                acc = np.float32(0.0)
+                for item in lst:
+                    acc = np.float32(acc + np.float32(item["score"]))
+                out[i] = np.float32(acc * b)
+            return pd.Series(out)
+
+        scored = agg.select("docid", fold(F.col("cs")).alias("score"))
+        return self._apply_not(scored, nots, stats)
+
+    def _apply_not(self, scored: DataFrame, nots, stats) -> DataFrame:
+        if not nots:
+            return scored
+        neg = None
+        for c in nots:
+            sub = self._compile(c.query, stats, None)
+            if sub is None:
+                continue
+            neg = sub if neg is None else neg.unionByName(sub)
+        if neg is None:
+            return scored
+        return scored.join(
+            neg.select("docid").distinct(), "docid", "left_anti"
+        )
+
+    def _dismax(self, q: DisjunctionMaxQuery, stats) -> DataFrame | None:
+        frames = []
+        for cidx, d in enumerate(q.disjuncts):
+            sub = self._compile(d, stats, None)
+            if sub is not None:
+                frames.append(sub.select("docid", F.lit(cidx).alias("cidx"), "score"))
+        if not frames:
+            return None
+        pos = frames[0]
+        for fdf in frames[1:]:
+            pos = pos.unionByName(fdf)
+        tie = float(np.float32(q.tie_breaker))
+        boost = float(np.float32(q.boost))
+
+        @F.pandas_udf("float")
+        def fold(cs: pd.Series) -> pd.Series:
+            t, b = np.float32(tie), np.float32(boost)
+            out = np.empty(len(cs), dtype=np.float32)
+            for i, lst in enumerate(cs):
+                mx, acc = np.float32(0.0), np.float32(0.0)
+                for item in lst:
+                    s = np.float32(item["score"])
+                    acc = np.float32(acc + s)
+                    if s > mx:
+                        mx = s
+                # DisjunctionMaxQuery.cs:69-77: max + tie*(sum-max)
+                out[i] = np.float32((mx + np.float32(acc - mx) * t) * b)
+            return pd.Series(out)
+
+        agg = pos.groupBy("docid").agg(
+            F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs")
+        )
+        return agg.select("docid", fold(F.col("cs")).alias("score"))
+
+    # ----------------------------------------------------- phrase
+    def _phrase(self, q: PhraseQuery, stats) -> DataFrame | None:
+        terms = list(q.phrase_terms)
+        rels = list(q.positions())
+        if not terms:
+            return None
+        if any(t not in stats for t in terms):
+            return None
+        uniq = sorted(set(terms))
+        # weight: summed idf over phrase terms (BM25Similarity
+        # IdfExplain over TermStatistics[]), float32 accumulation
+        idfs = [bm25.idf(stats[t][0], self.index.max_doc) for t in terms]
+        w = bm25.term_weight(bm25.float32_ordered_sum(np.array(idfs)), q.boost)
+        cache = self._cache
+        wf = float(w)
+        rels_l = list(rels)
+        terms_l = list(terms)
+
+        cand = (
+            self.index.postings.where(F.col("term").isin(uniq))
+            .groupBy("docid")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("tp"),
+                F.first("norm").alias("norm"),
+                F.count("*").alias("nt"),
+            )
+            .where(F.col("nt") == len(uniq))
+        )
+
+        @F.pandas_udf("float")
+        def phrase_score(tp: pd.Series, norm: pd.Series) -> pd.Series:
+            w32 = np.float32(wf)
+            out = np.empty(len(tp), dtype=np.float32)
+            for i, lst in enumerate(tp):
+                posmap = {item["term"]: np.asarray(item["positions"], dtype=np.int64) for item in lst}
+                base = posmap[terms_l[0]] - rels_l[0]
+                acc = base
+                for t, r in zip(terms_l[1:], rels_l[1:]):
+                    acc = np.intersect1d(acc, posmap[t] - r, assume_unique=False)
+                    if acc.size == 0:
+                        break
+                freq = np.float32(acc.size)
+                if freq == 0:
+                    out[i] = np.nan
+                else:
+                    c = cache[int(norm.iloc[i])]
+                    out[i] = np.float32(w32 * freq / (freq + c))
+            return pd.Series(out)
+
+        scored = cand.select(
+            "docid", phrase_score(F.col("tp"), F.col("norm")).alias("score")
+        ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+        return scored
+
+
+def _levenshtein(a: str, b: str) -> int:
+    from lucenenet_spark.search.queries import _levenshtein as lv
+
+    return lv(a, b)

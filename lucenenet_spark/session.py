@@ -20,6 +20,13 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Python workers must be able to import this package (the cluster
+    # deployment ships it via spark-submit --py-files; locally we put
+    # the repo root on the workers' PYTHONPATH).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pythonpath = os.pathsep.join(
+        p for p in (pkg_root, os.environ.get("PYTHONPATH", "")) if p
+    )
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
     builder = (
         SparkSession.builder.appName(app_name)
@@ -33,5 +40,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
     )
+    os.environ["PYTHONPATH"] = worker_pythonpath
     return builder.getOrCreate()
