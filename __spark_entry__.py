@@ -1,38 +1,232 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the
+lucenenet_spark engine (PySpark-native inverted index + BM25).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark DataFrame pipeline with a DuckDB SQL oracle
+from :mod:`lucenenet_spark.oracle_sql` whose float32 arithmetic is
+bit-exact against the engine (verified: scores hash-match, not just
+ranks). Corpus = the ``documents`` table (doc_id, text, lang, source,
+n_chars); docid ≡ doc_id.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark import oracle_sql as osql
+from lucenenet_spark.index.builder import CorpusSpec, InvertedIndex, build_index
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucenenet_spark.search.searcher import IndexSearcher
+
+_SPEC = CorpusSpec(text_col="text", id_col="doc_id", meta_cols=("lang", "source"))
+_CACHE: dict[tuple[str, str], tuple[InvertedIndex, IndexSearcher]] = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> tuple[InvertedIndex, IndexSearcher]:
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CACHE:
+        corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        idx = build_index(spark, corpus, _SPEC).cache()
+        _CACHE[key] = (idx, IndexSearcher(idx))
+    return _CACHE[key]
+
+
+def _ranked(df: DataFrame) -> DataFrame:
+    """(docid, score:float32) top-k -> (rank, docid, score:double).
+
+    The window runs over the already-limited k rows; float32 scores are
+    widened to double (exact) so both sides hash identically.
+    """
+    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return df.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("docid"),
+        F.col("score").cast("double").alias("score"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: boolean MUST(merge) MUST(sort) BM25 top-10 at sf0.001."""
+    _, s = _searcher(spark, "/root/testdata/sf0.001")
+    q = BooleanQuery.of((TermQuery(term="merge"), Occur.MUST), (TermQuery(term="sort"), Occur.MUST))
+    return _ranked(s.search_df(q, 10))
+
+
+# ---------------------------------------------------------------- index side
+
+def _q_tokenize(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    return idx.postings.select("docid", "term", F.col("freq").cast("long").alias("freq"))
+
+
+def _q_positions(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    return (
+        idx.postings.where(F.col("term") == "dup")
+        .select("docid", "term", F.explode("positions").alias("pos"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def _q_term_stats(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    return idx.term_stats.select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+
+
+def _q_doc_norms(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    return idx.docs.select(
+        "docid",
+        F.col("field_length").cast("long").alias("field_length"),
+        F.col("norm").cast("long").alias("norm"),
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.max_doc, idx.sum_total_term_freq, idx.term_stats.count())],
+        "max_doc long, sum_total_term_freq long, n_terms long",
+    )
+
+
+# --------------------------------------------------------------- search side
+
+def _q_term(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_term_rare(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(TermQuery(term="dup"), 10))
+
+
+def _q_bool_and(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of((TermQuery(term="merge"), Occur.MUST), (TermQuery(term="sort"), Occur.MUST))
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_bool_or(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of((TermQuery(term="hash"), Occur.SHOULD), (TermQuery(term="dup"), Occur.SHOULD))
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_bool_not(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="table"), Occur.MUST), (TermQuery(term="window"), Occur.MUST_NOT)
+    )
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_min_should_match(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="hash"), Occur.SHOULD),
+        (TermQuery(term="merge"), Occur.SHOULD),
+        (TermQuery(term="scan"), Occur.SHOULD),
+        min_should_match=2,
+    )
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_dismax(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = DisjunctionMaxQuery(
+        disjuncts=(TermQuery(term="spark"), TermQuery(term="stream")), tie_breaker=0.5
+    )
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_phrase(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(PhraseQuery(phrase_terms=("table", "hash")), 10))
+
+
+def _q_prefix_docs(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    df = s.search_df(PrefixQuery(prefix="s"), k=None)
+    return df.select("docid", F.col("score").cast("double").alias("score"))
+
+
+def _q_wildcard_terms(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    q = WildcardQuery(pattern="s*a*")
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
+def _q_fuzzy_terms(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    q = FuzzyQuery(term="scann", max_edits=2)
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
+def _q_term_range(spark, sf_dir):
+    idx, _ = _searcher(spark, sf_dir)
+    q = TermRangeQuery(lower="p", upper="t", include_upper=False)
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize": _q_tokenize,
+        "positions": _q_positions,
+        "term_stats": _q_term_stats,
+        "doc_norms": _q_doc_norms,
+        "corpus_stats": _q_corpus_stats,
+        "term_query": _q_term,
+        "term_query_rare": _q_term_rare,
+        "boolean_and": _q_bool_and,
+        "boolean_or": _q_bool_or,
+        "boolean_not": _q_bool_not,
+        "min_should_match": _q_min_should_match,
+        "dismax": _q_dismax,
+        "phrase_query": _q_phrase,
+        "prefix_docs": _q_prefix_docs,
+        "wildcard_terms": _q_wildcard_terms,
+        "fuzzy_terms": _q_fuzzy_terms,
+        "term_range": _q_term_range,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize": osql.tokenize_sql(),
+        "positions": osql.positions_sql("dup"),
+        "term_stats": osql.term_stats_sql(),
+        "doc_norms": osql.doc_norms_sql(),
+        "corpus_stats": osql.corpus_stats_sql(),
+        "term_query": osql.term_query_sql("spark"),
+        "term_query_rare": osql.term_query_sql("dup"),
+        "boolean_and": osql.boolean_and_sql("merge", "sort"),
+        "boolean_or": osql.boolean_or_sql("hash", "dup"),
+        "boolean_not": osql.boolean_not_sql("table", "window"),
+        "min_should_match": osql.min_should_match_sql("hash", "merge", "scan", 2),
+        "dismax": osql.dismax_sql("spark", "stream", 0.5),
+        "phrase_query": osql.phrase_sql("table", "hash"),
+        "prefix_docs": osql.prefix_docs_sql("s"),
+        "wildcard_terms": osql.wildcard_terms_sql("^s.*a.*$"),
+        "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),
+        "term_range": osql.term_range_sql("p", "t"),
+    }

@@ -1,0 +1,335 @@
+"""DuckDB oracle-SQL generator — ANSI-SQL mirrors of the Spark engine.
+
+The driver's correctness gate runs each Spark query side-by-side with
+a DuckDB SQL string over the same parquet tables and hash-compares the
+values. BM25 scores are float32 in the engine (reference parity,
+``BM25Similarity.cs:254-264``), so the SQL here emulates the *exact*
+float32 arithmetic:
+
+- DuckDB ``REAL`` ops (``+ - * /``) are true IEEE float32 and verified
+  bit-equal to numpy float32 for the score pipeline ``w*f/(f+c)``.
+- The SmallFloat norm byte (``Util/SmallFloat.cs:146-159``) is
+  recovered as ``max b such that decode(b) <= 1f/float32(sqrt(fl))``
+  over an inlined 255-row decode table — truncating float-to-tiny-float
+  conversion is exactly "largest representable value <= x", verified
+  bit-equal to the numpy encoder for fl in [1, 1e6].
+- ``NORM_TABLE``/cache (``BM25Similarity.cs:143-154,226-231``) is the
+  inlined 256-entry table with the freq-independent part computed in
+  REAL arithmetic in the same operation order as
+  :mod:`lucenenet_spark.functions.bm25`.
+- idf: double ``ln`` then truncate to REAL — numpy's ``log1p`` and
+  DuckDB's ``ln(1+x)`` can differ in the last double ulp but agree
+  after float32 truncation (verified over the df range).
+
+Every generated query is a self-contained WITH block over the
+driver-registered ``documents`` view (columns doc_id, text, lang,
+source, n_chars).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucenenet_spark.analysis.analyzer import duckdb_token_sql
+from lucenenet_spark.functions.smallfloat import NORM_TABLE, byte315_to_float
+
+K = 10  # headline top-k
+
+
+def _f32_lit(v: float) -> str:
+    """A SQL literal that parses to exactly this float32 value."""
+    f = float(np.float32(v))
+    if np.isinf(f):
+        return "CAST('infinity' AS REAL)"
+    return f"CAST('{f!r}' AS REAL)"
+
+
+def _norm_decode_values() -> str:
+    dec = byte315_to_float(np.arange(256, dtype=np.uint8))
+    return ",".join(f"({b}, {_f32_lit(float(dec[b]))})" for b in range(1, 256))
+
+
+def _norm_table_values() -> str:
+    return ",".join(f"({b}, {_f32_lit(float(NORM_TABLE[b]))})" for b in range(256))
+
+
+# Shared CTE prefix: tokenization -> postings -> doc lengths -> norm
+# bytes -> corpus stats -> term stats -> per-norm-byte cache.
+def bm25_prelude(with_positions: bool = False) -> str:
+    tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
+    pos_col = ", pos" if with_positions else ""
+    return f"""
+WITH tok AS ({tok}),
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS fl FROM tok GROUP BY docid) t
+    ON d.doc_id = t.docid
+),
+norm_decode(b, val) AS (VALUES {_norm_decode_values()}),
+norms AS (
+  SELECT docid, fl,
+         CASE WHEN fl = 0 THEN 255 ELSE (
+           SELECT max(b) FROM norm_decode
+           WHERE val <= CAST(1.0 AS REAL)/CAST(sqrt(CAST(fl AS DOUBLE)) AS REAL)
+         ) END AS norm
+  FROM doclen
+),
+cstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS max_doc,
+         CAST(coalesce(sum(fl), 0) AS BIGINT) AS sttf,
+         CAST(CAST(coalesce(sum(fl), 0) AS DOUBLE) / count(*) AS REAL) AS avgdl
+  FROM doclen
+),
+term_stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(freq) AS BIGINT) AS ttf
+  FROM postings GROUP BY term
+),
+norm_table(nb, nt) AS (VALUES {_norm_table_values()}),
+cache AS (
+  -- k1*((1-b) + b*NORM_TABLE[nb]/avgdl), all float32, op order pinned
+  -- to functions/bm25.py::norm_cache
+  SELECT nb,
+         {_f32_lit(1.2)} * (({_f32_lit(1.0)} - {_f32_lit(0.75)})
+            + {_f32_lit(0.75)} * nt / (SELECT avgdl FROM cstats)) AS c
+  FROM norm_table
+)"""
+
+
+def _idf_expr(df_expr: str) -> str:
+    """float32 idf from a BIGINT df expression (bm25.py::idf)."""
+    return (
+        f"CAST(ln(1 + ((SELECT max_doc FROM cstats) - {df_expr} + 0.5)"
+        f" / ({df_expr} + 0.5)) AS REAL)"
+    )
+
+
+def _term_weight_cte(name: str, term: str, boost: float = 1.0) -> str:
+    """CTE `{name}(w)`: weight = idf * boost * (k1+1) in float32."""
+    idf = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{term}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return f"{name}(w) AS (SELECT {idf} * {_f32_lit(boost)} * {k1p1})"
+
+
+def _term_scores_cte(name: str, term: str, boost: float = 1.0) -> str:
+    """CTE `{name}(docid, s)`: BM25 float32 doc scores for one term."""
+    return f"""{_term_weight_cte(name + '_w', term, boost)},
+{name} AS (
+  SELECT p.docid,
+         (SELECT w FROM {name}_w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+  WHERE p.term = '{term}'
+)"""
+
+
+def _topk(score_from: str, k: int = K) -> str:
+    """rank/docid/score projection; float32 score widened to double."""
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY s DESC, docid ASC) AS BIGINT) AS rank,
+       docid, CAST(s AS DOUBLE) AS score
+FROM {score_from}
+ORDER BY s DESC, docid ASC
+LIMIT {k}"""
+
+
+# ----------------------------------------------------------- queries
+
+def tokenize_sql() -> str:
+    return bm25_prelude() + "\nSELECT docid, term, CAST(freq AS BIGINT) AS freq FROM postings"
+
+
+def positions_sql(term: str) -> str:
+    tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
+    return f"WITH tok AS ({tok})\nSELECT docid, term, pos FROM tok WHERE term = '{term}'"
+
+
+def term_stats_sql() -> str:
+    return bm25_prelude() + "\nSELECT term, df, ttf FROM term_stats"
+
+
+def doc_norms_sql() -> str:
+    return (
+        bm25_prelude()
+        + "\nSELECT docid, fl AS field_length, CAST(norm AS BIGINT) AS norm FROM norms"
+    )
+
+
+def corpus_stats_sql() -> str:
+    return (
+        bm25_prelude()
+        + "\nSELECT max_doc, sttf AS sum_total_term_freq,"
+        + " (SELECT CAST(count(*) AS BIGINT) FROM term_stats) AS n_terms FROM cstats"
+    )
+
+
+def term_query_sql(term: str, k: int = K) -> str:
+    return bm25_prelude() + ",\n" + _term_scores_cte("t0", term) + _topk("t0", k)
+
+
+def boolean_and_sql(t0: str, t1: str, k: int = K) -> str:
+    """MUST t0 AND MUST t1: scores folded ((0+s0)+s1) in clause order
+    (searcher.py::_boolean float32 fold)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT c0.docid, ({_f32_lit(0.0)} + c0.s) + c1.s AS s
+  FROM c0 JOIN c1 ON c0.docid = c1.docid
+)"""
+        + _topk("merged", k)
+    )
+
+
+def boolean_or_sql(t0: str, t1: str, k: int = K) -> str:
+    """SHOULD t0 OR SHOULD t1 (DisjunctionSumScorer)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         ({_f32_lit(0.0)} + coalesce(c0.s, {_f32_lit(0.0)}))
+           + coalesce(c1.s, {_f32_lit(0.0)}) AS s
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+)"""
+        + _topk("merged", k)
+    )
+
+
+def boolean_not_sql(t0: str, t_not: str, k: int = K) -> str:
+    """MUST t0 AND MUST_NOT t_not (ReqExclScorer anti-join)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + f""",
+merged AS (
+  SELECT c0.docid, {_f32_lit(0.0)} + c0.s AS s FROM c0
+  WHERE c0.docid NOT IN (SELECT docid FROM postings WHERE term = '{t_not}')
+)"""
+        + _topk("merged", k)
+    )
+
+
+def min_should_match_sql(t0: str, t1: str, t2: str, msm: int, k: int = K) -> str:
+    """3 SHOULD clauses, minimumNumberShouldMatch (MinShouldMatchSumScorer)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + ",\n" + _term_scores_cte("c2", t2)
+        + f""",
+ids AS (
+  SELECT docid FROM c0 UNION SELECT docid FROM c1 UNION SELECT docid FROM c2
+),
+merged AS (
+  SELECT i.docid,
+         (({_f32_lit(0.0)} + coalesce(c0.s, {_f32_lit(0.0)}))
+            + coalesce(c1.s, {_f32_lit(0.0)}))
+            + coalesce(c2.s, {_f32_lit(0.0)}) AS s,
+         (CASE WHEN c0.docid IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c1.docid IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c2.docid IS NULL THEN 0 ELSE 1 END) AS n_match
+  FROM ids i
+  LEFT JOIN c0 ON i.docid = c0.docid
+  LEFT JOIN c1 ON i.docid = c1.docid
+  LEFT JOIN c2 ON i.docid = c2.docid
+),
+kept AS (SELECT docid, s FROM merged WHERE n_match >= {msm})"""
+        + _topk("kept", k)
+    )
+
+
+def dismax_sql(t0: str, t1: str, tie: float, k: int = K) -> str:
+    """DisjunctionMaxQuery: (max + (sum-max)*tie) * boost, float32
+    (DisjunctionMaxQuery.cs:69-77; searcher.py::_dismax fold order)."""
+    z = _f32_lit(0.0)
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         -- greatest() promotes to DOUBLE in DuckDB; cast back is exact
+         CAST(greatest(coalesce(c0.s, {z}), coalesce(c1.s, {z})) AS REAL) AS mx,
+         ({z} + coalesce(c0.s, {z})) + coalesce(c1.s, {z}) AS acc
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+scored AS (
+  SELECT docid,
+         (mx + (acc - mx) * {_f32_lit(tie)}) * {_f32_lit(1.0)} AS s
+  FROM merged
+)"""
+        + _topk("scored", k)
+    )
+
+
+def phrase_sql(t0: str, t1: str, k: int = K) -> str:
+    """Exact 2-term phrase: t1 at position t0.pos+1; phrase freq =
+    count of start positions; weight = (0+idf0)+idf1 summed float32
+    (searcher.py::_phrase)."""
+    idf0 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t0}')")
+    idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t1}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        bm25_prelude(with_positions=True)
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         (SELECT w FROM w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("scored", k)
+    )
+
+
+def prefix_docs_sql(prefix: str) -> str:
+    """ConstantScore(PrefixQuery): every doc containing a term with the
+    prefix, uniform score = boost (MultiTermQuery CONSTANT_SCORE rewrite)."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT DISTINCT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score
+FROM postings WHERE term LIKE '{prefix}%'"""
+    )
+
+
+def wildcard_terms_sql(regex: str) -> str:
+    """Dictionary expansion of a wildcard pattern: matching terms + stats."""
+    return (
+        bm25_prelude()
+        + f"\nSELECT term, df, ttf FROM term_stats WHERE regexp_matches(term, '{regex}')"
+    )
+
+
+def fuzzy_terms_sql(term: str, max_edits: int = 2) -> str:
+    """Dictionary expansion of FuzzyQuery: terms within edit distance."""
+    return (
+        bm25_prelude()
+        + f"\nSELECT term, df, ttf FROM term_stats WHERE levenshtein(term, '{term}') <= {max_edits}"
+    )
+
+
+def term_range_sql(lower: str, upper: str) -> str:
+    """TermRangeQuery dictionary slice [lower, upper)."""
+    return (
+        bm25_prelude()
+        + f"\nSELECT term, df, ttf FROM term_stats WHERE term >= '{lower}' AND term < '{upper}'"
+    )
