@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract): index-build throughput +
+BM25 query latency over the reference query set.
+
+Corpus: the input_hint-shaped synthetic source-code table
+(repo, path, commit, lang, content), synthesized deterministically in
+Spark (FIXTURES.md §1) and sized by sf — sf0.1 → 200k docs
+(sf_bench), sf0.01 → 20k (sf_small), sf0.001 → 2k. Generation is
+cached to /tmp and excluded from timing; the timed build is the full
+pipeline *materialized to disk* (docs + packed postings + stats —
+the honest IndexWriter.Commit analog).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <build+query suite sec>, "unit": "sec",
+   "queries": {name: median_sec}, "sf": ...,
+   "docs_per_sec": ..., "build_sec": ..., "p95_query_sec": ...,
+   "n_docs": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lucenenet_spark.index.builder import CorpusSpec, InvertedIndex, build_index
+from lucenenet_spark.search.reference_queries import reference_query_set
+from lucenenet_spark.search.searcher import IndexSearcher
+from lucenenet_spark.session import get_spark
+from lucenenet_spark.sources.synthetic import synthetic_corpus
+
+DOCS_PER_SF = 2_000_000  # sf0.1 -> 200k docs (FIXTURES.md sf_bench)
+N_ITER = 3
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_corpus(spark, n_docs: int, seed: int = 42) -> str:
+    path = f"/tmp/lucenenet_bench/corpus_{n_docs}_s{seed}.parquet"
+    if not os.path.exists(path):
+        synthetic_corpus(spark, n_docs, seed).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_from_dir(sf_dir)
+    n_docs = max(int(DOCS_PER_SF * sf), 200)
+    spark = get_spark(app_name="lucenenet-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    corpus_path = ensure_corpus(spark, n_docs)
+    corpus = spark.read.parquet(corpus_path)
+
+    warehouse = f"/tmp/lucenenet_bench/warehouse_{n_docs}"
+    shutil.rmtree(warehouse, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    idx = build_index(spark, corpus, CorpusSpec())
+    idx.save(warehouse)
+    build_sec = time.perf_counter() - t0
+    idx.unpersist()
+
+    idx = InvertedIndex.load(spark, warehouse)
+    searcher = IndexSearcher(idx)
+    qset = reference_query_set()
+
+    # warmup (JIT, parquet footer caches, python worker spin-up)
+    searcher.search(qset["term_head"], 10)
+
+    per_query: dict[str, float] = {}
+    all_runs: list[float] = []
+    suite_sec = 0.0
+    for name, q in qset.items():
+        runs = []
+        for _ in range(N_ITER):
+            t = time.perf_counter()
+            searcher.search(q, 10)
+            runs.append(time.perf_counter() - t)
+        runs.sort()
+        per_query[name] = round(runs[len(runs) // 2], 4)
+        suite_sec += runs[len(runs) // 2]
+        all_runs.extend(runs)
+
+    all_runs.sort()
+    p95 = all_runs[min(int(len(all_runs) * 0.95), len(all_runs) - 1)]
+
+    out = {
+        "metric": "index_build_plus_bm25_query_suite",
+        "value": round(build_sec + suite_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "p95_query_sec": round(p95, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""The reference query set — the TestBM25Similarity/TestBooleanQuery-
+style suite (north rule) run by bench.py, the scaling harness, and the
+oracle-identity tests. One entry per user-facing query type
+(SURVEY.md §2.9) over the synthetic source-code corpus vocabulary.
+"""
+
+from __future__ import annotations
+
+from lucenenet_spark.search.queries import (
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    WildcardQuery,
+)
+from lucenenet_spark.sources.synthetic import vocab
+
+
+def reference_query_set(seed: int = 42) -> dict[str, Query]:
+    voc = vocab(seed)
+    rare = str(voc[4500])  # deep-tail identifier (df ~ a few docs)
+    mid = str(voc[50])  # Zipf-body term with moderate df
+    return {
+        "term_head": TermQuery(term="return"),
+        "term_mid": TermQuery(term=mid),
+        "term_rare": TermQuery(term=rare),
+        "bool_and": BooleanQuery.of(
+            (TermQuery(term="return"), Occur.MUST), (TermQuery(term="value"), Occur.MUST)
+        ),
+        "bool_or": BooleanQuery.of(
+            (TermQuery(term="class"), Occur.SHOULD), (TermQuery(term="def"), Occur.SHOULD)
+        ),
+        "bool_not": BooleanQuery.of(
+            (TermQuery(term="value"), Occur.MUST), (TermQuery(term="data0"), Occur.MUST_NOT)
+        ),
+        "min_should_match": BooleanQuery.of(
+            (TermQuery(term="return"), Occur.SHOULD),
+            (TermQuery(term="value"), Occur.SHOULD),
+            (TermQuery(term="data0"), Occur.SHOULD),
+            min_should_match=2,
+        ),
+        "phrase": PhraseQuery(phrase_terms=("return", "value")),
+        "dismax": DisjunctionMaxQuery(
+            disjuncts=(TermQuery(term="return"), TermQuery(term="class")), tie_breaker=0.1
+        ),
+        "prefix": PrefixQuery(prefix="get"),
+        "wildcard": WildcardQuery(pattern="ret*"),
+        "fuzzy": FuzzyQuery(term="retrn", max_edits=2),
+    }

@@ -85,12 +85,39 @@ class Hit:
 
 
 class IndexSearcher:
-    def __init__(self, index: InvertedIndex, use_packed: bool = True, prune: bool = True):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        use_packed: bool = True,
+        prune: bool = True,
+        stats_cache_max_terms: int = 2_000_000,
+    ):
         self.index = index
         self.use_packed = use_packed
         self.prune = prune
+        self.stats_cache_max_terms = stats_cache_max_terms
         self._avgdl = bm25.avg_field_length(index.sum_total_term_freq, index.max_doc)
         self._cache = bm25.norm_cache(self._avgdl)
+        # term dictionary cache: None = not loaded yet; False = larger
+        # than stats_cache_max_terms (fall back to per-query Spark
+        # lookups); dict = full {term: (df, ttf)} held driver-side.
+        # The reference freezes global stats in Weight before scoring
+        # (TermQuery.cs:188); caching the whole dictionary once instead
+        # of one Spark job per query is the same freeze amortized — at
+        # 2M terms the dict is ~100 MB of driver RAM, far below what a
+        # driver ships as a broadcast join anyway.
+        self._stats_map_cache: dict[str, tuple[int, int]] | None | bool = None
+
+    def _stats_map(self) -> dict[str, tuple[int, int]] | bool:
+        if self._stats_map_cache is None:
+            rows = self.index.term_stats.limit(self.stats_cache_max_terms + 1).collect()
+            if len(rows) > self.stats_cache_max_terms:
+                self._stats_map_cache = False
+            else:
+                self._stats_map_cache = {
+                    r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows
+                }
+        return self._stats_map_cache
 
     # ------------------------------------------------------------- API
     def search(self, query: Query, k: int = 10) -> list[Hit]:
@@ -115,17 +142,22 @@ class IndexSearcher:
 
     # ------------------------------------------------- query expansion
     def _expand(self, q: Query) -> Query:
-        """Rewrite MultiTermQuery nodes against the term dictionary
-        (DataFrame predicate scan instead of a TermsEnum automaton)."""
+        """Rewrite MultiTermQuery nodes against the term dictionary —
+        against the driver-cached dict when it fits, else a DataFrame
+        predicate scan (instead of a TermsEnum automaton walk)."""
         if isinstance(q, MultiTermQuery):
-            rows = (
-                self.index.term_stats.where(q.dict_predicate())
-                .select("term")
-                .orderBy("term")
-                .limit(MAX_CLAUSE_COUNT + 1)
-                .collect()
-            )
-            terms = [r["term"] for r in rows][:MAX_CLAUSE_COUNT]
+            m = self._stats_map()
+            if m is not False:
+                terms = sorted(t for t in m if q.python_predicate(t))[:MAX_CLAUSE_COUNT]
+            else:
+                rows = (
+                    self.index.term_stats.where(q.dict_predicate())
+                    .select("term")
+                    .orderBy("term")
+                    .limit(MAX_CLAUSE_COUNT + 1)
+                    .collect()
+                )
+                terms = [r["term"] for r in rows][:MAX_CLAUSE_COUNT]
             from lucenenet_spark.search.queries import FuzzyQuery
 
             if isinstance(q, FuzzyQuery):
@@ -164,6 +196,9 @@ class IndexSearcher:
         terms = sorted(set(q.terms()))
         if not terms:
             return {}
+        m = self._stats_map()
+        if m is not False:
+            return {t: m[t] for t in terms if t in m}
         rows = self.index.term_stats.where(F.col("term").isin(terms)).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
@@ -181,12 +216,21 @@ class IndexSearcher:
                 "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
             )
         if isinstance(q, ConstantScoreQuery):
+            score_col = F.lit(float(np.float32(q.boost))).cast("float").alias("score")
+            flat_terms = _pure_term_disjunction(q.query)
+            if flat_terms is not None:
+                # set-oriented path: a constant-score disjunction (the
+                # rewrite target of prefix/wildcard/range) needs only
+                # the docID *set* — one scan + distinct, never N
+                # per-term scans or any scoring
+                terms = [t for t in flat_terms if t in stats]
+                if not terms:
+                    return None
+                return self._docids_for_terms(terms).select("docid", score_col)
             inner = self._compile(q.query, stats, None)
             if inner is None:
                 return None
-            return inner.select(
-                "docid", F.lit(float(np.float32(q.boost))).cast("float").alias("score")
-            )
+            return inner.select("docid", score_col)
         if isinstance(q, BooleanQuery):
             return self._boolean(q, stats)
         if isinstance(q, DisjunctionMaxQuery):
@@ -289,28 +333,108 @@ class IndexSearcher:
         )
         return blocks.join(F.broadcast(keep_df), ["bucket", "block_id"], "inner")
 
-    # ----------------------------------------------------- boolean
-    def _clause_frames(self, clauses, stats):
-        """Compile positive clauses to (docid, cidx, kind, score)."""
-        frames = []
-        for cidx, c in enumerate(clauses):
-            if c.occur == Occur.MUST_NOT:
-                continue
-            sub = self._compile(c.query, stats, None)
-            if sub is None:
-                if c.occur == Occur.MUST:
-                    return None, True  # unmatched MUST ⇒ empty result
-                continue
-            frames.append(
-                sub.select(
-                    "docid",
-                    F.lit(cidx).alias("cidx"),
-                    F.lit(1 if c.occur == Occur.MUST else 0).alias("is_must"),
-                    "score",
-                )
+    # ------------------------------------------- multi-term single scan
+    def _docids_for_terms(self, terms: list[str]) -> DataFrame:
+        """Distinct docIDs matching ANY of the terms — ONE scan of the
+        packed postings (parquet `term IN (...)` pushdown), decode
+        docids only (no freqs/norms/positions), then distinct."""
+        if not self.use_packed:
+            return (
+                self.index.postings.where(F.col("term").isin(terms))
+                .select("docid")
+                .distinct()
             )
-        return frames, False
+        blocks = self.index.packed.where(F.col("term").isin(terms)).select("docs_enc")
 
+        def decode(iterator):
+            for pdf in iterator:
+                outs = [delta_decode_docids(bytes(e)) for e in pdf["docs_enc"]]
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(outs) if outs else np.empty(0, np.int64)}
+                )
+
+        return blocks.mapInPandas(decode, schema="docid long").distinct()
+
+    def _multi_term_clause_scores(
+        self, term_plan: dict[str, list[tuple[int, int, float]]]
+    ) -> DataFrame:
+        """Score ALL TermQuery clauses of a boolean in ONE postings
+        scan. ``term_plan``: term -> [(cidx, is_must, weight)]; one
+        input block row fans out once per clause referencing its term.
+        This is the distributed analog of BooleanScorer's single pass
+        over all subscorers (Search/BooleanScorer.cs) — without it a
+        k-clause query costs k scans of the index."""
+        cache = self._cache
+        plan = {t: [(int(c), int(m), float(w)) for c, m, w in v] for t, v in term_plan.items()}
+
+        if self.use_packed:
+            blocks = self.index.packed.where(F.col("term").isin(list(plan))).select(
+                "term", "docs_enc", "freqs_enc", "norms_enc"
+            )
+
+            def unpack(iterator):
+                for pdf in iterator:
+                    outs = []
+                    for term, de, fe, ne in zip(
+                        pdf["term"], pdf["docs_enc"], pdf["freqs_enc"], pdf["norms_enc"]
+                    ):
+                        d = delta_decode_docids(bytes(de))
+                        f = decode_freqs(bytes(fe)).astype(np.float32)
+                        n = np.frombuffer(bytes(ne), dtype=np.uint8)
+                        c = cache[n]
+                        for cidx, is_must, w in plan[term]:
+                            s = (np.float32(w) * f / (f + c)).astype(np.float32)
+                            outs.append(
+                                pd.DataFrame(
+                                    {"docid": d, "cidx": np.int32(cidx),
+                                     "is_must": np.int32(is_must), "score": s}
+                                )
+                            )
+                    yield pd.concat(outs) if outs else pd.DataFrame(
+                        {"docid": pd.array([], dtype="int64"),
+                         "cidx": pd.array([], dtype="int32"),
+                         "is_must": pd.array([], dtype="int32"),
+                         "score": pd.array([], dtype="float32")}
+                    )
+
+            return blocks.mapInPandas(
+                unpack, schema="docid long, cidx int, is_must int, score float"
+            )
+
+        flat = self.index.postings.where(F.col("term").isin(list(plan))).select(
+            "term", "docid", "freq", "norm"
+        )
+
+        def score_flat(iterator):
+            for pdf in iterator:
+                outs = []
+                f_all = pdf["freq"].to_numpy(dtype=np.float32)
+                n_all = pdf["norm"].to_numpy(dtype=np.int64)
+                terms = pdf["term"].to_numpy()
+                for term in np.unique(terms):
+                    m = terms == term
+                    f, c = f_all[m], cache[n_all[m]]
+                    for cidx, is_must, w in plan[str(term)]:
+                        s = (np.float32(w) * f / (f + c)).astype(np.float32)
+                        outs.append(
+                            pd.DataFrame(
+                                {"docid": pdf["docid"].to_numpy()[m],
+                                 "cidx": np.int32(cidx),
+                                 "is_must": np.int32(is_must), "score": s}
+                            )
+                        )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"docid": pd.array([], dtype="int64"),
+                     "cidx": pd.array([], dtype="int32"),
+                     "is_must": pd.array([], dtype="int32"),
+                     "score": pd.array([], dtype="float32")}
+                )
+
+        return flat.mapInPandas(
+            score_flat, schema="docid long, cidx int, is_must int, score float"
+        )
+
+    # ----------------------------------------------------- boolean
     def _boolean(self, q: BooleanQuery, stats) -> DataFrame | None:
         if len(q.clauses) > MAX_CLAUSE_COUNT:
             raise ValueError("too many clauses")
@@ -320,8 +444,39 @@ class IndexSearcher:
         if not must and not should:
             return None  # pure negation matches nothing (needs MatchAll)
 
-        frames, dead = self._clause_frames(q.clauses, stats)
-        if dead or not frames:
+        # TermQuery clauses all ride ONE postings scan; anything else
+        # (nested boolean, phrase, constant-score) compiles recursively
+        term_plan: dict[str, list[tuple[int, int, float]]] = {}
+        frames = []
+        for cidx, c in enumerate(q.clauses):
+            if c.occur == Occur.MUST_NOT:
+                continue
+            is_must = 1 if c.occur == Occur.MUST else 0
+            if isinstance(c.query, TermQuery):
+                if c.query.term not in stats:
+                    if is_must:
+                        return None  # unmatched MUST ⇒ empty result
+                    continue
+                df_, _ = stats[c.query.term]
+                w = bm25.term_weight(bm25.idf(df_, self.index.max_doc), c.query.boost)
+                term_plan.setdefault(c.query.term, []).append((cidx, is_must, float(w)))
+                continue
+            sub = self._compile(c.query, stats, None)
+            if sub is None:
+                if is_must:
+                    return None
+                continue
+            frames.append(
+                sub.select(
+                    "docid",
+                    F.lit(cidx).alias("cidx"),
+                    F.lit(is_must).alias("is_must"),
+                    "score",
+                )
+            )
+        if term_plan:
+            frames.insert(0, self._multi_term_clause_scores(term_plan))
+        if not frames:
             return None
         pos = frames[0]
         for fdf in frames[1:]:
@@ -357,24 +512,44 @@ class IndexSearcher:
     def _apply_not(self, scored: DataFrame, nots, stats) -> DataFrame:
         if not nots:
             return scored
-        neg = None
+        # prohibited set needs docids only: TermQuery nots share one
+        # decode-docids scan; complex nots compile recursively
+        not_terms = [
+            c.query.term
+            for c in nots
+            if isinstance(c.query, TermQuery) and c.query.term in stats
+        ]
+        neg = self._docids_for_terms(not_terms) if not_terms else None
         for c in nots:
+            if isinstance(c.query, TermQuery):
+                continue
             sub = self._compile(c.query, stats, None)
             if sub is None:
                 continue
+            sub = sub.select("docid")
             neg = sub if neg is None else neg.unionByName(sub)
         if neg is None:
             return scored
-        return scored.join(
-            neg.select("docid").distinct(), "docid", "left_anti"
-        )
+        return scored.join(neg.distinct(), "docid", "left_anti")
 
     def _dismax(self, q: DisjunctionMaxQuery, stats) -> DataFrame | None:
+        term_plan: dict[str, list[tuple[int, int, float]]] = {}
         frames = []
         for cidx, d in enumerate(q.disjuncts):
+            if isinstance(d, TermQuery):
+                if d.term not in stats:
+                    continue
+                df_, _ = stats[d.term]
+                w = bm25.term_weight(bm25.idf(df_, self.index.max_doc), d.boost)
+                term_plan.setdefault(d.term, []).append((cidx, 0, float(w)))
+                continue
             sub = self._compile(d, stats, None)
             if sub is not None:
                 frames.append(sub.select("docid", F.lit(cidx).alias("cidx"), "score"))
+        if term_plan:
+            frames.insert(
+                0, self._multi_term_clause_scores(term_plan).select("docid", "cidx", "score")
+            )
         if not frames:
             return None
         pos = frames[0]
@@ -421,9 +596,18 @@ class IndexSearcher:
         rels_l = list(rels)
         terms_l = list(terms)
 
+        # filter the PACKED table first (parquet term-pushdown), THEN
+        # unpack: a filter above unpack_postings cannot push through the
+        # mapInPandas, so filtering the flat view would decode the whole
+        # index to drop most of it
+        if self.use_packed:
+            from lucenenet_spark.index.builder import unpack_postings
+
+            src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
+        else:
+            src = self.index.postings.where(F.col("term").isin(uniq))
         cand = (
-            self.index.postings.where(F.col("term").isin(uniq))
-            .groupBy("docid")
+            src.groupBy("docid")
             .agg(
                 F.collect_list(F.struct("term", "positions")).alias("tp"),
                 F.first("norm").alias("norm"),
@@ -456,6 +640,23 @@ class IndexSearcher:
             "docid", phrase_score(F.col("tp"), F.col("norm")).alias("score")
         ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         return scored
+
+
+def _pure_term_disjunction(q: Query) -> list[str] | None:
+    """Terms of a pure SHOULD-of-TermQuery disjunction (the rewrite
+    shape of prefix/wildcard/range expansions), else None."""
+    if isinstance(q, TermQuery):
+        return [q.term]
+    if (
+        isinstance(q, BooleanQuery)
+        and q.minimum_number_should_match <= 1
+        and all(
+            c.occur == Occur.SHOULD and isinstance(c.query, TermQuery)
+            for c in q.clauses
+        )
+    ):
+        return [c.query.term for c in q.clauses]
+    return None
 
 
 def _levenshtein(a: str, b: str) -> int:

@@ -1,0 +1,116 @@
+"""Distributed deterministic synthetic source-code corpus.
+
+Generates the engine's input table shape per BASELINE.json input_hint —
+``(repo, path, commit, lang, content)`` — fully inside Spark
+(``spark.range`` → ``mapInPandas``), with every row a pure function of
+``(seed, docid)``: the corpus is identical for any partitioning or
+parallelism level, which is what makes the N-vs-4N scaling runs and
+resume-from-checkpoint tests byte-comparable. Mirrors the reference's
+pluggable benchmark content sources
+(``src/Lucene.Net.Benchmark/ByTask/Feeds/ReutersContentSource.cs`` /
+``EnwikiContentSource.cs``) re-expressed as a Spark source.
+
+Content statistics (FIXTURES.md §1): Zipf-skewed ~5k-term vocabulary
+with a handful of head terms in >30% of docs (exercises skewed-term
+salting), camelCase / snake_case / dotted identifiers, keywords,
+numerics, English stopwords; 20–2000 tokens/doc (90% in 20–400).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+_EXTS = np.array(["py", "cs", "java", "md"])
+_LANGS = {"py": "python", "cs": "csharp", "java": "java", "md": "markdown"}
+_DIRS = np.array(["core", "util", "io", "index", "search"])
+_KINDS = np.array(["mod", "lib", "svc", "impl"])
+
+# head terms land in >30% of docs (Zipf head — the skew stressor);
+# "if"/"the"/... are in the stop set so stop-filtering is exercised too
+_HEAD = np.array(["return", "if", "value", "data0", "self", "x"])
+_KEYWORDS = np.array(["class", "def", "import", "public", "static", "void", "int", "string"])
+_STOPS = np.array(["the", "a", "of", "to", "in", "is", "for"])
+
+
+@lru_cache(maxsize=4)
+def vocab(seed: int = 42, n: int = 5000) -> np.ndarray:
+    """Deterministic identifier vocabulary (built once per worker)."""
+    rng = np.random.default_rng(seed)
+    syll = np.array(
+        ["foo", "bar", "baz", "qux", "get", "set", "run", "calc", "parse",
+         "node", "tree", "hash", "map", "list", "util", "core", "spark",
+         "index", "merge", "scan", "read", "write", "batch", "shard"]
+    )
+    a = rng.choice(syll, n)
+    b = rng.choice(syll, n)
+    style = rng.integers(0, 4, n)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if style[i] == 0:
+            out[i] = f"{a[i]}_{b[i]}_{i}"
+        elif style[i] == 1:
+            out[i] = f"{a[i]}{b[i].capitalize()}{i}"
+        elif style[i] == 2:
+            out[i] = f"{a[i]}{i}.{b[i]}{i % 7}"
+        else:
+            out[i] = f"{a[i]}{i}"
+    return out
+
+
+def _gen_doc(docid: int, seed: int, voc: np.ndarray) -> tuple[str, str, str, str, str]:
+    rng = np.random.default_rng([seed, docid])
+    repo = f"repo-{docid % 64:03d}"
+    ext = _EXTS[rng.integers(len(_EXTS))]
+    path = f"src/{_DIRS[rng.integers(len(_DIRS))]}/{_KINDS[rng.integers(len(_KINDS))]}_{docid}.{ext}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    n_tok = int(rng.integers(20, 400) if rng.random() < 0.9 else rng.integers(400, 2000))
+    r = rng.random(n_tok)
+    words = np.empty(n_tok, dtype=object)
+    m = r < 0.25
+    words[m] = _HEAD[rng.integers(0, len(_HEAD), int(m.sum()))]
+    m = (r >= 0.25) & (r < 0.35)
+    words[m] = _KEYWORDS[rng.integers(0, len(_KEYWORDS), int(m.sum()))]
+    m = (r >= 0.35) & (r < 0.42)
+    words[m] = rng.integers(0, 100, int(m.sum())).astype(str)
+    m = (r >= 0.42) & (r < 0.47)
+    words[m] = _STOPS[rng.integers(0, len(_STOPS), int(m.sum()))]
+    m = r >= 0.47
+    # Zipf-ish body: pareto-shaped index into the vocab
+    idx = np.minimum((rng.pareto(1.2, int(m.sum()))).astype(np.int64), len(voc) - 1)
+    words[m] = voc[idx]
+    return repo, path, commit, _LANGS[str(ext)], " ".join(words)
+
+
+def _gen_batches(seed: int):
+    def gen(iterator):
+        voc = vocab(seed)
+        for pdf in iterator:
+            rows = [_gen_doc(int(i), seed, voc) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return gen
+
+
+def synthetic_corpus(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        _gen_batches(seed), schema=CORPUS_SCHEMA
+    )
