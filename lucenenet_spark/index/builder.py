@@ -306,7 +306,7 @@ def _project_docids(offsets: dict[int, int], cols: list[str]):
     return gen
 
 
-def _pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _pack_group(key, pdf):
     """applyInPandas worker: one (term, bucket) group -> packed blocks."""
     term, bucket = key
     pdf = pdf.sort_values("docid")
