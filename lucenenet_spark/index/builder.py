@@ -138,7 +138,10 @@ def _ordered_with_offsets(
     (measured 4-10× slower than one fused Python stage).
     """
     order_cols = list(spec.order_cols)
-    parts = partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    # 2 partitions per core: the tokenize stage downstream has ragged
+    # per-doc cost (long-tail doc lengths), and finer tasks keep all
+    # cores busy instead of waiting on stragglers
+    parts = partitions or 2 * corpus.sparkSession.sparkContext.defaultParallelism
     keys = corpus.select(*order_cols)
 
     def sample_keys(iterator):

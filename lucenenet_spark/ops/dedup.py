@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data curation.
+
+All four families from the task brief, each as a declarative
+DataFrame pipeline (built-in functions only — no per-row Python) so
+Catalyst prunes/pushes and AQE handles skew:
+
+- **exact**: sha256(text) hash-groupBy.
+- **MinHash + LSH**: word-shingle → universal-hash minhash signature →
+  band → bucket self-join → exact n-gram Jaccard verification. One
+  shuffle per stage, candidate pairs only (never all-pairs).
+- **SimHash**: 32-bit tf-weighted bit votes; hamming-≤3 pairs found by
+  pigeonhole banding (4 bands of 8 bits: any pair within distance 3
+  shares at least one exact band) then exact popcount filter.
+- **n-gram Jaccard**: exact |A∩B|/|A∪B| over distinct shingles for a
+  candidate pair set — the verification stage of the MinHash pipeline,
+  also usable standalone.
+
+Determinism/oracle notes: hashing via md5-prefix integers + int64
+modular arithmetic (ops/hashing.py) so the DuckDB oracle reproduces
+every value bit-for-bit; Jaccard is a double division of exact int64
+counts — identical IEEE result in both engines.
+
+At 100 TB: the shingle explode is the big intermediate — it flows
+straight into a (doc, shingle-hash) aggregation (map-side combined),
+and LSH bucket joins key on (band, band_hash) whose cardinality is
+tunable via n_hashes/bands; hot buckets (boilerplate shingles) are
+bounded by bucket-size capping (``max_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN
+from lucenenet_spark.ops.hashing import (
+    MERSENNE_31,
+    md5_prefix_int_col,
+    minhash_coeffs,
+    permute_col,
+)
+
+DEFAULT_N_HASHES = 16
+DEFAULT_BANDS = 4
+SHINGLE_K = 3
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: (id, content_hash, group_size, canonical_id); the
+    canonical doc of a group is its smallest id."""
+    h = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_hash"),
+    )
+    groups = h.groupBy("content_hash").agg(
+        F.count("*").alias("group_size"), F.min("id").alias("canonical_id")
+    )
+    return h.join(F.broadcast(groups), "content_hash").select(
+        "id", "content_hash", "group_size", "canonical_id"
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle). Tokenization =
+    the analyzer's regex WITHOUT stop removal (dedup wants raw
+    surface), lowercased; shingle = k consecutive tokens joined by a
+    single space."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                             F.lit(TOKEN_PATTERN), F.lit(0)).alias("toks"),
+    )
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("toks", i + 1, k)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    k: int = SHINGLE_K,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) MinHash signatures."""
+    coeffs = minhash_coeffs(n_hashes, seed)
+    sh = shingles(df, id_col, text_col, k)
+    base = sh.select(
+        "id", (md5_prefix_int_col(F.col("shingle")) % MERSENNE_31).alias("h")
+    )
+    mins = base.groupBy("id").agg(
+        *[
+            F.min(permute_col(F.col("h"), a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket. Output (id_a, id_b)
+    with id_a < id_b, distinct. ``max_bucket`` drops degenerate
+    buckets (boilerplate-heavy corpora) to bound the self-join."""
+    r = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sized = banded.groupBy("band", "key").agg(
+        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+    ).where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x: F.transform(
+                            "ids", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return pairs.distinct()
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for each candidate pair:
+    (id_a, id_b, inter, size_a, size_b, jaccard). Semi-joins shingles
+    to the candidate ids first — never materializes all-pairs."""
+    sh = shingles(df, id_col, text_col, k)
+    ids = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sh = sh.join(F.broadcast(ids), "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"inter": 0})
+        .join(F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))), "id_b")
+    )
+    return out.select(
+        "id_a", "id_b", "inter", "size_a", "size_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH dedup: candidates via banding, verified by
+    exact Jaccard >= threshold. (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, SHINGLE_K, seed)
+    pairs = minhash_candidate_pairs(sigs, n_hashes, bands)
+    verified = ngram_jaccard(df, pairs, id_col, text_col)
+    return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) 32-bit tf-weighted SimHash: per distinct token,
+    md5-prefix hash supplies the bit pattern; each bit accumulates
+    +tf / -tf votes; bit set iff vote > 0. Exact int64 arithmetic."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN),
+                F.lit(0),
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    th = tf.select("id", "tf", md5_prefix_int_col(F.col("tok")).alias("h"))
+    votes = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= 3, found by
+    pigeonhole banding: 4 bands of 8 bits — a pair within distance 3
+    must agree exactly on >= 1 band, so the bucket self-join finds
+    every qualifying pair (no recall loss), then exact popcount
+    filters. Scale: the join keys on (band, 8-bit value) -> bounded
+    buckets."""
+    assert max_hamming < SIMHASH_BANDS
+    sim = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sim.select(
+        "id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

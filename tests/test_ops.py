@@ -1,0 +1,245 @@
+"""Training-data ops: dedup / similarity / text analysis / multimodal,
+each asserted against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN
+from lucenenet_spark.ops import dedup, multimodal, similarity, text
+from lucenenet_spark.ops.hashing import MERSENNE_31, md5_prefix_int, minhash_coeffs
+
+TOK_RE = re.compile(TOKEN_PATTERN, re.ASCII)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "completely different content here about spark engines"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- dedup
+
+def test_exact_dup_groups(docs_df):
+    rows = {r["id"]: r for r in dedup.exact_dup_groups(docs_df).collect()}
+    assert rows[0]["group_size"] == 2 and rows[3]["group_size"] == 2
+    assert rows[0]["canonical_id"] == 0 and rows[3]["canonical_id"] == 0
+    assert rows[1]["group_size"] == 1
+    assert rows[0]["content_hash"] == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+
+
+def _py_shingles(text_, k=3):
+    toks = TOK_RE.findall(text_.lower())
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_minhash(text_, n_hashes=16, seed=42):
+    coeffs = minhash_coeffs(n_hashes, seed)
+    out = []
+    sh = _py_shingles(text_)
+    for a, b in coeffs:
+        out.append(
+            min((a * (md5_prefix_int(s) % MERSENNE_31) + b) % MERSENNE_31 for s in sh)
+        )
+    return out
+
+
+def test_minhash_signature_matches_python(docs_df):
+    sigs = {r["id"]: list(r["sig"]) for r in dedup.minhash_signatures(docs_df).collect()}
+    for i in (0, 1, 2, 4):
+        assert sigs[i] == _py_minhash(DOCS[i][1]), f"doc {i}"
+    assert 5 not in sigs  # empty doc has no shingles
+
+
+def test_minhash_dedup_finds_near_dup_pair(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    if (0, 1) in pairs:  # near dup: one word differs
+        a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+        assert pairs[(0, 1)] == len(a & b) / len(a | b)
+    assert not any({p[0], p[1]} & {2, 4} for p in pairs)
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r for r in dedup.ngram_jaccard(docs_df, pairs).collect()}
+    a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    assert got[(0, 1)]["inter"] == len(a & b)
+    assert got[(0, 1)]["jaccard"] == len(a & b) / len(a | b)
+    c = _py_shingles(DOCS[2][1])
+    assert got[(0, 2)]["inter"] == 0 and got[(0, 2)]["jaccard"] == 0.0
+
+
+def _py_simhash(text_):
+    toks = TOK_RE.findall(text_.lower())
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    votes = [0] * 32
+    for t, f in tf.items():
+        h = md5_prefix_int(t)
+        for b in range(32):
+            votes[b] += f if (h >> b) & 1 else -f
+    return sum(1 << b for b in range(32) if votes[b] > 0)
+
+
+def test_simhash_matches_python(docs_df):
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    for i in (0, 1, 2, 4):
+        assert got[i] == _py_simhash(DOCS[i][1]), f"doc {i}"
+
+
+def test_simhash_pairs_exact_dup_distance_zero(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_dup_pairs(docs_df).collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+# -------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    base = rng.random(8)
+    rows = []
+    for i in range(20):
+        v = base + rng.normal(0, 0.05 * (1 + i % 5), 8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_quantized_matches_numpy(emb_df):
+    got = similarity.cosine_topk_quantized(emb_df, query_id=0, k=5).collect()
+    rows = emb_df.collect()
+    vecs = {r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=np.float64) * 10000) for r in rows}
+    q = vecs[0]
+    sims = []
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        sims.append((float(np.dot(v, q) / (np.sqrt(np.dot(v, v)) * np.sqrt(np.dot(q, q)))), vid))
+    expect = sorted(sims, key=lambda s: (-s[0], s[1]))[:5]
+    assert [(r["id"], r["rank"]) for r in got] == [(vid, i + 1) for i, (_, vid) in enumerate(expect)]
+    for r, (sim, _) in zip(got, expect):
+        assert abs(r["sim"] - sim) < 1e-12
+
+
+def test_cosine_topk_float_baseline(emb_df):
+    q = [0.5] * 8
+    got = similarity.cosine_topk_float(emb_df, q, k=3).collect()
+    assert len(got) == 3
+    assert got[0]["sim"] >= got[1]["sim"] >= got[2]["sim"]
+
+
+def test_lsh_topk_is_exact_within_candidates(emb_df):
+    exact = similarity.cosine_topk_quantized(emb_df, query_id=0, k=5).collect()
+    approx = similarity.cosine_topk_lsh(emb_df, query_id=0, k=5).collect()
+    assert len(approx) >= 1
+    # every approx hit's similarity appears in the exact full ranking
+    # at the same or better... minimally: approx results are sorted and
+    # a subset of the corpus ranked identically among themselves
+    sims = [r["sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    exact_map = {r["id"]: r["sim"] for r in exact}
+    for r in approx:
+        if r["id"] in exact_map:
+            assert abs(r["sim"] - exact_map[r["id"]]) < 1e-12
+
+
+# --------------------------------------------------------------- text
+
+def test_token_stats(docs_df):
+    got = {r["id"]: r for r in text.token_stats(docs_df).collect()}
+    toks0 = TOK_RE.findall(DOCS[0][1].lower())
+    assert got[0]["n_tokens"] == len(toks0)
+    assert got[0]["n_ws_tokens"] == len(DOCS[0][1].split())
+    assert got[0]["n_chars"] == len(DOCS[0][1])
+    from lucenenet_spark.analysis.analyzer import ENGLISH_STOP_WORDS
+
+    assert got[0]["n_stopwords"] == sum(1 for t in toks0 if t in ENGLISH_STOP_WORDS)
+    assert got[5]["n_tokens"] == 0 and got[5]["n_stopwords"] == 0
+
+
+def test_quality_score_range_and_empty(docs_df):
+    got = {r["id"]: r["quality"] for r in text.quality_score(docs_df).collect()}
+    assert got[5] == 0.0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[0] > 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in the house for now"),
+            (1, "der hund und die katze ist nicht ein problem"),
+            (2, "le chat et la maison est pour les amis dans"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "und"
+
+
+def test_doc_fingerprint(docs_df):
+    got = {r["id"]: r for r in text.doc_fingerprint(docs_df).collect()}
+    t = DOCS[0][1]
+    grams = [t[i : i + 8] for i in range(len(t) - 7)]
+    hs = [md5_prefix_int(g) for g in grams]
+    assert got[0]["n_grams"] == len(grams)
+    assert got[0]["fp_min"] == min(hs) and got[0]["fp_max"] == max(hs)
+    assert got[5]["n_grams"] == 0 and got[5]["fp_min"] is None
+
+
+# --------------------------------------------------------- multimodal
+
+def test_media_stats(docs_df):
+    media = multimodal.media_from_text(docs_df)
+    got = {r["media_id"]: r for r in multimodal.media_stats(media).collect()}
+    assert got[0]["n_bytes"] == len(DOCS[0][1].encode())
+    assert got[0]["payload_sha256"] == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    assert got[0]["mime"] == "image/png" and got[1]["mime"] == "audio/wav"
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")
+
+
+def test_extract_features_deterministic(docs_df):
+    media = multimodal.media_from_text(docs_df)
+    a = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    b = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert a == b
+    assert len(a[0]) == multimodal.FEATURE_DIM
+    # matches a driver-side call of the same fake decoder
+    arr = multimodal.fake_decode(DOCS[0][1].encode(), "image/png")
+    expect = [float(c.mean()) for c in np.array_split(arr, multimodal.FEATURE_DIM)]
+    assert a[0] == expect
+
+
+def test_sample_frames(docs_df):
+    media = multimodal.media_from_text(docs_df)
+    got = {}
+    for r in multimodal.sample_frames(media, n_samples=4).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # only video rows (doc_id % 3 == 2)
+    assert set(got) == {2, 5}
+    for mid, idxs in got.items():
+        n = mid % 100 + 1
+        expect = sorted({int(np.floor(i * n / 4)) for i in range(4)})
+        assert sorted(idxs) == expect
