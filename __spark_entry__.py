@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucenenet_spark import oracle_sql as osql
+from lucenenet_spark.ops import dedup as dd
+from lucenenet_spark.ops import multimodal as mm
+from lucenenet_spark.ops import oracle_sql as oosql
+from lucenenet_spark.ops import similarity as sim
+from lucenenet_spark.ops import text as tx
 from lucenenet_spark.index.builder import CorpusSpec, InvertedIndex, build_index
 from lucenenet_spark.search.queries import (
     BooleanQuery,
@@ -188,8 +193,102 @@ def _q_term_range(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- training-data ops
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dd.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "id", F.posexplode("sig").alias("i", "mh")
+    ).select("id", F.col("i").cast("long").alias("i"), "mh")
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    return dd.ngram_jaccard(docs, pairs)
+
+
+def _q_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_dup_pairs(_docs(spark, sf_dir)).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    return tx.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    return tx.language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return tx.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_ann_quantized(spark, sf_dir):
+    return sim.cosine_topk_quantized(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_ann_float(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    d = emb.select(F.size("embedding").alias("d")).first()["d"]
+    return sim.cosine_topk_float(emb, [1.0] * int(d), k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_media_stats(spark, sf_dir):
+    return mm.media_stats(mm.media_from_text(_docs(spark, sf_dir)))
+
+
+def _q_frame_samples(spark, sf_dir):
+    return mm.sample_frames(mm.media_from_text(_docs(spark, sf_dir)))
+
+
+def _q_media_features(spark, sf_dir):
+    return mm.extract_features(mm.media_from_text(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": _q_dedup_exact,
+        "minhash_sigs": _q_minhash_sigs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "ann_quantized": _q_ann_quantized,
+        "ann_float": _q_ann_float,
+        "ann_lsh": _q_ann_lsh,
+        "media_stats": _q_media_stats,
+        "frame_samples": _q_frame_samples,
+        "media_features": _q_media_features,
         "tokenize": _q_tokenize,
         "positions": _q_positions,
         "term_stats": _q_term_stats,
@@ -211,7 +310,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # ann_float / ann_lsh / media_features intentionally omitted:
+    # float fold order and sha-seeded fakes aren't SQL-expressible →
+    # driver records the weaker rows-only check for them
     return {
+        "dedup_exact": oosql.dedup_exact_sql(),
+        "minhash_sigs": oosql.minhash_sigs_sql(),
+        "minhash_dedup": oosql.minhash_dedup_sql(),
+        "simhash": oosql.simhash_sql(),
+        "simhash_pairs": oosql.simhash_pairs_sql(),
+        "token_stats": oosql.token_stats_sql(),
+        "quality_score": oosql.quality_sql(),
+        "language_id": oosql.language_id_sql(),
+        "doc_fingerprint": oosql.fingerprint_sql(),
+        "ann_quantized": oosql.ann_quantized_sql(),
+        "media_stats": oosql.media_stats_sql(),
+        "frame_samples": oosql.frame_samples_sql(),
         "tokenize": osql.tokenize_sql(),
         "positions": osql.positions_sql("dup"),
         "term_stats": osql.term_stats_sql(),

@@ -1,0 +1,291 @@
+"""DuckDB oracle SQL for the training-data ops — exact mirrors of the
+Spark pipelines in ops/ (same md5-prefix hashing, same int64 modular
+minhash, same fixed-shape double expressions), self-contained over the
+driver-registered ``documents`` / ``embeddings`` views.
+"""
+
+from __future__ import annotations
+
+from lucenenet_spark.analysis.analyzer import ENGLISH_STOP_WORDS, TOKEN_PATTERN
+from lucenenet_spark.ops.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_N_HASHES,
+    SHINGLE_K,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from lucenenet_spark.ops.hashing import MERSENNE_31, minhash_coeffs
+from lucenenet_spark.ops.text import FP_GRAM, LANG_MARKERS
+
+_RE = TOKEN_PATTERN.replace("'", "''")
+_T = "coalesce(text, '')"
+
+_TOKS = f"""
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         regexp_extract_all(lower({_T}), '{_RE}') AS toks
+  FROM documents
+)"""
+
+_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT id, array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(toks) - {SHINGLE_K - 2})) AS u(i)
+  WHERE len(toks) >= {SHINGLE_K}
+)"""
+
+
+def _md5int(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, sha256({_T}) AS content_hash FROM documents
+),
+g AS (
+  SELECT content_hash, CAST(count(*) AS BIGINT) AS group_size,
+         min(id) AS canonical_id
+  FROM h GROUP BY content_hash
+)
+SELECT h.id, h.content_hash, g.group_size, g.canonical_id
+FROM h JOIN g USING (content_hash)"""
+
+
+def _minhash_prelude(n_hashes: int = DEFAULT_N_HASHES, seed: int = 42) -> str:
+    coeffs = minhash_coeffs(n_hashes, seed)
+    vals = ",".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH {_TOKS},
+{_SHINGLES},
+base AS (
+  SELECT id, {_md5int('shingle')} % {MERSENNE_31} AS h FROM sh
+),
+coeffs(i, a, b) AS (VALUES {vals}),
+mh AS (
+  SELECT id, c.i, min((c.a * base.h + c.b) % {MERSENNE_31}) AS mh
+  FROM base CROSS JOIN coeffs c GROUP BY id, c.i
+)"""
+
+
+def minhash_sigs_sql() -> str:
+    return _minhash_prelude() + "\nSELECT id, CAST(i AS BIGINT) AS i, mh FROM mh"
+
+
+def minhash_dedup_sql(
+    n_hashes: int = DEFAULT_N_HASHES, bands: int = DEFAULT_BANDS, max_bucket: int = 1000
+) -> str:
+    r = n_hashes // bands
+    return (
+        _minhash_prelude(n_hashes)
+        + f""",
+bands AS (
+  SELECT id, i // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM mh GROUP BY id, i // {r}
+),
+ok_buckets AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN ok_buckets o ON a.band = o.band AND a.key = o.key
+  JOIN bands b ON b.band = o.band AND b.key = o.key AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM pairs p
+  JOIN sh s1 ON s1.id = p.id_a
+  JOIN sh s2 ON s2.id = p.id_b AND s2.shingle = s1.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b, coalesce(i.inter, 0) AS inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       CAST(coalesce(i.inter, 0) AS DOUBLE)
+         / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b"""
+    )
+
+
+def _simhash_prelude() -> str:
+    return f"""
+WITH {_TOKS},
+tf AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(toks) AS tok FROM toks) GROUP BY id, tok
+),
+th AS (SELECT id, tf, {_md5int('tok')} AS h FROM tf),
+votes AS (
+  SELECT id, bb.b AS b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b) bb
+  GROUP BY id, bb.b
+),
+sim AS (
+  SELECT id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY id
+)"""
+
+
+def simhash_sql() -> str:
+    return _simhash_prelude() + "\nSELECT id, simhash FROM sim"
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    # direct pairwise in SQL — equals the Spark banding result set by
+    # the pigeonhole argument (banding has no recall loss at <= bands-1)
+    assert max_hamming < SIMHASH_BANDS
+    return (
+        _simhash_prelude()
+        + f"""
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+    )
+
+
+def token_stats_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH {_TOKS}
+SELECT t.id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array({_T}, '\\s+'),
+                            x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+       CAST(coalesce(list_sum(list_transform(t.toks,
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_est,
+       CAST(length({_T}) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(t.toks, x -> x IN ({stops}))) AS BIGINT) AS n_stopwords
+FROM toks t JOIN documents d ON CAST(d.doc_id AS BIGINT) = t.id"""
+
+
+def quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH {_TOKS},
+s AS (
+  SELECT t.id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array({_T}, '\\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+         CAST(length({_T}) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(t.toks, x -> x IN ({stops}))) AS BIGINT) AS n_stopwords
+  FROM toks t JOIN documents d ON CAST(d.doc_id AS BIGINT) = t.id
+)
+SELECT id, n_tokens, n_stopwords,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (CASE WHEN (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) >= 0.05
+                   AND (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.6
+              THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN ((CAST(n_chars AS DOUBLE) - CAST(n_ws_tokens - 1 AS DOUBLE))
+                          / CAST(n_tokens AS DOUBLE)) >= 2.0
+                   AND ((CAST(n_chars AS DOUBLE) - CAST(n_ws_tokens - 1 AS DOUBLE))
+                          / CAST(n_tokens AS DOUBLE)) <= 12.0
+              THEN 1.0 ELSE 0.0 END)
+  END AS quality
+FROM s"""
+
+
+def language_id_sql() -> str:
+    count_cols = []
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        count_cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT) AS n_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und'"
+    for lang in sorted(langs):
+        pred += f" WHEN n_{lang} = {best} THEN '{lang}'"
+    pred += " END"
+    return f"""
+WITH {_TOKS},
+c AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens, {', '.join(count_cols)}
+  FROM toks
+)
+SELECT id, n_tokens, {', '.join(f'n_{lang}' for lang in langs)}, {pred} AS lang_pred
+FROM c"""
+
+
+def fingerprint_sql() -> str:
+    g = (
+        f"CASE WHEN length({_T}) >= {FP_GRAM} THEN "
+        f"list_transform(range(1, length({_T}) - {FP_GRAM - 2}), "
+        f"i -> {_md5int(f'substring({_T}, CAST(i AS INT), {FP_GRAM})')}) "
+        f"ELSE [] END"
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len({g}) AS BIGINT) AS n_grams,
+       list_min({g}) AS fp_min,
+       list_max({g}) AS fp_max
+FROM documents"""
+
+
+def ann_quantized_sql(query_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT id, CAST(k AS INT) AS k, qv[CAST(k AS INT)] AS v
+  FROM q, UNNEST(range(1, len(qv) + 1)) AS u(k)
+),
+qflat AS (SELECT k, v FROM flat WHERE id = {query_id}),
+nq AS (SELECT CAST(sum(v * v) AS BIGINT) AS n FROM qflat),
+dots AS (
+  SELECT f.id,
+         CAST(sum(f.v * qf.v) AS BIGINT) AS dot,
+         CAST(sum(f.v * f.v) AS BIGINT) AS nself
+  FROM flat f JOIN qflat qf ON f.k = qf.k
+  WHERE f.id != {query_id}
+  GROUP BY f.id
+),
+scored AS (
+  SELECT id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(nself AS DOUBLE)) * sqrt(CAST((SELECT n FROM nq) AS DOUBLE)))
+           AS sim
+  FROM dots
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rank, id, sim
+FROM scored ORDER BY sim DESC, id ASC LIMIT {k}"""
+
+
+def media_stats_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(encode({_T})) AS BIGINT) AS n_bytes,
+       sha256({_T}) AS payload_sha256,
+       CAST(length({_T}) % 640 + 1 AS INT) AS width,
+       CAST(length({_T}) % 480 + 1 AS INT) AS height
+FROM documents"""
+
+
+def frame_samples_sql(n_samples: int = 4) -> str:
+    return f"""
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 100 + 1 AS INT) AS n_frames,
+       CAST(floor(CAST(u.i AS BIGINT) * (doc_id % 100 + 1) / {n_samples}.0) AS INT)
+         AS frame_idx
+FROM documents, UNNEST(range({n_samples})) AS u(i)
+WHERE doc_id % 3 = 2"""
