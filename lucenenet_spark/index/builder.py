@@ -8,31 +8,33 @@ Pipeline (all DataFrame/Arrow, no per-row Python):
    assigns arrival-order segment-local ids + docBase,
    ``Index/DocumentsWriterPerThread.cs``; we pin a total order on the
    corpus instead, SURVEY.md §1.4).
-2. **inversion** — ``mapInPandas`` batch tokenize + in-batch
-   aggregation to (docid, term, freq, positions, field_length, norm):
-   the Arrow batch is our DocumentsWriterPerThread: a share-nothing,
-   partition-local in-RAM inversion with map-side combine
-   (``Index/TermsHashPerField.cs`` analog). The norm byte is computed
-   here too, so postings never need a docid join to pick up norms at
-   query time (Lucene's random-access ``.nvd`` lookup does not exist
-   on a cluster; we denormalize one byte per posting instead).
-3. **posting packing** — shuffle on ``(term, docid_bucket)`` and pack
-   each group into ≤128-doc delta+varbyte blocks with block metadata
-   (first/last docid, max_freq, max_norm). The bucket key bounds every
-   group to ``BUCKET_DOCS`` docs **by construction**, so even a term
-   appearing in every document (Zipf head / stopword-ish code tokens:
-   ``return``, ``0``) cannot create a hot reducer — this is the
-   explicit salting strategy for skewed terms; buckets are
-   docid-disjoint so per-bucket block lists concatenate into the full
-   posting list with no merge pass (tiered-merge-free by design).
-4. **stats** — ``term_stats(term, df, ttf)`` and corpus stats
-   (max_doc, sum_total_term_freq): partial/final hash aggregates,
-   the distributed version of ``TermContext.Build`` /
+2. **inversion + packing, fused** — ONE ``mapInPandas`` stage per
+   partition does tokenize → per-term in-RAM posting accumulation →
+   delta+varbyte block packing, and emits BOTH the packed posting
+   blocks and the doc-level rows (field_length, norm byte, sha256,
+   meta). Each partition is a DocumentsWriterPerThread: a
+   share-nothing in-RAM segment flushed as immutable packed blocks
+   (``Index/DocumentsWriterPerThread.cs:509``). There is NO packing
+   shuffle at all — blocks are keyed by (term, docid-bucket,
+   first-docid-offset), docid-disjoint across partitions by
+   construction, so per-partition block sets union into the full
+   posting list with no merge pass (the tiered-merge machinery the
+   reference needs is designed away). Skewed terms are bounded the
+   same way: a term in every doc still produces ≤ partition-local
+   blocks, never a hot reducer.
+3. **stats** — ``term_stats(term, df, ttf)`` is a pure JVM aggregate
+   over block METADATA (sum(count), sum(sum_freq)) — a few rows per
+   (term, partition), no posting decode; corpus stats likewise from
+   doc rows. This is the distributed ``TermContext.Build`` /
    ``CollectionStatistics`` (``Search/IndexSearcher.cs:1070-1116``)
    computed once at build time and broadcast at query time.
 
-At 100 TB the shuffle in (3) moves aggregated (docid, term, freq)
-rows — far smaller than raw tokens — and AQE handles residual skew.
+At 100 TB the only wide operations are the docid range-bucket
+exchange (step 1) and the tiny metadata aggregates (step 3); raw
+tokens and posting payloads never cross a shuffle. Partition RAM
+budget = one partition's postings (~2-3× its input bytes) — size
+``spark.sql.files.maxPartitionBytes`` accordingly, exactly like the
+reference's 16 MB DWPT RAM buffer (``IndexWriterConfig.cs:90``).
 """
 
 from __future__ import annotations
@@ -96,11 +98,15 @@ PACKED_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("bucket", T.LongType()),
+        # first_docid - bucket*BUCKET_DOCS: unique per (term, bucket)
+        # even when two build partitions contribute blocks to the same
+        # bucket (docid sets are disjoint across partitions)
         T.StructField("block_id", T.IntegerType()),
         T.StructField("first_docid", T.LongType()),
         T.StructField("last_docid", T.LongType()),
         T.StructField("count", T.IntegerType()),
         T.StructField("max_freq", T.IntegerType()),
+        T.StructField("sum_freq", T.LongType()),  # block ttf partial
         T.StructField("max_norm", T.IntegerType()),
         T.StructField("min_norm", T.IntegerType()),
         T.StructField("docs_enc", T.BinaryType()),
@@ -207,92 +213,147 @@ def _assign_ids_in_batches(iterator, offsets: dict[int, int]):
         yield pdf, ids
 
 
-def _invert_frame(texts, ids, meta: dict[str, list] | None = None) -> pd.DataFrame:
-    """Invert one Arrow batch: texts+docids -> posting rows PLUS one
-    doc-level marker row per document (``term`` NULL) carrying
-    field_length, the norm byte, ``sha256(content)`` (the input_hint
-    per-row invariant) and the meta columns. Emitting both row kinds
-    from the single tokenize pass means the whole index build reads
-    the corpus exactly ONCE — no second scan, no docid join to attach
-    norms (the reference computes norms in the same indexing chain,
-    ``Index/DocInverterPerField.cs:197-198``, for the same reason).
-    """
-    meta = meta or {}
-    out_doc, out_term, out_freq, out_pos, out_fl, out_norm = [], [], [], [], [], []
-    fls = np.zeros(len(texts), dtype=np.int64)
-    per_doc: list[dict[str, list[int]]] = []
-    for i, text in enumerate(texts):
-        pairs = analyze(text)
-        fls[i] = len(pairs)
-        agg: dict[str, list[int]] = {}
-        for term, pos in pairs:
-            agg.setdefault(term, []).append(pos)
-        per_doc.append(agg)
-    norms = norm_byte_from_length(fls)
-    for i, agg in enumerate(per_doc):
-        docid = ids[i]
-        for term, positions in agg.items():
-            out_doc.append(docid)
-            out_term.append(term)
-            out_freq.append(len(positions))
-            out_pos.append(positions)
-            out_fl.append(fls[i])
-            out_norm.append(int(norms[i]))
-    n_post = len(out_doc)
-    out = pd.DataFrame(
-        {
-            "docid": pd.array(list(out_doc) + list(ids), dtype="int64"),
-            "term": out_term + [None] * len(texts),
-            "freq": pd.array(out_freq + [0] * len(texts), dtype="int32"),
-            "positions": out_pos + [None] * len(texts),
-            "field_length": pd.array(
-                out_fl + [int(f) for f in fls], dtype="int32"
-            ),
-            "norm": pd.array(
-                out_norm + [int(b) for b in norms], dtype="int32"
-            ),
-            "content_sha256": [None] * n_post
-            + [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts],
-        }
-    )
-    for name, values in meta.items():
-        out[name] = [None] * n_post + list(values)
-    return out
+_DOC_FIELDS = [
+    T.StructField("docid", T.LongType()),
+    T.StructField("field_length", T.IntegerType()),
+    T.StructField("norm", T.IntegerType()),  # 0..255 norm byte
+    T.StructField("content_sha256", T.StringType()),
+]
 
 
-def _flat_schema(meta_fields: list[T.StructField]) -> T.StructType:
-    return T.StructType(
-        list(POSTINGS_FLAT_SCHEMA.fields)
-        + [T.StructField("content_sha256", T.StringType())]
-        + meta_fields
-    )
+def _segment_schema(meta_fields: list[T.StructField]) -> T.StructType:
+    """Union schema of the fused segment-writer output: packed posting
+    block rows (``term`` NOT NULL) + doc-level rows (``term`` NULL)."""
+    return T.StructType(list(PACKED_SCHEMA.fields) + _DOC_FIELDS + meta_fields)
 
 
-def _invert_batches(meta_cols: list[str]):
-    """mapInPandas worker: (docid, __text, meta...) -> flat rows."""
+class _SegmentWriter:
+    """Partition-local in-RAM segment (the DWPT analog): accumulates
+    per-term postings across the partition's Arrow batches, then
+    flushes sorted, bucket-split, ≤128-doc delta+varbyte blocks plus
+    the doc-level rows — all inside one Python stage, no shuffle."""
+
+    def __init__(self, meta_cols: list[str]):
+        self.meta_cols = meta_cols
+        # term -> (docids, freqs, norm_bytes, positions-per-doc)
+        self.terms: dict[str, tuple[list, list, list, list]] = {}
+        self.doc_ids: list[int] = []
+        self.doc_fl: list[int] = []
+        self.doc_norm: list[int] = []
+        self.doc_sha: list[str] = []
+        self.meta: dict[str, list] = {c: [] for c in meta_cols}
+
+    def add_batch(self, texts: list[str], ids, metas: dict[str, list]) -> None:
+        fls = np.zeros(len(texts), dtype=np.int64)
+        per_doc: list[dict[str, list[int]]] = []
+        for i, text in enumerate(texts):
+            pairs = analyze(text)
+            fls[i] = len(pairs)
+            agg: dict[str, list[int]] = {}
+            for term, pos in pairs:
+                agg.setdefault(term, []).append(pos)
+            per_doc.append(agg)
+        norms = norm_byte_from_length(fls)
+        for i, agg in enumerate(per_doc):
+            docid, nb = int(ids[i]), int(norms[i])
+            for term, positions in agg.items():
+                acc = self.terms.get(term)
+                if acc is None:
+                    acc = self.terms[term] = ([], [], [], [])
+                acc[0].append(docid)
+                acc[1].append(len(positions))
+                acc[2].append(nb)
+                acc[3].append(positions)
+            self.doc_ids.append(docid)
+            self.doc_fl.append(int(fls[i]))
+            self.doc_norm.append(nb)
+            self.doc_sha.append(hashlib.sha256(texts[i].encode("utf-8")).hexdigest())
+        for c in self.meta_cols:
+            self.meta[c].extend(metas[c])
+
+    def flush(self) -> pd.DataFrame:
+        cols: dict[str, list] = {f.name: [] for f in PACKED_SCHEMA.fields}
+        for term, (dl, fl_, nl, pl) in self.terms.items():
+            d = np.asarray(dl, dtype=np.int64)
+            f = np.asarray(fl_, dtype=np.int64)
+            n = np.asarray(nl, dtype=np.int64)
+            p = pl
+            if d.size > 1 and not np.all(np.diff(d) > 0):
+                order = np.argsort(d, kind="stable")
+                d, f, n = d[order], f[order], n[order]
+                p = [pl[j] for j in order]
+            buckets = d // BUCKET_DOCS
+            # bucket-run starts, then ≤128-doc blocks within each run
+            run_starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(buckets)) + 1, [d.size])
+            )
+            for r in range(len(run_starts) - 1):
+                r0, r1 = int(run_starts[r]), int(run_starts[r + 1])
+                bucket = int(buckets[r0])
+                for b0 in range(r0, r1, BLOCK_SIZE):
+                    b1 = min(b0 + BLOCK_SIZE, r1)
+                    db, fb, nb = d[b0:b1], f[b0:b1], n[b0:b1]
+                    cols["term"].append(term)
+                    cols["bucket"].append(bucket)
+                    cols["block_id"].append(int(db[0] - bucket * BUCKET_DOCS))
+                    cols["first_docid"].append(int(db[0]))
+                    cols["last_docid"].append(int(db[-1]))
+                    cols["count"].append(int(db.size))
+                    cols["max_freq"].append(int(fb.max()))
+                    cols["sum_freq"].append(int(fb.sum()))
+                    cols["max_norm"].append(int(nb.max()))
+                    # norm of the doc(s) attaining max_freq can be
+                    # anywhere in [min_norm, max_norm]; min_norm feeds
+                    # the certified lower bound for rank-safe pruning
+                    cols["min_norm"].append(int(nb.min()))
+                    cols["docs_enc"].append(delta_encode_docids(db))
+                    cols["freqs_enc"].append(encode_freqs(fb))
+                    cols["norms_enc"].append(nb.astype(np.uint8).tobytes())
+                    cols["positions_enc"].append(encode_positions(p[b0:b1]))
+        n_blocks = len(cols["term"])
+        n_docs = len(self.doc_ids)
+        out = pd.DataFrame(cols)
+        out["docid"] = pd.array([None] * n_blocks, dtype="Int64")
+        out["field_length"] = pd.array([None] * n_blocks, dtype="Int32")
+        out["norm"] = pd.array([None] * n_blocks, dtype="Int32")
+        out["content_sha256"] = [None] * n_blocks
+        for c in self.meta_cols:
+            out[c] = [None] * n_blocks
+        docs = pd.DataFrame(
+            {
+                **{f.name: [None] * n_docs for f in PACKED_SCHEMA.fields},
+                "docid": pd.array(self.doc_ids, dtype="int64"),
+                "field_length": pd.array(self.doc_fl, dtype="int32"),
+                "norm": pd.array(self.doc_norm, dtype="int32"),
+                "content_sha256": self.doc_sha,
+                **{c: self.meta[c] for c in self.meta_cols},
+            }
+        )
+        return pd.concat([out, docs], ignore_index=True)
+
+
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str]):
+    """mapInPandas worker: whole partition -> packed blocks + doc rows.
+    With ``offsets``: docids assigned inline (fused, one Python hop);
+    without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        for pdf in iterator:
-            yield _invert_frame(
-                pdf["__text"].fillna("").tolist(),
-                pdf["docid"].to_numpy(),
-                {c: pdf[c].tolist() for c in meta_cols},
-            )
-
-    return gen
-
-
-def _invert_batches_assigning(offsets: dict[int, int], meta_cols: list[str]):
-    """mapInPandas worker: (__pid, __text, meta...) -> flat rows, with
-    docid assignment fused into the tokenize stage (one Python hop)."""
-
-    def gen(iterator):
-        for pdf, ids in _assign_ids_in_batches(iterator, offsets):
-            yield _invert_frame(
-                pdf["__text"].fillna("").tolist(),
-                ids,
-                {c: pdf[c].tolist() for c in meta_cols},
-            )
+        w = _SegmentWriter(meta_cols)
+        if offsets is None:
+            for pdf in iterator:
+                w.add_batch(
+                    pdf["__text"].fillna("").tolist(),
+                    pdf["docid"].to_numpy(),
+                    {c: pdf[c].tolist() for c in meta_cols},
+                )
+        else:
+            for pdf, ids in _assign_ids_in_batches(iterator, offsets):
+                w.add_batch(
+                    pdf["__text"].fillna("").tolist(),
+                    ids,
+                    {c: pdf[c].tolist() for c in meta_cols},
+                )
+        yield w.flush()
 
     return gen
 
@@ -307,41 +368,6 @@ def _project_docids(offsets: dict[int, int], cols: list[str]):
             yield out
 
     return gen
-
-
-def _pack_group(key, pdf):
-    """applyInPandas worker: one (term, bucket) group -> packed blocks."""
-    term, bucket = key
-    pdf = pdf.sort_values("docid")
-    docids = pdf["docid"].to_numpy(dtype=np.int64)
-    freqs = pdf["freq"].to_numpy(dtype=np.int64)
-    norms = pdf["norm"].to_numpy(dtype=np.int64)
-    positions = list(pdf["positions"])
-    rows = []
-    for b0 in range(0, len(docids), BLOCK_SIZE):
-        b1 = min(b0 + BLOCK_SIZE, len(docids))
-        d, f, n = docids[b0:b1], freqs[b0:b1], norms[b0:b1]
-        rows.append(
-            {
-                "term": term,
-                "bucket": bucket,
-                "block_id": b0 // BLOCK_SIZE,
-                "first_docid": int(d[0]),
-                "last_docid": int(d[-1]),
-                "count": int(len(d)),
-                "max_freq": int(f.max()),
-                "max_norm": int(n.max()),
-                # norm of the doc(s) attaining max_freq can be anywhere
-                # in [min_norm, max_norm]; min_norm feeds the certified
-                # per-block lower bound for rank-safe pruning
-                "min_norm": int(n.min()),
-                "docs_enc": delta_encode_docids(d),
-                "freqs_enc": encode_freqs(f),
-                "norms_enc": n.astype(np.uint8).tobytes(),
-                "positions_enc": encode_positions(positions[b0:b1]),
-            }
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
 @dataclass
@@ -517,16 +543,17 @@ def build_index(
         c for c in spec.meta_cols if c in corpus.columns and c != spec.text_col
     ]
     field_by_name = {f.name: f for f in corpus.schema.fields}
-    schema = _flat_schema([field_by_name[c] for c in meta])
+    schema = _segment_schema([field_by_name[c] for c in meta])
 
-    # ONE corpus scan: the tokenize stage emits posting rows AND
-    # doc-level marker rows (term NULL: field_length/norm/sha/meta) —
-    # no second pass, no docid join to reattach norms
+    # ONE corpus scan, ONE Python stage: tokenize + invert + pack
+    # emits packed posting blocks AND doc-level rows per partition
+    # (the DWPT segment flush) — no packing shuffle, no second pass,
+    # no docid join to reattach norms
     if spec.id_col:
         with_ids = corpus.withColumn("docid", F.col(spec.id_col).cast("long"))
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_invert_batches(meta), schema=schema)
+        ).mapInPandas(_segment_gen(None, meta), schema=schema)
     else:
         # no pre-existing id: range-partitioned total order, with docid
         # assignment FUSED into the tokenize stage (a separate
@@ -535,18 +562,19 @@ def build_index(
         ordered, offsets = _ordered_with_offsets(corpus, spec)
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_invert_batches_assigning(offsets, meta), schema=schema)
+        ).mapInPandas(_segment_gen(offsets, meta), schema=schema)
     flat_all = flat_all.persist()
 
-    postings = flat_all.where(F.col("term").isNotNull()).select(
-        *[f.name for f in POSTINGS_FLAT_SCHEMA.fields]
+    packed = flat_all.where(F.col("term").isNotNull()).select(
+        *[f.name for f in PACKED_SCHEMA.fields]
     )
     docs = flat_all.where(F.col("term").isNull()).select(
         "docid", *meta, "field_length", "norm", "content_sha256"
     )
 
-    term_stats = postings.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("freq").alias("ttf")
+    # pure JVM aggregate over block METADATA — no posting decode
+    term_stats = packed.groupBy("term").agg(
+        F.sum("count").alias("df"), F.sum("sum_freq").alias("ttf")
     )
 
     corpus_agg = docs.agg(
@@ -554,20 +582,9 @@ def build_index(
         F.coalesce(F.sum("field_length"), F.lit(0)).alias("sttf"),
     ).collect()[0]
 
-    if with_packed:
-        packed = (
-            postings.withColumn(
-                "bucket", (F.col("docid") / F.lit(BUCKET_DOCS)).cast("long")
-            )
-            .groupBy("term", "bucket")
-            .applyInPandas(_pack_group, schema=PACKED_SCHEMA)
-        )
-    else:
-        packed = spark.createDataFrame([], PACKED_SCHEMA)
-
     return InvertedIndex(
         docs=docs,
-        postings=postings,
+        postings=unpack_postings(packed),
         packed=packed,
         term_stats=term_stats,
         max_doc=int(corpus_agg["max_doc"]),

@@ -135,6 +135,12 @@ class _Parser:
                 )
             elif kind == "word":
                 word = m.group("word")
+                # field:term — single-field engine: strip the field
+                # qualifier (GetFieldQuery routes all fields to the one
+                # indexed content field)
+                fqm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
+                if fqm:
+                    word = fqm.group(2)
                 boost_later = True
                 fm = re.match(r"(.+?)~(\d?)$", word)
                 if fm and not word.startswith("~"):

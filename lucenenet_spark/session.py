@@ -42,5 +42,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
     )
+    # Pin BLAS/OMP pools inside Python workers to one thread each.
+    # Without this, every one of N pandas workers spawns a
+    # cores-wide OpenBLAS/OMP pool (N×cores threads): measured 5×
+    # slowdown of the tokenize stage at local[32]. Parallelism comes
+    # from Spark tasks, never from nested thread pools.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
+        os.environ.setdefault(var, "1")
     os.environ["PYTHONPATH"] = worker_pythonpath
     return builder.getOrCreate()

@@ -46,6 +46,9 @@ def run_one(cores: int, corpus: str, zip_path: str, out: str) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
         "--py-files", zip_path,
         "scripts/scaling_run.py",
         "--corpus", corpus,
@@ -64,9 +67,12 @@ def run_one(cores: int, corpus: str, zip_path: str, out: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=40000)
-    ap.add_argument("--small", type=int, default=8)
-    ap.add_argument("--big", type=int, default=32)
+    # N=4 vs 4N=16: the sandbox VM's effective host capacity tops out
+    # around ~17-20 cores (steal under load), so 16 is the largest 4N
+    # that can still show real scaling; local[32] is capacity-capped.
+    ap.add_argument("--n-docs", type=int, default=200000)
+    ap.add_argument("--small", type=int, default=4)
+    ap.add_argument("--big", type=int, default=16)
     args = ap.parse_args()
 
     os.makedirs("/tmp/lucenenet_bench", exist_ok=True)
