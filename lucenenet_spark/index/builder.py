@@ -418,19 +418,26 @@ class InvertedIndex:
         production deployment writes these same tables as Iceberg with
         snapshot commits; the sandbox has no Iceberg runtime jar).
 
-        Only the PACKED postings are persisted — one posting store,
-        like the reference's single ``.doc/.pos`` files; the flat
-        per-(docid, term) view is reconstructed lazily on load via
-        :func:`unpack_postings`. Writing both would double index bytes
-        and write time for zero query benefit.
+        The fused segment output (packed blocks + doc rows, one
+        table) is written in a SINGLE job — sorted by term within
+        partitions so parquet row-group min/max stats give the "terms
+        dictionary seek" (BlockTree analog) via pushdown, with doc
+        rows (term NULL) sorting first so block row groups carry
+        null_count=0 and doc-side scans prune them. term_stats and the
+        corpus scalars are tiny metadata writes. One big write instead
+        of separate docs+packed passes halves the serial tail of the
+        build (each extra write job costs fixed scheduler+commit time
+        regardless of cluster size).
         """
-        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
-        # partitionBy bucket would scatter small files at test scale;
-        # sort by term so parquet row-group min/max stats give the
-        # "terms dictionary seek" (BlockTree analog) via pushdown.
-        self.packed.sortWithinPartitions("term", "bucket", "block_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "packed"))
+        if self.flat is not None:
+            self.flat.sortWithinPartitions("term", "bucket", "block_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "segments"))
+        else:  # re-saving a loaded index: reconstruct the union
+            self.packed.sortWithinPartitions("term", "bucket", "block_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "packed"))
+            self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
         self.term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
         stats = self.docs.sparkSession.createDataFrame(
             [(self.max_doc, self.sum_total_term_freq)],
@@ -441,9 +448,19 @@ class InvertedIndex:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         stats = spark.read.parquet(os.path.join(path, "corpus_stats")).collect()[0]
-        packed = spark.read.parquet(os.path.join(path, "packed"))
+        if os.path.exists(os.path.join(path, "segments")):
+            seg = spark.read.parquet(os.path.join(path, "segments"))
+            packed = seg.where(F.col("term").isNotNull()).select(
+                *[f.name for f in PACKED_SCHEMA.fields]
+            )
+            non_doc = {f.name for f in PACKED_SCHEMA.fields}
+            doc_cols = [f.name for f in seg.schema.fields if f.name not in non_doc]
+            docs = seg.where(F.col("term").isNull()).select(*doc_cols)
+        else:
+            packed = spark.read.parquet(os.path.join(path, "packed"))
+            docs = spark.read.parquet(os.path.join(path, "docs"))
         return cls(
-            docs=spark.read.parquet(os.path.join(path, "docs")),
+            docs=docs,
             postings=unpack_postings(packed),
             packed=packed,
             term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
