@@ -33,6 +33,7 @@ from lucenenet_spark.search.queries import (
     TermRangeQuery,
     WildcardQuery,
 )
+from lucenenet_spark.search import collectors as coll
 from lucenenet_spark.search.searcher import IndexSearcher
 
 _SPEC = CorpusSpec(text_col="text", id_col="doc_id", meta_cols=("lang", "source"))
@@ -193,6 +194,48 @@ def _q_term_range(spark, sf_dir):
     )
 
 
+def _q_facet(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.facet_counts(s, TermQuery(term="spark"), "lang")
+
+
+def _q_grouped_topk(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.grouped_topk(s, TermQuery(term="hash"), "source", k_groups=10, k_per_group=3)
+
+
+def _q_search_after(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = TermQuery(term="spark")
+    last = s.search(q, 10)[-1]
+    return coll.search_after(s, q, 10, last.score, last.docid).select(
+        "docid", F.col("score").cast("double").alias("score")
+    )
+
+
+def _q_rescore(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(
+        coll.rescore(
+            s,
+            TermQuery(term="hash"),
+            PhraseQuery(phrase_terms=("table", "hash")),
+            k_first=50,
+            k_final=10,
+            weight_first=1.0,
+            weight_second=2.0,
+        )
+    )
+
+
+def _q_hit_count(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="hash"), Occur.SHOULD), (TermQuery(term="dup"), Occur.SHOULD)
+    )
+    return spark.createDataFrame([(s.count(q),)], "n_hits long")
+
+
 # ---------------------------------------------------- training-data ops
 
 def _docs(spark, sf_dir):
@@ -302,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": _q_min_should_match,
         "dismax": _q_dismax,
         "phrase_query": _q_phrase,
+        "facet_counts": _q_facet,
+        "grouped_topk": _q_grouped_topk,
+        "search_after": _q_search_after,
+        "rescore": _q_rescore,
+        "hit_count": _q_hit_count,
         "prefix_docs": _q_prefix_docs,
         "wildcard_terms": _q_wildcard_terms,
         "fuzzy_terms": _q_fuzzy_terms,
@@ -339,6 +387,11 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match": osql.min_should_match_sql("hash", "merge", "scan", 2),
         "dismax": osql.dismax_sql("spark", "stream", 0.5),
         "phrase_query": osql.phrase_sql("table", "hash"),
+        "facet_counts": osql.facet_sql("spark", "lang"),
+        "grouped_topk": osql.grouped_topk_sql("hash", "source", 10, 3),
+        "search_after": osql.search_after_sql("spark", page=2, k=10),
+        "rescore": osql.rescore_sql("hash", "table", "hash", 1.0, 2.0, 50, 10),
+        "hit_count": osql.hit_count_sql("hash", "dup"),
         "prefix_docs": osql.prefix_docs_sql("s"),
         "wildcard_terms": osql.wildcard_terms_sql("^s.*a.*$"),
         "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),

@@ -300,6 +300,112 @@ scored AS (
     )
 
 
+def facet_sql(term: str, facet_col: str) -> str:
+    """Facet counts over a TermQuery's matches."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT d.{facet_col} AS {facet_col}, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE CAST(d.doc_id AS BIGINT) IN (SELECT docid FROM postings WHERE term = '{term}')
+GROUP BY d.{facet_col}"""
+    )
+
+
+def grouped_topk_sql(
+    term: str, group_col: str, k_groups: int = 10, k_per_group: int = 3
+) -> str:
+    """Two-pass grouping over a TermQuery's scored docs."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+wg AS (
+  SELECT s.docid, s.s, d.{group_col} AS grp
+  FROM t0 s JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.docid
+),
+ranked AS (
+  SELECT docid, s, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY s DESC, docid ASC) AS doc_rank
+  FROM wg
+),
+best AS (SELECT grp, s AS best, docid AS bd FROM ranked WHERE doc_rank = 1),
+topg AS (
+  SELECT grp, rk AS group_rank FROM (
+    SELECT grp, row_number() OVER (ORDER BY best DESC, bd ASC) AS rk FROM best
+  ) WHERE rk <= {k_groups}
+)
+SELECT r.grp AS grp, CAST(t.group_rank AS BIGINT) AS group_rank,
+       CAST(r.doc_rank AS BIGINT) AS doc_rank, r.docid,
+       CAST(r.s AS DOUBLE) AS score
+FROM ranked r JOIN topg t ON r.grp = t.grp
+WHERE r.doc_rank <= {k_per_group}"""
+    )
+
+
+def search_after_sql(term: str, page: int = 2, k: int = 10) -> str:
+    """Cursor pagination = the k hits after rank (page-1)*k."""
+    lo, hi = (page - 1) * k, page * k
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+r AS (
+  SELECT docid, s, row_number() OVER (ORDER BY s DESC, docid ASC) AS rk FROM t0
+)
+SELECT docid, CAST(s AS DOUBLE) AS score FROM r WHERE rk > {lo} AND rk <= {hi}"""
+    )
+
+
+def rescore_sql(
+    t_first: str, p0: str, p1: str,
+    w1: float = 1.0, w2: float = 2.0, k_first: int = 50, k_final: int = 10,
+) -> str:
+    """QueryRescorer: top-k_first of a TermQuery re-scored by a phrase
+    query, combined (w1*s1 + w2*s2) in float32."""
+    idf0 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{p0}')")
+    idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{p1}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    z = _f32_lit(0.0)
+    return (
+        bm25_prelude(with_positions=True)
+        + ",\n" + _term_scores_cte("t0", t_first)
+        + f""",
+firstk AS (
+  SELECT docid, s AS s1 FROM t0 ORDER BY s DESC, docid ASC LIMIT {k_first}
+),
+pw AS (SELECT (({z} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{p0}' AND b.term = '{p1}'
+  GROUP BY a.docid
+),
+second AS (
+  SELECT p.docid,
+         (SELECT w FROM pw) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s2
+  FROM pfreq p JOIN norms n ON p.docid = n.docid JOIN cache c ON c.nb = n.norm
+),
+combined AS (
+  SELECT f.docid,
+         {_f32_lit(w1)} * f.s1 + {_f32_lit(w2)} * coalesce(s.s2, {z}) AS s
+  FROM firstk f LEFT JOIN second s ON s.docid = f.docid
+)"""
+        + _topk("combined", k_final)
+    )
+
+
+def hit_count_sql(t0: str, t1: str) -> str:
+    """TotalHitCount of a 2-term disjunction."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT CAST(count(DISTINCT docid) AS BIGINT) AS n_hits
+FROM postings WHERE term IN ('{t0}', '{t1}')"""
+    )
+
+
 def prefix_docs_sql(prefix: str) -> str:
     """ConstantScore(PrefixQuery): every doc containing a term with the
     prefix, uniform score = boost (MultiTermQuery CONSTANT_SCORE rewrite)."""

@@ -1,0 +1,143 @@
+"""Collector-layer operators over scored results (SURVEY.md §2.5/2.7):
+faceting, grouping, pagination, rescoring, hit counting.
+
+Each takes the searcher + query and compiles to a declarative
+DataFrame pipeline over the scored docs joined to the docs table —
+Catalyst handles the join strategy (docs-side facet columns broadcast
+when small) and `Window`/`TakeOrderedAndProject` give the two-pass
+grouping / bounded top-k the reference implements imperatively
+(``Lucene.Net.Grouping/GroupingSearch.cs:112-158``,
+``Lucene.Net.Facet/Taxonomy/FastTaxonomyFacetCounts.cs:34``,
+``Search/IndexSearcher.cs:282-301`` SearchAfter,
+``Search/QueryRescorer.cs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import Query
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+def total_hit_count(searcher: IndexSearcher, query: Query) -> int:
+    """TotalHitCountCollector (``Search/TotalHitCountCollector.cs``)."""
+    return searcher.count(query)
+
+
+def facet_counts(
+    searcher: IndexSearcher, query: Query, facet_col: str, top_n: int | None = None
+) -> DataFrame:
+    """Doc count per category among the query's matches
+    (FastTaxonomyFacetCounts): (facet value, n_docs), ordered by count
+    desc then value. The matched-doc set semi-joins the docs table —
+    the facet column never ships through scoring."""
+    matched = searcher.matching_docids(query)
+    out = (
+        searcher.index.docs.join(matched, "docid", "left_semi")
+        .groupBy(F.col(facet_col).alias(facet_col))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+    )
+    return out.limit(top_n) if top_n else out
+
+
+def grouped_topk(
+    searcher: IndexSearcher,
+    query: Query,
+    group_col: str,
+    k_groups: int = 10,
+    k_per_group: int = 3,
+) -> DataFrame:
+    """Two-pass grouping (GroupingSearch): top groups by best score,
+    then top-k docs per group. Output: (group, group_rank, doc_rank,
+    docid, score) — one `Window.partitionBy(group)` instead of the
+    reference's two collector passes."""
+    scored = searcher.scored_docs(query)
+    with_group = scored.join(
+        searcher.index.docs.select("docid", F.col(group_col).alias("__grp")), "docid"
+    )
+    doc_w = Window.partitionBy("__grp").orderBy(F.col("score").desc(), F.col("docid").asc())
+    ranked = with_group.withColumn("doc_rank", F.row_number().over(doc_w)).where(
+        F.col("doc_rank") <= k_per_group
+    )
+    grp_best = ranked.where(F.col("doc_rank") == 1).select(
+        "__grp", F.col("score").alias("__best"), F.col("docid").alias("__best_doc")
+    )
+    grp_w = Window.orderBy(F.col("__best").desc(), F.col("__best_doc").asc())
+    top_groups = grp_best.withColumn("group_rank", F.row_number().over(grp_w)).where(
+        F.col("group_rank") <= k_groups
+    )
+    return (
+        ranked.join(top_groups.select("__grp", "group_rank"), "__grp")
+        .select(
+            F.col("__grp").alias("grp"),
+            F.col("group_rank").cast("long").alias("group_rank"),
+            F.col("doc_rank").cast("long").alias("doc_rank"),
+            "docid",
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy("group_rank", "doc_rank")
+    )
+
+
+def search_after(
+    searcher: IndexSearcher,
+    query: Query,
+    k: int,
+    after_score: float,
+    after_docid: int,
+) -> DataFrame:
+    """Cursor pagination (IndexSearcher.SearchAfter): the next k hits
+    strictly after (after_score, after_docid) in (score desc, docid
+    asc) order — a WHERE on the sort key, still one bounded top-k."""
+    scored = searcher.scored_docs(query)
+    a = np.float32(after_score)
+    cursor = (F.col("score") < float(a)) | (
+        (F.col("score") == float(a)) & (F.col("docid") > after_docid)
+    )
+    return (
+        scored.where(cursor)
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def rescore(
+    searcher: IndexSearcher,
+    first_query: Query,
+    second_query: Query,
+    k_first: int = 100,
+    k_final: int = 10,
+    weight_first: float = 1.0,
+    weight_second: float = 1.0,
+) -> DataFrame:
+    """QueryRescorer: rescore the first-pass top-k with a second query,
+    combined score = w1*first + w2*second (0 when the second query
+    misses the doc), float32 op order pinned."""
+    first = searcher.search_df(first_query, k_first).select(
+        "docid", F.col("score").alias("__s1")
+    )
+    second = searcher.scored_docs(second_query).select(
+        "docid", F.col("score").alias("__s2")
+    )
+    w1 = float(np.float32(weight_first))
+    w2 = float(np.float32(weight_second))
+
+    @F.pandas_udf("float")
+    def combine(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        a = s1.to_numpy(dtype=np.float32)
+        b = np.nan_to_num(s2.to_numpy(dtype=np.float32), nan=0.0)
+        return pd.Series(
+            (np.float32(w1) * a + np.float32(w2) * b).astype(np.float32)
+        )
+
+    return (
+        first.join(second, "docid", "left")
+        .select("docid", combine(F.col("__s1"), F.col("__s2")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k_final)
+    )

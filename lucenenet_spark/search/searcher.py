@@ -135,10 +135,20 @@ class IndexSearcher:
 
     def count(self, query: Query) -> int:
         """TotalHitCountCollector analog."""
+        return self.scored_docs(query).count()
+
+    def scored_docs(self, query: Query) -> DataFrame:
+        """Every matching doc with its score — the un-truncated scored
+        set (collector input for faceting/grouping/pagination)."""
         query = self._expand(query.rewrite())
         stats = self._collect_stats(query)
         scored = self._compile(query, stats, top_k=None)
-        return 0 if scored is None else scored.count()
+        return self._empty() if scored is None else scored
+
+    def matching_docids(self, query: Query) -> DataFrame:
+        """Distinct docids matching the query (the non-scoring Filter /
+        DocIdSet view, ``Search/Filter.cs``)."""
+        return self.scored_docs(query).select("docid").distinct()
 
     # ------------------------------------------------- query expansion
     def _expand(self, q: Query) -> Query:

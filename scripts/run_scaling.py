@@ -37,8 +37,14 @@ def make_zip(out: str) -> str:
     return out
 
 
-def run_one(cores: int, corpus: str, zip_path: str, out: str) -> dict:
+def run_one(cores: int, corpus: str, zip_path: str, out: str, runs: int = 3) -> dict:
+    # taskset pins the WHOLE process tree (JVM + python workers) to
+    # exactly `cores` cpus — without it the small-N leg borrows the
+    # idle cores for JVM shuffle/GC threads and the measured ratio
+    # understates true cluster-size scaling. With it, "local[N] on N
+    # cpus" is a faithful N-core-cluster emulation.
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         spark_submit_path(),
         "--master", f"local[{cores}]",
         "--driver-memory", "8g",
@@ -54,6 +60,7 @@ def run_one(cores: int, corpus: str, zip_path: str, out: str) -> dict:
         "--corpus", corpus,
         "--warehouse", f"/tmp/lucenenet_bench/scale_wh_{cores}",
         "--out", out,
+        "--runs", str(runs),
     ]
     print(f"--- spark-submit local[{cores}] ---", flush=True)
     res = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
@@ -73,6 +80,7 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=200000)
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--big", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     os.makedirs("/tmp/lucenenet_bench", exist_ok=True)
@@ -86,8 +94,10 @@ def main() -> None:
         spark.stop()
 
     zip_path = make_zip("/tmp/lucenenet_bench/lucenenet_spark.zip")
-    small = run_one(args.small, corpus, zip_path, f"/tmp/lucenenet_bench/scale_{args.small}.json")
-    big = run_one(args.big, corpus, zip_path, f"/tmp/lucenenet_bench/scale_{args.big}.json")
+    small = run_one(args.small, corpus, zip_path,
+                    f"/tmp/lucenenet_bench/scale_{args.small}.json", args.runs)
+    big = run_one(args.big, corpus, zip_path,
+                  f"/tmp/lucenenet_bench/scale_{args.big}.json", args.runs)
 
     identical = small["top3"] == big["top3"]
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (args.big / args.small)

@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     from lucenenet_spark.index.builder import CorpusSpec, InvertedIndex, build_index
@@ -42,7 +43,7 @@ def main() -> None:
     # min-of-3: the sandbox VM sees host-level steal spikes; the
     # minimum is the robust estimator of actual throughput capability
     runs = []
-    for _ in range(3):
+    for _ in range(args.runs):
         shutil.rmtree(args.warehouse, ignore_errors=True)
         t0 = time.perf_counter()
         idx = build_index(spark, corpus, CorpusSpec())
