@@ -91,10 +91,14 @@ class IndexSearcher:
         use_packed: bool = True,
         prune: bool = True,
         stats_cache_max_terms: int = 2_000_000,
+        tombstones: DataFrame | None = None,
     ):
         self.index = index
         self.use_packed = use_packed
         self.prune = prune
+        # liveDocs: deleted docids anti-joined out of every result
+        # (streaming/ingest.py delete model; reference BufferedUpdates)
+        self.tombstones = tombstones
         self.stats_cache_max_terms = stats_cache_max_terms
         self._avgdl = bm25.avg_field_length(index.sum_total_term_freq, index.max_doc)
         self._cache = bm25.norm_cache(self._avgdl)
@@ -130,6 +134,10 @@ class IndexSearcher:
         scored = self._compile(query, stats, top_k=k)
         if scored is None:
             return self._empty()
+        if self.tombstones is not None:
+            scored = scored.join(
+                self.tombstones.select("docid").distinct(), "docid", "left_anti"
+            )
         out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
         return out.limit(k) if k is not None else out
 
@@ -143,7 +151,13 @@ class IndexSearcher:
         query = self._expand(query.rewrite())
         stats = self._collect_stats(query)
         scored = self._compile(query, stats, top_k=None)
-        return self._empty() if scored is None else scored
+        if scored is None:
+            return self._empty()
+        if self.tombstones is not None:
+            scored = scored.join(
+                self.tombstones.select("docid").distinct(), "docid", "left_anti"
+            )
+        return scored
 
     def matching_docids(self, query: Query) -> DataFrame:
         """Distinct docids matching the query (the non-scoring Filter /
@@ -262,7 +276,10 @@ class IndexSearcher:
             return self._term_scores_flat(term, weight)
 
         blocks = self.index.packed.where(F.col("term") == term)
-        if self.prune and top_k is not None:
+        # pruning certifies its threshold from block metadata that
+        # still counts deleted docs — rank-safety requires liveDocs-free
+        # reads, so disable under tombstones (merge/compaction restores it)
+        if self.prune and top_k is not None and self.tombstones is None:
             blocks = self._prune_blocks(blocks, weight, cache, top_k)
 
         w = float(weight)
