@@ -228,6 +228,36 @@ def _q_rescore(spark, sf_dir):
     )
 
 
+def _q_mlt_terms(spark, sf_dir):
+    from lucenenet_spark.search.mlt import interesting_terms
+
+    _, s = _searcher(spark, sf_dir)
+    sel = interesting_terms(s, docid=0, max_query_terms=25, min_term_freq=2, min_doc_freq=5)
+    return spark.createDataFrame(
+        [(t, f, d, sc) for t, f, d, sc in sel],
+        "term string, tf long, df long, mlt_score double",
+    )
+
+
+def _q_mlt_topk(spark, sf_dir):
+    from lucenenet_spark.search.mlt import more_like_this
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(more_like_this(s, docid=0), 10))
+
+
+def _q_common_terms_split(spark, sf_dir):
+    from lucenenet_spark.search.mlt import common_terms_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = common_terms_query(s, ["dup", "hash", "spark", "merge"], max_term_frequency=0.1)
+    rows = []
+    for c in q.clauses:
+        df_ = s._collect_stats(c.query)[c.query.term][0]
+        rows.append((c.query.term, df_, 1 if c.occur == Occur.MUST else 0))
+    return spark.createDataFrame(rows, "term string, df long, is_low long")
+
+
 def _q_hit_count(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     q = BooleanQuery.of(
@@ -350,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": _q_search_after,
         "rescore": _q_rescore,
         "hit_count": _q_hit_count,
+        "mlt_terms": _q_mlt_terms,
+        "mlt_topk": _q_mlt_topk,
+        "common_terms_split": _q_common_terms_split,
         "prefix_docs": _q_prefix_docs,
         "wildcard_terms": _q_wildcard_terms,
         "fuzzy_terms": _q_fuzzy_terms,
@@ -392,6 +425,10 @@ def oracle_sql() -> dict[str, str]:
         "search_after": osql.search_after_sql("spark", page=2, k=10),
         "rescore": osql.rescore_sql("hash", "table", "hash", 1.0, 2.0, 50, 10),
         "hit_count": osql.hit_count_sql("hash", "dup"),
+        "mlt_terms": osql.mlt_terms_sql(0, 25, 2, 5),
+        "common_terms_split": osql.common_terms_split_sql(
+            ["dup", "hash", "spark", "merge"], 0.1
+        ),
         "prefix_docs": osql.prefix_docs_sql("s"),
         "wildcard_terms": osql.wildcard_terms_sql("^s.*a.*$"),
         "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),

@@ -406,6 +406,44 @@ FROM postings WHERE term IN ('{t0}', '{t1}')"""
     )
 
 
+def mlt_terms_sql(
+    docid: int, max_query_terms: int = 25, min_term_freq: int = 2, min_doc_freq: int = 5
+) -> str:
+    """MoreLikeThis term selection for one doc: tf*idf ranked with
+    idf = ln(maxDoc/(df+1)) + 1 (classic-similarity idf), ties by
+    term asc — mirrors search/mlt.py::interesting_terms."""
+    return (
+        bm25_prelude()
+        + f""",
+dtf AS (
+  SELECT term, CAST(freq AS BIGINT) AS tf FROM postings
+  WHERE docid = {docid} AND freq >= {min_term_freq}
+),
+sel AS (
+  SELECT d.term, d.tf, t.df,
+         d.tf * (ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE) / (t.df + 1)) + 1.0)
+           AS mlt_score
+  FROM dtf d JOIN term_stats t ON t.term = d.term
+  WHERE t.df >= {min_doc_freq}
+)
+SELECT term, tf, df, mlt_score FROM sel
+ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
+    )
+
+
+def common_terms_split_sql(terms: list[str], max_term_frequency: float) -> str:
+    """CommonTermsQuery low/high-df split decision per term."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return (
+        bm25_prelude()
+        + f"""
+SELECT term, df,
+       CAST(CASE WHEN df <= {max_term_frequency} * (SELECT max_doc FROM cstats)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_low
+FROM term_stats WHERE term IN ({lst})"""
+    )
+
+
 def prefix_docs_sql(prefix: str) -> str:
     """ConstantScore(PrefixQuery): every doc containing a term with the
     prefix, uniform score = boost (MultiTermQuery CONSTANT_SCORE rewrite)."""
