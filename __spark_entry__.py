@@ -194,6 +194,14 @@ def _q_term_range(spark, sf_dir):
     )
 
 
+def _q_sha_verify(spark, sf_dir):
+    from lucenenet_spark.index.builder import verify_content_sha
+
+    idx, _ = _searcher(spark, sf_dir)
+    n_docs, n_mismatch = verify_content_sha(_docs(spark, sf_dir), idx, _SPEC)
+    return spark.createDataFrame([(n_docs, n_mismatch)], "n_docs long, n_mismatch long")
+
+
 def _q_facet(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.facet_counts(s, TermQuery(term="spark"), "lang")
@@ -333,6 +341,14 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_embedding_dups(spark, sf_dir):
+    return sim.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.42)
+
+
+def _q_embedding_dups_lsh(spark, sf_dir):
+    return sim.embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.42)
+
+
 def _q_media_stats(spark, sf_dir):
     return mm.media_stats(mm.media_from_text(_docs(spark, sf_dir)))
 
@@ -359,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "ann_float": _q_ann_float,
         "ann_lsh": _q_ann_lsh,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "media_stats": _q_media_stats,
         "frame_samples": _q_frame_samples,
         "media_features": _q_media_features,
@@ -367,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "doc_norms": _q_doc_norms,
         "corpus_stats": _q_corpus_stats,
+        "sha_verify": _q_sha_verify,
         "term_query": _q_term,
         "term_query_rare": _q_term_rare,
         "boolean_and": _q_bool_and,
@@ -405,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oosql.language_id_sql(),
         "doc_fingerprint": oosql.fingerprint_sql(),
         "ann_quantized": oosql.ann_quantized_sql(),
+        "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
         "media_stats": oosql.media_stats_sql(),
         "frame_samples": oosql.frame_samples_sql(),
         "tokenize": osql.tokenize_sql(),
@@ -412,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": osql.term_stats_sql(),
         "doc_norms": osql.doc_norms_sql(),
         "corpus_stats": osql.corpus_stats_sql(),
+        "sha_verify": "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(0 AS BIGINT) AS n_mismatch FROM documents",
         "term_query": osql.term_query_sql("spark"),
         "term_query_rare": osql.term_query_sql("dup"),
         "boolean_and": osql.boolean_and_sql("merge", "sort"),

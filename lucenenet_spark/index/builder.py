@@ -549,6 +549,29 @@ def assign_docids(
     return ordered.mapInPandas(_project_docids(offsets, cols), schema=out_schema)
 
 
+def verify_content_sha(
+    corpus: DataFrame, index: InvertedIndex, spec: CorpusSpec | None = None
+) -> tuple[int, int]:
+    """Per-row invariant check (BASELINE.json input_hint): recompute
+    ``sha256(content)`` from the source corpus and compare against the
+    hash stored in the docs table at index time. Returns
+    (n_docs, n_mismatch) — a full outer join so dropped or phantom
+    docids count as mismatches too."""
+    spec = spec or index.spec or CorpusSpec()
+    with_ids = assign_docids(corpus, spec)
+    fresh = with_ids.select(
+        "docid",
+        F.sha2(F.coalesce(F.col(spec.text_col), F.lit("")), 256).alias("__sha"),
+    )
+    joined = index.docs.select("docid", "content_sha256").join(fresh, "docid", "full")
+    n_mismatch = joined.where(
+        F.col("content_sha256").isNull()
+        | F.col("__sha").isNull()
+        | (F.col("content_sha256") != F.col("__sha"))
+    ).count()
+    return index.docs.count(), n_mismatch
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,

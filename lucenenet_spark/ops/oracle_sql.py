@@ -268,6 +268,35 @@ SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rank, id
 FROM scored ORDER BY sim DESC, id ASC LIMIT {k}"""
 
 
+def embedding_dup_pairs_sql(threshold: float = 0.42) -> str:
+    """All-pairs quantized-cosine near-dup pairs (exact int64 dots)."""
+    sim = (
+        "CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT id, CAST(k AS INT) AS k, qv[CAST(k AS INT)] AS v
+  FROM q, UNNEST(range(1, len(qv) + 1)) AS u(k)
+),
+norms AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM flat GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.k = b.k AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.id_a, d.id_b, {sim} AS sim
+FROM dots d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE {sim} >= {threshold}"""
+
+
 def media_stats_sql() -> str:
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS media_id,

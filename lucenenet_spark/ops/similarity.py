@@ -126,6 +126,62 @@ def cosine_topk_float(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    quantized cosine >= threshold, id_a < id_b. Exact all-pairs
+    formulation (self-join on a crossable size); the LSH-bucketed form
+    below is the 100 TB path — bucket by sign signature, compare only
+    within buckets."""
+    q = quantize(df, id_col, vec_col).select(
+        "id", "qvec", _dot(F.col("qvec"), F.col("qvec")).alias("n2")
+    )
+    a = q.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"), F.col("n2").alias("na"))
+    b = q.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"), F.col("n2").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = (
+        _dot(F.col("va"), F.col("vb")).cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    )
+    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: candidates share an LSH bucket (near-identical
+    vectors almost surely do), verified with exact quantized cosine.
+    The self-join keys on the signature — cost is per-bucket, never
+    all-pairs."""
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+    q = quantize(df, id_col, vec_col).select(
+        "id", "qvec", _dot(F.col("qvec"), F.col("qvec")).alias("n2")
+    ).join(sigs, "id")
+    a = q.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"),
+                 F.col("n2").alias("na"), "sig")
+    b = q.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"),
+                 F.col("n2").alias("nb"), "sig")
+    pairs = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+    sim = (
+        _dot(F.col("va"), F.col("vb")).cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 N_PLANES = 8
 
 

@@ -160,6 +160,41 @@ def test_lsh_topk_is_exact_within_candidates(emb_df):
             assert abs(r["sim"] - exact_map[r["id"]]) < 1e-12
 
 
+def test_embedding_dup_pairs_exact(emb_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.embedding_dup_pairs(emb_df, threshold=0.9).collect()
+    }
+    rows = emb_df.collect()
+    vecs = {r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=np.float64) * 10000) for r in rows}
+    expect = {}
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                s = float(
+                    np.dot(vecs[i], vecs[j])
+                    / (np.sqrt(np.dot(vecs[i], vecs[i])) * np.sqrt(np.dot(vecs[j], vecs[j])))
+                )
+                if s >= 0.9:
+                    expect[(i, j)] = s
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_embedding_dup_pairs_lsh_subset(emb_df):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dup_pairs(emb_df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dup_pairs_lsh(emb_df, threshold=0.9).collect()
+    }
+    assert lsh <= exact  # no false positives (exact verification stage)
+
+
 # --------------------------------------------------------------- text
 
 def test_token_stats(docs_df):
