@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 
 from lucenenet_spark.functions import bm25
 from lucenenet_spark.functions.varbyte import (
+    BLOCK_SIZE as _BLOCK_SIZE,
     decode_freqs,
     delta_decode_docids,
 )
@@ -278,8 +279,15 @@ class IndexSearcher:
         blocks = self.index.packed.where(F.col("term") == term)
         # pruning certifies its threshold from block metadata that
         # still counts deleted docs — rank-safety requires liveDocs-free
-        # reads, so disable under tombstones (merge/compaction restores it)
-        if self.prune and top_k is not None and self.tombstones is None:
+        # reads, so disable under tombstones (merge/compaction restores
+        # it). Below ~64 blocks the metadata collect job costs as much
+        # as just decoding, so only high-df terms prune.
+        if (
+            self.prune
+            and top_k is not None
+            and self.tombstones is None
+            and df_ > 64 * _BLOCK_SIZE
+        ):
             blocks = self._prune_blocks(blocks, weight, cache, top_k)
 
         w = float(weight)
@@ -386,13 +394,22 @@ class IndexSearcher:
         self, term_plan: dict[str, list[tuple[int, int, float]]]
     ) -> DataFrame:
         """Score ALL TermQuery clauses of a boolean in ONE postings
-        scan. ``term_plan``: term -> [(cidx, is_must, weight)]; one
-        input block row fans out once per clause referencing its term.
-        This is the distributed analog of BooleanScorer's single pass
-        over all subscorers (Search/BooleanScorer.cs) — without it a
-        k-clause query costs k scans of the index."""
+        scan. ``term_plan``: term -> [(cidx, kind, weight)] with kind
+        1=MUST, 0=SHOULD, -1=MUST_NOT (prohibited terms ride the same
+        scan — their rows only flag the doc, weight 0). One input block
+        row fans out once per clause referencing its term. This is the
+        distributed analog of BooleanScorer's single pass over all
+        subscorers (Search/BooleanScorer.cs) — without it a k-clause
+        query costs k scans of the index."""
         cache = self._cache
         plan = {t: [(int(c), int(m), float(w)) for c, m, w in v] for t, v in term_plan.items()}
+        empty = pd.DataFrame(
+            {"docid": pd.array([], dtype="int64"),
+             "cidx": pd.array([], dtype="int32"),
+             "kind": pd.array([], dtype="int32"),
+             "score": pd.array([], dtype="float32")}
+        )
+        schema = "docid long, cidx int, kind int, score float"
 
         if self.use_packed:
             blocks = self.index.packed.where(F.col("term").isin(list(plan))).select(
@@ -409,24 +426,17 @@ class IndexSearcher:
                         f = decode_freqs(bytes(fe)).astype(np.float32)
                         n = np.frombuffer(bytes(ne), dtype=np.uint8)
                         c = cache[n]
-                        for cidx, is_must, w in plan[term]:
+                        for cidx, kind, w in plan[term]:
                             s = (np.float32(w) * f / (f + c)).astype(np.float32)
                             outs.append(
                                 pd.DataFrame(
                                     {"docid": d, "cidx": np.int32(cidx),
-                                     "is_must": np.int32(is_must), "score": s}
+                                     "kind": np.int32(kind), "score": s}
                                 )
                             )
-                    yield pd.concat(outs) if outs else pd.DataFrame(
-                        {"docid": pd.array([], dtype="int64"),
-                         "cidx": pd.array([], dtype="int32"),
-                         "is_must": pd.array([], dtype="int32"),
-                         "score": pd.array([], dtype="float32")}
-                    )
+                    yield pd.concat(outs) if outs else empty
 
-            return blocks.mapInPandas(
-                unpack, schema="docid long, cidx int, is_must int, score float"
-            )
+            return blocks.mapInPandas(unpack, schema=schema)
 
         flat = self.index.postings.where(F.col("term").isin(list(plan))).select(
             "term", "docid", "freq", "norm"
@@ -441,25 +451,18 @@ class IndexSearcher:
                 for term in np.unique(terms):
                     m = terms == term
                     f, c = f_all[m], cache[n_all[m]]
-                    for cidx, is_must, w in plan[str(term)]:
+                    for cidx, kind, w in plan[str(term)]:
                         s = (np.float32(w) * f / (f + c)).astype(np.float32)
                         outs.append(
                             pd.DataFrame(
                                 {"docid": pdf["docid"].to_numpy()[m],
                                  "cidx": np.int32(cidx),
-                                 "is_must": np.int32(is_must), "score": s}
+                                 "kind": np.int32(kind), "score": s}
                             )
                         )
-                yield pd.concat(outs) if outs else pd.DataFrame(
-                    {"docid": pd.array([], dtype="int64"),
-                     "cidx": pd.array([], dtype="int32"),
-                     "is_must": pd.array([], dtype="int32"),
-                     "score": pd.array([], dtype="float32")}
-                )
+                yield pd.concat(outs) if outs else empty
 
-        return flat.mapInPandas(
-            score_flat, schema="docid long, cidx int, is_must int, score float"
-        )
+        return flat.mapInPandas(score_flat, schema=schema)
 
     # ----------------------------------------------------- boolean
     def _boolean(self, q: BooleanQuery, stats) -> DataFrame | None:
@@ -471,33 +474,41 @@ class IndexSearcher:
         if not must and not should:
             return None  # pure negation matches nothing (needs MatchAll)
 
-        # TermQuery clauses all ride ONE postings scan; anything else
-        # (nested boolean, phrase, constant-score) compiles recursively
+        # TermQuery clauses — including prohibited ones — all ride ONE
+        # postings scan; anything else (nested boolean, phrase,
+        # constant-score) compiles recursively. Complex MUST_NOT
+        # clauses go through the anti-join path.
         term_plan: dict[str, list[tuple[int, int, float]]] = {}
         frames = []
+        complex_nots = []
         for cidx, c in enumerate(q.clauses):
             if c.occur == Occur.MUST_NOT:
+                if isinstance(c.query, TermQuery):
+                    if c.query.term in stats:
+                        term_plan.setdefault(c.query.term, []).append((cidx, -1, 0.0))
+                else:
+                    complex_nots.append(c)
                 continue
-            is_must = 1 if c.occur == Occur.MUST else 0
+            kind = 1 if c.occur == Occur.MUST else 0
             if isinstance(c.query, TermQuery):
                 if c.query.term not in stats:
-                    if is_must:
+                    if kind:
                         return None  # unmatched MUST ⇒ empty result
                     continue
                 df_, _ = stats[c.query.term]
                 w = bm25.term_weight(bm25.idf(df_, self.index.max_doc), c.query.boost)
-                term_plan.setdefault(c.query.term, []).append((cidx, is_must, float(w)))
+                term_plan.setdefault(c.query.term, []).append((cidx, kind, float(w)))
                 continue
             sub = self._compile(c.query, stats, None)
             if sub is None:
-                if is_must:
+                if kind:
                     return None
                 continue
             frames.append(
                 sub.select(
                     "docid",
                     F.lit(cidx).alias("cidx"),
-                    F.lit(is_must).alias("is_must"),
+                    F.lit(kind).alias("kind"),
                     "score",
                 )
             )
@@ -513,11 +524,20 @@ class IndexSearcher:
         required_should = max(min_should, 0 if must else 1)
 
         agg = pos.groupBy("docid").agg(
-            F.sum("is_must").alias("n_must"),
-            F.sum(1 - F.col("is_must")).alias("n_should"),
-            F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs"),
+            F.sum((F.col("kind") == 1).cast("int")).alias("n_must"),
+            F.sum((F.col("kind") == 0).cast("int")).alias("n_should"),
+            F.sum((F.col("kind") == -1).cast("int")).alias("n_not"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("kind") >= 0, F.struct("cidx", "score"))
+                )
+            ).alias("cs"),
         )
-        cond = (F.col("n_must") == len(must)) & (F.col("n_should") >= required_should)
+        cond = (
+            (F.col("n_must") == len(must))
+            & (F.col("n_should") >= required_should)
+            & (F.col("n_not") == 0)
+        )
         agg = agg.where(cond)
 
         boost = float(np.float32(q.boost))
@@ -534,7 +554,7 @@ class IndexSearcher:
             return pd.Series(out)
 
         scored = agg.select("docid", fold(F.col("cs")).alias("score"))
-        return self._apply_not(scored, nots, stats)
+        return self._apply_not(scored, complex_nots, stats)
 
     def _apply_not(self, scored: DataFrame, nots, stats) -> DataFrame:
         if not nots:
