@@ -289,6 +289,9 @@ class IndexSearcher:
             and df_ > 64 * _BLOCK_SIZE
         ):
             blocks = self._prune_blocks(blocks, weight, cache, top_k)
+        # project before the UDF so parquet column pruning skips the
+        # positions payload (the widest column) entirely
+        blocks = blocks.select("docs_enc", "freqs_enc", "norms_enc")
 
         w = float(weight)
 
