@@ -216,15 +216,24 @@ class OracleSearcher:
         cand = set.intersection(*docsets)
         out = {}
         for d in sorted(cand):
-            acc = np.array(self.index.postings[terms[0]][d][1], dtype=np.int64) - rels[0]
-            for t, r in zip(terms[1:], rels[1:]):
-                acc = np.intersect1d(
-                    acc, np.array(self.index.postings[t][d][1], dtype=np.int64) - r
-                )
-                if acc.size == 0:
-                    break
-            if acc.size:
+            if q.slop == 0:
+                acc = np.array(self.index.postings[terms[0]][d][1], dtype=np.int64) - rels[0]
+                for t, r in zip(terms[1:], rels[1:]):
+                    acc = np.intersect1d(
+                        acc, np.array(self.index.postings[t][d][1], dtype=np.int64) - r
+                    )
+                    if acc.size == 0:
+                        break
                 f = np.float32(acc.size)
+            else:
+                from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
+                offs = [
+                    np.array(self.index.postings[t][d][1], dtype=np.int64) - r
+                    for t, r in zip(terms, rels)
+                ]
+                f = sloppy_phrase_freq(offs, q.slop)
+            if f > 0:
                 c = self._cache[int(self.index.norms[d])]
                 out[d] = np.float32(w * f / (f + c))
         return out

@@ -106,10 +106,11 @@ class _Parser:
                 text = m.group("quoted")[1:-1]
                 pairs = analyze(text)
                 boost = self.maybe_boost()
-                # "x"~2 slop: parse and ignore slop>0 for now (exact only)
+                slop = 0
                 sm = re.match(r"~(\d+)", self.s[self.i :])
                 if sm:
                     self.i += sm.end()
+                    slop = int(sm.group(1))
                 if not pairs:
                     q = None
                 elif len(pairs) == 1:
@@ -120,6 +121,7 @@ class _Parser:
                         boost=boost,
                         phrase_terms=tuple(t for t, _ in pairs),
                         term_positions=tuple(p - base for _, p in pairs),
+                        slop=slop,
                     )
             elif kind == "range":
                 body = m.group("range")

@@ -91,14 +91,18 @@ class BooleanQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase (slop=0): terms at consecutive positions, scored
-    with BM25 over the phrase frequency and summed idf
-    (``Search/ExactPhraseScorer.cs``; weight idf sum per
-    ``BM25Similarity.IdfExplain(collectionStats, termStats[])``)."""
+    """Phrase query. slop=0: exact — terms at consecutive positions
+    (``Search/ExactPhraseScorer.cs``), integer phrase frequency.
+    slop>0: sloppy — greedy minimal-window matching with
+    1/(1+matchLength) fractional frequency (functions/sloppy.py; the
+    ``SloppyPhraseScorer`` role with a pinned deterministic spec).
+    Scored with BM25 over the phrase frequency and summed idf
+    (``BM25Similarity.IdfExplain(collectionStats, termStats[])``)."""
 
     phrase_terms: tuple[str, ...] = ()
     # relative positions, defaults to 0..n-1; stopword gaps allowed
     term_positions: tuple[int, ...] | None = None
+    slop: int = 0
 
     def positions(self) -> tuple[int, ...]:
         return self.term_positions or tuple(range(len(self.phrase_terms)))

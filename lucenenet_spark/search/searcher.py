@@ -666,19 +666,26 @@ class IndexSearcher:
             .where(F.col("nt") == len(uniq))
         )
 
+        slop = q.slop
+
         @F.pandas_udf("float")
         def phrase_score(tp: pd.Series, norm: pd.Series) -> pd.Series:
+            from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
             w32 = np.float32(wf)
             out = np.empty(len(tp), dtype=np.float32)
             for i, lst in enumerate(tp):
                 posmap = {item["term"]: np.asarray(item["positions"], dtype=np.int64) for item in lst}
-                base = posmap[terms_l[0]] - rels_l[0]
-                acc = base
-                for t, r in zip(terms_l[1:], rels_l[1:]):
-                    acc = np.intersect1d(acc, posmap[t] - r, assume_unique=False)
-                    if acc.size == 0:
-                        break
-                freq = np.float32(acc.size)
+                if slop == 0:
+                    acc = posmap[terms_l[0]] - rels_l[0]
+                    for t, r in zip(terms_l[1:], rels_l[1:]):
+                        acc = np.intersect1d(acc, posmap[t] - r, assume_unique=False)
+                        if acc.size == 0:
+                            break
+                    freq = np.float32(acc.size)
+                else:
+                    offs = [posmap[t] - r for t, r in zip(terms_l, rels_l)]
+                    freq = sloppy_phrase_freq(offs, slop)
                 if freq == 0:
                     out[i] = np.nan
                 else:
