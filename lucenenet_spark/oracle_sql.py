@@ -300,6 +300,22 @@ scored AS (
     )
 
 
+def filtered_query_sql(term: str, meta_col: str, meta_val: str, k: int = K) -> str:
+    """FilteredQuery: BM25 scores of a term query restricted to docs
+    matching a metadata predicate (filter affects matching only)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+kept AS (
+  SELECT s.docid, s.s FROM t0 s
+  JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.docid
+  WHERE d.{meta_col} = '{meta_val}'
+)"""
+        + _topk("kept", k)
+    )
+
+
 def facet_sql(term: str, facet_col: str) -> str:
     """Facet counts over a TermQuery's matches."""
     return (

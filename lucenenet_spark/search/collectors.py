@@ -84,6 +84,24 @@ def grouped_topk(
     )
 
 
+def filtered_topk(
+    searcher: IndexSearcher, query: Query, predicate, k: int = 10
+) -> DataFrame:
+    """FilteredQuery (``Search/FilteredQuery.cs``): a non-scoring
+    metadata predicate composed with a scoring query — the filter is a
+    plain ``where`` on the docs table (parquet pushdown) semi-joined
+    into the scored set; scores are untouched (the filter contributes
+    matching, never scoring, like the reference's random-access
+    strategy). Catalyst picks broadcast vs shuffle join by stats."""
+    scored = searcher.scored_docs(query)
+    keep = searcher.index.docs.where(predicate).select("docid")
+    return (
+        scored.join(keep, "docid", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def search_after(
     searcher: IndexSearcher,
     query: Query,
