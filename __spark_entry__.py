@@ -346,6 +346,10 @@ def _q_ann_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return sim.cosine_topk_ivf(_emb(spark, sf_dir), query_id=0, k=10)
+
+
 def _q_embedding_dups(spark, sf_dir):
     return sim.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.42)
 
@@ -380,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": _q_ann_quantized,
         "ann_float": _q_ann_float,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "media_stats": _q_media_stats,

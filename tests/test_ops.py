@@ -160,6 +160,23 @@ def test_lsh_topk_is_exact_within_candidates(emb_df):
             assert abs(r["sim"] - exact_map[r["id"]]) < 1e-12
 
 
+def test_ivf_topk_deterministic_and_exact_within_probes(emb_df):
+    a = similarity.cosine_topk_ivf(emb_df, query_id=0, k=5, n_centroids=4, nprobe=2).collect()
+    b = similarity.cosine_topk_ivf(emb_df, query_id=0, k=5, n_centroids=4, nprobe=2).collect()
+    assert [(r["id"], r["sim"]) for r in a] == [(r["id"], r["sim"]) for r in b]
+    sims = [r["sim"] for r in a]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r["id"]: r["sim"] for r in similarity.cosine_topk_quantized(emb_df, 0, 20).collect()}
+    for r in a:
+        assert abs(r["sim"] - exact[r["id"]]) < 1e-12
+
+
+def test_ivf_full_probe_equals_exact(emb_df):
+    ivf = similarity.cosine_topk_ivf(emb_df, query_id=0, k=5, n_centroids=4, nprobe=4).collect()
+    exact = similarity.cosine_topk_quantized(emb_df, query_id=0, k=5).collect()
+    assert [(r["id"], r["sim"]) for r in ivf] == [(r["id"], r["sim"]) for r in exact]
+
+
 def test_embedding_dup_pairs_exact(emb_df):
     got = {
         (r["id_a"], r["id_b"]): r["sim"]
