@@ -358,6 +358,20 @@ def _q_embedding_dups_lsh(spark, sf_dir):
     return sim.embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.42)
 
 
+def _q_event_windows(spark, sf_dir):
+    from lucenenet_spark.streaming.windows import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return windowed_event_counts(events, "1 hour")
+
+
+def _q_event_sessions(spark, sf_dir):
+    from lucenenet_spark.streaming.windows import event_sessions
+
+    events = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return event_sessions(events, "30 minutes")
+
+
 def _q_media_stats(spark, sf_dir):
     return mm.media_stats(mm.media_from_text(_docs(spark, sf_dir)))
 
@@ -387,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
+        "event_window_counts": _q_event_windows,
+        "event_sessions": _q_event_sessions,
         "media_stats": _q_media_stats,
         "frame_samples": _q_frame_samples,
         "media_features": _q_media_features,
@@ -436,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oosql.fingerprint_sql(),
         "ann_quantized": oosql.ann_quantized_sql(),
         "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
+        "event_window_counts": osql.event_window_counts_sql(),
+        "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),
         "frame_samples": oosql.frame_samples_sql(),
         "tokenize": osql.tokenize_sql(),

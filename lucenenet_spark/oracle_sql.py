@@ -300,6 +300,46 @@ scored AS (
     )
 
 
+def event_window_counts_sql(hours: int = 1) -> str:
+    """Tumbling event-time windows (batch semantics of the streaming
+    windowed agg); DECIMAL sum keeps cross-engine exactness."""
+    return f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type"""
+
+
+def event_sessions_sql(gap_minutes: int = 30) -> str:
+    """Gaps-and-islands mirror of session_window: a session breaks when
+    the inter-event gap is >= the session gap (Spark's window is
+    [start, last+gap), so an event landing exactly at the boundary
+    starts a new session)."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       -- floor: epoch() keeps fractional seconds and DuckDB's cast
+       -- ROUNDS, while Spark's unix_timestamp truncates
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, grp"""
+
+
 def filtered_query_sql(term: str, meta_col: str, meta_val: str, k: int = K) -> str:
     """FilteredQuery: BM25 scores of a term query restricted to docs
     matching a metadata predicate (filter affects matching only)."""
