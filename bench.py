@@ -93,6 +93,11 @@ def main() -> None:
     all_runs.sort()
     p95 = all_runs[min(int(len(all_runs) * 0.95), len(all_runs) - 1)]
 
+    # batched serving path: the whole suite as ONE Spark job
+    t = time.perf_counter()
+    searcher.search_many(qset, 10).collect()
+    batched_sec = time.perf_counter() - t
+
     out = {
         "metric": "index_build_plus_bm25_query_suite",
         "value": round(build_sec + suite_sec, 3),
@@ -104,6 +109,7 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p95_query_sec": round(p95, 4),
+        "suite_batched_sec": round(batched_sec, 4),
     }
     print(json.dumps(out))
 

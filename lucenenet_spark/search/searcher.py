@@ -160,10 +160,95 @@ class IndexSearcher:
             )
         return scored
 
+    def search_many(self, queries: dict[str, Query], k: int = 10) -> DataFrame:
+        """Batched query execution: every query's top-k in ONE Spark
+        job — (query_id, rank, docid, score). A single query's latency
+        floor is the scheduler + Python-worker round-trip (~0.3 s
+        here), so a serving tier micro-batches concurrent queries; the
+        unioned plan shares scan caching and amortizes the fixed cost
+        across the batch."""
+        from pyspark.sql import Window
+
+        parts = []
+        for name, q in queries.items():
+            df = self.search_df(q, k)
+            w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+            parts.append(
+                df.select(
+                    F.lit(name).alias("query_id"),
+                    F.row_number().over(w).cast("long").alias("rank"),
+                    "docid",
+                    "score",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def matching_docids(self, query: Query) -> DataFrame:
         """Distinct docids matching the query (the non-scoring Filter /
         DocIdSet view, ``Search/Filter.cs``)."""
         return self.scored_docs(query).select("docid").distinct()
+
+    def explain(self, query: Query, docid: int) -> dict:
+        """Score breakdown for one document — the
+        ``IndexSearcher.Explain`` / ``BM25Similarity.Explain`` surface
+        (``Search/IndexSearcher.cs``; ``BM25Similarity.cs:266-328``):
+        a nested dict with the float32 value at each node plus the
+        idf/freq/norm components for term leaves. The root value is
+        bit-identical to the doc's score in ``search``."""
+        from lucenenet_spark.search.mlt import doc_term_freqs
+
+        q = self._expand(query.rewrite())
+        stats = self._collect_stats(q)
+        tfs = {r["term"]: int(r["freq"]) for r in doc_term_freqs(self, docid).collect()}
+        norm_row = self.index.docs.where(F.col("docid") == docid).select("norm").collect()
+        norm = int(norm_row[0]["norm"]) if norm_row else 255
+
+        def node(sub: Query) -> dict:
+            if isinstance(sub, TermQuery):
+                if sub.term not in stats or sub.term not in tfs:
+                    return {"type": "term", "term": sub.term, "match": False, "value": 0.0}
+                df_, _ = stats[sub.term]
+                idf = bm25.idf(df_, self.index.max_doc)
+                w = bm25.term_weight(idf, sub.boost)
+                f = np.float32(tfs[sub.term])
+                c = self._cache[norm]
+                val = np.float32(w * f / (f + c))
+                return {
+                    "type": "term", "term": sub.term, "match": True,
+                    "value": float(val), "freq": float(f), "idf": float(idf),
+                    "boost": sub.boost, "doc_freq": df_, "norm_byte": norm,
+                    "norm_cache": float(c), "k1": 1.2, "b": 0.75,
+                }
+            if isinstance(sub, BooleanQuery):
+                kids, acc = [], np.float32(0.0)
+                ok, n_should = True, 0
+                for c in sub.clauses:
+                    kn = node(c.query)
+                    kn["occur"] = c.occur.value
+                    kids.append(kn)
+                    if c.occur == Occur.MUST_NOT:
+                        if kn["match"]:
+                            ok = False
+                        continue
+                    if c.occur == Occur.MUST and not kn["match"]:
+                        ok = False
+                    if kn["match"]:
+                        if c.occur == Occur.SHOULD:
+                            n_should += 1
+                        acc = np.float32(acc + np.float32(kn["value"]))
+                must = [c for c in sub.clauses if c.occur == Occur.MUST]
+                required_should = max(
+                    sub.minimum_number_should_match, 0 if must else 1
+                )
+                match = ok and n_should >= required_should
+                val = float(np.float32(acc * np.float32(sub.boost))) if match else 0.0
+                return {"type": "boolean", "match": match, "value": val, "clauses": kids}
+            raise NotImplementedError(f"explain: {type(sub).__name__}")
+
+        return node(q)
 
     # ------------------------------------------------- query expansion
     def _expand(self, q: Query) -> Query:

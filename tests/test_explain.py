@@ -1,0 +1,64 @@
+"""Explain API + batched multi-query execution."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark_index):
+    return IndexSearcher(spark_index)
+
+
+def test_explain_term_matches_search_score(searcher):
+    q = TermQuery(term="return")
+    hits = searcher.search(q, 5)
+    for h in hits[:3]:
+        e = searcher.explain(q, h.docid)
+        assert e["match"] and e["value"] == h.score
+        assert e["doc_freq"] > 0 and e["freq"] >= 1 and 0 <= e["norm_byte"] <= 255
+
+
+def test_explain_boolean_matches_search_score(searcher):
+    q = BooleanQuery.of(
+        (TermQuery(term="return"), Occur.MUST),
+        (TermQuery(term="value"), Occur.SHOULD),
+        (TermQuery(term="data0"), Occur.MUST_NOT),
+    )
+    hits = searcher.search(q, 5)
+    assert hits
+    for h in hits[:3]:
+        e = searcher.explain(q, h.docid)
+        assert e["match"] and e["value"] == h.score
+        occurs = {c["occur"] for c in e["clauses"]}
+        assert occurs == {"MUST", "SHOULD", "MUST_NOT"}
+
+
+def test_explain_non_match(searcher):
+    q = TermQuery(term="return")
+    # find a doc lacking the term
+    matched = {r["docid"] for r in searcher.matching_docids(q).collect()}
+    all_ids = set(range(searcher.index.max_doc))
+    missing = sorted(all_ids - matched)
+    if missing:
+        e = searcher.explain(q, missing[0])
+        assert not e["match"] and e["value"] == 0.0
+
+
+def test_search_many_matches_individual(searcher):
+    queries = {
+        "a": TermQuery(term="return"),
+        "b": BooleanQuery.of(
+            (TermQuery(term="value"), Occur.MUST), (TermQuery(term="x"), Occur.SHOULD)
+        ),
+    }
+    rows = searcher.search_many(queries, 5).collect()
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    for name, q in queries.items():
+        expect = [(h.docid, h.score) for h in searcher.search(q, 5)]
+        assert got[name] == expect, name
