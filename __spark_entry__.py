@@ -212,6 +212,15 @@ def _q_filtered(spark, sf_dir):
     return _ranked(coll.filtered_topk(s, TermQuery(term="spark"), F.col("lang") == "en", 10))
 
 
+def _q_numeric_range(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(
+        coll.filtered_topk(
+            s, TermQuery(term="spark"), F.col("field_length").between(20, 30), 10
+        )
+    )
+
+
 def _q_grouped_topk(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.grouped_topk(s, TermQuery(term="hash"), "source", k_groups=10, k_per_group=3)
@@ -422,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": _q_phrase,
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
+        "numeric_range_query": _q_numeric_range,
         "grouped_topk": _q_grouped_topk,
         "search_after": _q_search_after,
         "rescore": _q_rescore,
@@ -473,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_query": osql.phrase_sql("table", "hash"),
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),
+        "numeric_range_query": osql.numeric_range_query_sql("spark", 20, 30),
         "grouped_topk": osql.grouped_topk_sql("hash", "source", 10, 3),
         "search_after": osql.search_after_sql("spark", page=2, k=10),
         "rescore": osql.rescore_sql("hash", "table", "hash", 1.0, 2.0, 50, 10),

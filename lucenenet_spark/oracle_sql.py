@@ -356,6 +356,24 @@ kept AS (
     )
 
 
+def numeric_range_query_sql(term: str, lo: int, hi: int, k: int = K) -> str:
+    """NumericRangeQuery analog: BM25 term scores restricted to docs
+    whose field_length lies in [lo, hi] — the trie-term machinery of
+    ``Search/NumericRangeQuery.cs`` collapses to a typed-column BETWEEN
+    with parquet min/max pruning (SURVEY.md §4.1)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+kept AS (
+  SELECT s.docid, s.s FROM t0 s
+  JOIN norms n ON n.docid = s.docid
+  WHERE n.fl BETWEEN {lo} AND {hi}
+)"""
+        + _topk("kept", k)
+    )
+
+
 def facet_sql(term: str, facet_col: str) -> str:
     """Facet counts over a TermQuery's matches."""
     return (
