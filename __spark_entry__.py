@@ -10,7 +10,22 @@ n_chars); docid ≡ doc_id.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The engine's Arrow UDF closures import lucenenet_spark inside Python
+# workers; the worker daemon inherits the DRIVER process env, so pin
+# PYTHONPATH before any session spawns workers (harmless if the caller
+# already did). Same for the BLAS pools (see session.py).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(p for p in (_REPO, _pp) if p)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
