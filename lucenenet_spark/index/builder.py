@@ -576,7 +576,8 @@ def build_index(
     spark: SparkSession,
     corpus: DataFrame,
     spec: CorpusSpec | None = None,
-    with_packed: bool = True,
+    with_packed: bool = True,  # kept for API compat; packing is always fused
+    partitions: int | None = None,
 ) -> InvertedIndex:
     spec = spec or CorpusSpec()
     meta = [
@@ -599,7 +600,7 @@ def build_index(
         # assignment FUSED into the tokenize stage (a separate
         # assignment mapInPandas would double the JVM<->Python hops for
         # every content byte)
-        ordered, offsets = _ordered_with_offsets(corpus, spec)
+        ordered, offsets = _ordered_with_offsets(corpus, spec, partitions)
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(_segment_gen(offsets, meta), schema=schema)
