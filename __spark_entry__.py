@@ -405,7 +405,7 @@ def _q_frame_samples(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    return mm.extract_features(mm.media_from_text(_docs(spark, sf_dir)))
+    return mm.extract_feature_rows(mm.media_from_text(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -462,9 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # ann_float / ann_lsh / media_features intentionally omitted:
-    # float fold order and sha-seeded fakes aren't SQL-expressible →
-    # driver records the weaker rows-only check for them
+    # ann_float intentionally omitted: float fold order isn't
+    # SQL-expressible → driver records the weaker rows-only check
     return {
         "dedup_exact": oosql.dedup_exact_sql(),
         "minhash_sigs": oosql.minhash_sigs_sql(),
@@ -481,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),
         "frame_samples": oosql.frame_samples_sql(),
+        "media_features": oosql.media_features_sql(),
         "tokenize": osql.tokenize_sql(),
         "positions": osql.positions_sql("dup"),
         "term_stats": osql.term_stats_sql(),

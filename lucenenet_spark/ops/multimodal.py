@@ -118,6 +118,43 @@ def extract_features(
     )
 
 
+def extract_feature_rows(
+    media_df: DataFrame, feature_dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Decode + featurize to EXPLODED rows ``(media_id, dim, value)`` —
+    the oracle-checkable form of :func:`extract_features` (array cells
+    aren't hashable/sortable downstream; exploded rows are, and they're
+    also the layout the similarity ops consume).
+
+    The test-double featurizer is digest-derived integer math:
+    ``value[d] = int(sha256(payload).hex()[4d:4d+4], 16)`` — fully
+    SQL-expressible, so the DuckDB oracle reproduces every value
+    bit-for-bit. The mapInPandas batch shape (one Arrow batch of binary
+    cells in, one frame out) is exactly what a real encoder uses;
+    deployments swap the digest for codec+model keeping this schema.
+    """
+    if not 1 <= feature_dim <= 16:
+        raise ValueError("feature_dim must be in [1, 16] (64 hex chars / 4)")
+    import hashlib as _hl
+
+    def featurize(iterator):
+        for pdf in iterator:
+            ids = np.repeat(pdf["media_id"].to_numpy(dtype=np.int64), feature_dim)
+            dims = np.tile(np.arange(feature_dim, dtype=np.int64), len(pdf))
+            vals = np.empty(len(pdf) * feature_dim, dtype=np.int64)
+            for i, payload in enumerate(pdf["media"]):
+                hx = _hl.sha256(
+                    bytes(payload) if payload is not None else b""
+                ).hexdigest()
+                for d in range(feature_dim):
+                    vals[i * feature_dim + d] = int(hx[4 * d : 4 * d + 4], 16)
+            yield pd.DataFrame({"media_id": ids, "dim": dims, "value": vals})
+
+    return media_df.select("media_id", "media").mapInPandas(
+        featurize, schema="media_id long, dim long, value long"
+    )
+
+
 def sample_frames(media_df: DataFrame, n_samples: int = 4) -> DataFrame:
     """Deterministic frame sampling for video rows: evenly-strided
     frame indices from meta.n_frames (JVM-side sequence math, one row

@@ -310,6 +310,18 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
 FROM documents"""
 
 
+def media_features_sql(feature_dim: int = 16) -> str:
+    """Mirror of ops/multimodal.py::extract_feature_rows — per-dim
+    16-bit integers sliced from the payload sha256 hex digest."""
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, sha256({_T}) AS hx FROM documents
+)
+SELECT media_id, CAST(u.d AS BIGINT) AS dim,
+       CAST('0x' || substring(hx, CAST(u.d AS INT) * 4 + 1, 4) AS BIGINT) AS value
+FROM m, UNNEST(range({feature_dim})) AS u(d)"""
+
+
 def frame_samples_sql(n_samples: int = 4) -> str:
     return f"""
 SELECT DISTINCT CAST(doc_id AS BIGINT) AS media_id,

@@ -284,6 +284,19 @@ def test_extract_features_deterministic(docs_df):
     assert a[0] == expect
 
 
+def test_extract_feature_rows_matches_digest(docs_df):
+    media = multimodal.media_from_text(docs_df)
+    rows = multimodal.extract_feature_rows(media).collect()
+    n_docs = docs_df.count()
+    assert len(rows) == n_docs * multimodal.FEATURE_DIM
+    got = {(r["media_id"], r["dim"]): r["value"] for r in rows}
+    hx = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    for d in range(multimodal.FEATURE_DIM):
+        assert got[(0, d)] == int(hx[4 * d : 4 * d + 4], 16)
+    with pytest.raises(ValueError):
+        multimodal.extract_feature_rows(media, feature_dim=17)
+
+
 def test_sample_frames(docs_df):
     media = multimodal.media_from_text(docs_df)
     got = {}
