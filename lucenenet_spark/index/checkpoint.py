@@ -65,6 +65,11 @@ def _write_manifest_atomic(path: str, shard: int, record: dict) -> None:
 
 
 def read_manifest(path: str) -> dict[int, dict]:
+    """Committed, live shard records. A shard listed in any committed
+    record's ``supersedes`` (a compaction's inputs) is dropped even if
+    its manifest file still exists — closing the crash window between
+    a compaction's commit and the removal of the inputs it replaced
+    (otherwise readers would union both and double every document)."""
     mdir = os.path.join(path, "manifest")
     out: dict[int, dict] = {}
     if not os.path.isdir(mdir):
@@ -74,7 +79,24 @@ def read_manifest(path: str) -> dict[int, dict]:
             with open(os.path.join(mdir, name)) as f:
                 rec = json.load(f)
             out[int(rec["shard"])] = rec
-    return out
+    dead = {int(s) for rec in out.values() for s in rec.get("supersedes", [])}
+    return {s: rec for s, rec in out.items() if s not in dead}
+
+
+def next_doc_base(manifest: dict[int, dict]) -> int:
+    """Docid high-water mark + 1 over committed shards. Compaction
+    keeps surviving docids unremapped (sparse), so summing per-shard
+    doc COUNTS after any tombstoned compaction would hand out docids
+    below the max surviving docid — colliding two documents. The only
+    safe base is max(doc_max)+1."""
+    base = 0
+    for rec in manifest.values():
+        if rec.get("doc_max") is not None:
+            hi = int(rec["doc_max"]) + 1
+        else:  # legacy record: dense range (doc_base, docs)
+            hi = int(rec.get("doc_base", 0)) + int(rec.get("docs", 0))
+        base = max(base, hi)
+    return base
 
 
 def stage_corpus(
@@ -179,6 +201,9 @@ def _shard_counters(spark: SparkSession, sdir: str) -> dict:
     docs = spark.read.parquet(os.path.join(sdir, "docs"))
     packed = spark.read.parquet(os.path.join(sdir, "packed"))
     ts = spark.read.parquet(os.path.join(sdir, "term_stats"))
+    drow = docs.agg(
+        F.count("*").alias("n"), F.coalesce(F.max("docid"), F.lit(-1)).alias("mx")
+    ).collect()[0]
     prow = packed.agg(
         F.coalesce(F.sum("count"), F.lit(0)).alias("postings"),
         F.coalesce(
@@ -192,7 +217,8 @@ def _shard_counters(spark: SparkSession, sdir: str) -> dict:
         ).alias("bytes"),
     ).collect()[0]
     return {
-        "docs": docs.count(),
+        "docs": int(drow["n"]),
+        "doc_max": int(drow["mx"]),
         "terms": ts.count(),
         "postings": int(prow["postings"]),
         "bytes": int(prow["bytes"]),
@@ -207,23 +233,41 @@ def check_index(spark: SparkSession, path: str) -> dict:
     out: dict[int, dict] = {}
     for shard, rec in sorted(manifest.items()):
         sdir = os.path.join(path, "shards", str(shard))
-        actual = _shard_counters(spark, sdir)
-        expected = {k: rec[k] for k in ("docs", "terms", "postings", "bytes")}
+        keys = ("docs", "terms", "postings", "bytes")
+        actual_all = _shard_counters(spark, sdir)
+        actual = {k: actual_all[k] for k in keys}
+        expected = {k: rec[k] for k in keys}
         # cross-table reconciliation: postings rows must also equal the
         # sum of term_stats.df (every (doc,term) pair counted once)
         ts = spark.read.parquet(os.path.join(sdir, "term_stats"))
         df_sum = ts.agg(F.coalesce(F.sum("df"), F.lit(0))).collect()[0][0]
         ok = actual == expected and int(df_sum) == actual["postings"]
+        if rec.get("doc_max") is not None:
+            ok = ok and int(rec["doc_max"]) == actual_all["doc_max"]
         out[shard] = {"ok": ok, "expected": expected, "actual": actual}
     return out
 
 
 def load_sharded(spark: SparkSession, path: str) -> InvertedIndex:
     """Open the sharded index as one logical InvertedIndex: shard
-    tables union by glob (docid-disjoint ⇒ no merge), term_stats
-    partials sum-merged (the distributed TermContext.Build)."""
+    tables union (docid-disjoint ⇒ no merge), term_stats partials
+    sum-merged (the distributed TermContext.Build).
+
+    The shard set comes from the MANIFEST, not a directory listing:
+    shard data is written BEFORE its manifest, so a crash in that
+    window leaves a partial/orphan directory that a listdir-based
+    reader would include (duplicated or truncated docs). A shard is
+    visible iff its manifest says ``done`` and no committed compaction
+    supersedes it; unmanifested directories are garbage
+    (``gc_orphan_shards`` removes them)."""
     base = os.path.join(path, "shards")
-    shards = sorted(os.listdir(base), key=int)
+    manifest = read_manifest(path)
+    shards = sorted(
+        (str(s) for s, rec in manifest.items() if rec.get("status") == "done"),
+        key=int,
+    )
+    if not shards:
+        raise ValueError(f"no committed shards under {path}")
     docs = spark.read.parquet(*[os.path.join(base, s, "docs") for s in shards])
     packed = spark.read.parquet(*[os.path.join(base, s, "packed") for s in shards])
     term_stats = (
@@ -244,3 +288,33 @@ def load_sharded(spark: SparkSession, path: str) -> InvertedIndex:
         max_doc=int(cs[0]),
         sum_total_term_freq=int(cs[1]),
     )
+
+
+def gc_orphan_shards(path: str) -> list[str]:
+    """Remove garbage the commit protocol can leave behind: shard
+    directories without a live manifest record (crash between data
+    write and manifest commit) and manifest files of superseded shards
+    (crash between a compaction's commit and input retirement).
+    Readers already ignore both — this just reclaims space. Returns the
+    removed paths."""
+    import shutil
+
+    live = read_manifest(path)
+    removed: list[str] = []
+    sdir = os.path.join(path, "shards")
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            if name.isdigit() and int(name) not in live:
+                p = os.path.join(sdir, name)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+    mdir = os.path.join(path, "manifest")
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith("shard_") and name.endswith(".json"):
+                shard = int(name[len("shard_") : -len(".json")])
+                if shard not in live:
+                    p = os.path.join(mdir, name)
+                    os.remove(p)
+                    removed.append(p)
+    return removed

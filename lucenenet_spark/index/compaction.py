@@ -140,9 +140,22 @@ def compact_shards(spark: SparkSession, path: str) -> dict:
     ).write.mode("overwrite").parquet(os.path.join(sdir, "corpus_stats"))
 
     counters = _shard_counters(spark, sdir)
+    # docid high-water mark survives even an everything-deleted
+    # compaction: carry the max over the inputs so a later append never
+    # reuses a docid that once existed (tombstones may still reference
+    # it, and readers of older snapshots may still hold it)
+    old_hi = max(
+        int(rec.get("doc_max", int(rec.get("doc_base", 0)) + int(rec.get("docs", 0)) - 1))
+        for rec in (manifest[s] for s in old_shards)
+    )
+    counters["doc_max"] = max(counters["doc_max"], old_hi)
     rec = {
         "shard": new_shard,
         "fingerprint": f"compaction:{'+'.join(map(str, old_shards))}",
+        # recovery metadata: any shard listed here is dead the instant
+        # this manifest commits — read_manifest drops them, so a crash
+        # before the removal loop below cannot double-count documents
+        "supersedes": [int(s) for s in old_shards],
         "status": "done",
         "wall_sec": round(time.perf_counter() - t0, 3),
         **counters,

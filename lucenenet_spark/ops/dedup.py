@@ -182,18 +182,29 @@ def ngram_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    # sizes join is LEFT + coalesce(0): a candidate doc with zero
+    # shingles (empty/short text) must still appear in the output —
+    # an inner join would silently drop the pair instead of reporting
+    # jaccard 0; and union==0 (both sides empty) guards the 0/0
     out = (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .fillna({"inter": 0})
-        .join(F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))), "id_b")
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))),
+            "id_a", "left",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))),
+            "id_b", "left",
+        )
+        .fillna({"size_a": 0, "size_b": 0})
     )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
     return out.select(
         "id_a", "id_b", "inter", "size_a", "size_b",
-        (
-            F.col("inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
-        ).alias("jaccard"),
+        F.when(union == 0, F.lit(0.0))
+        .otherwise(F.col("inter").cast("double") / union.cast("double"))
+        .alias("jaccard"),
     )
 
 

@@ -104,13 +104,16 @@ inter AS (
   GROUP BY p.id_a, p.id_b
 )
 SELECT p.id_a, p.id_b, coalesce(i.inter, 0) AS inter,
-       sa.sz AS size_a, sb.sz AS size_b,
-       CAST(coalesce(i.inter, 0) AS DOUBLE)
-         / CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE) AS jaccard
+       coalesce(sa.sz, 0) AS size_a, coalesce(sb.sz, 0) AS size_b,
+       CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.inter, 0) = 0
+            THEN 0.0
+            ELSE CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / CAST(coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.inter, 0) AS DOUBLE)
+       END AS jaccard
 FROM pairs p
 LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-JOIN sizes sa ON sa.id = p.id_a
-JOIN sizes sb ON sb.id = p.id_b"""
+LEFT JOIN sizes sa ON sa.id = p.id_a
+LEFT JOIN sizes sb ON sb.id = p.id_b"""
     )
 
 

@@ -44,17 +44,21 @@ from lucenenet_spark.index.checkpoint import (
     _shard_counters,
     _write_manifest_atomic,
     load_sharded,
+    next_doc_base,
     read_manifest,
 )
 
 
 def _next_shard_and_base(path: str) -> tuple[int, int]:
+    """Next shard id and docid base. The base is the docid high-water
+    mark + 1 (``next_doc_base``), NOT the sum of per-shard doc counts:
+    compaction keeps surviving docids sparse, so after any tombstoned
+    compaction a count-sum would assign new docids below the max
+    surviving docid and merge two documents' postings."""
     manifest = read_manifest(path)
     if not manifest:
         return 0, 0
-    shard = max(manifest) + 1
-    base = sum(m["docs"] for m in manifest.values())
-    return shard, base
+    return max(manifest) + 1, next_doc_base(manifest)
 
 
 def append_batch(
@@ -79,18 +83,19 @@ def append_batch(
     n = batch_df.count()
     if n == 0:
         return {}
-    # docids: contiguous range starting at the current total (docBase);
-    # within-batch order = the pinned total order on the batch
-    ordered = batch_df.orderBy(*[F.col(c) for c in spec.order_cols]) if not spec.id_col else batch_df
-    if spec.id_col:
-        with_ids = ordered.withColumn("docid", F.col(spec.id_col).cast("long") + base)
-    else:
-        from pyspark.sql import Window
+    # docids: a DENSE contiguous range starting at the docid high-water
+    # mark (docBase). Always derived from row_number over the pinned
+    # within-batch order — an id_col is used only as that order (global
+    # id values are NOT reused as docids: they aren't 0-based per batch,
+    # so base+id would leave gaps and collide across shards while the
+    # manifest records dense ranges).
+    from pyspark.sql import Window
 
-        w = Window.orderBy(*[F.col(c) for c in spec.order_cols])
-        with_ids = ordered.withColumn(
-            "docid", F.row_number().over(w).cast("long") - 1 + base
-        )
+    order_cols = [spec.id_col] if spec.id_col else list(spec.order_cols)
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    with_ids = batch_df.withColumn(
+        "docid", F.row_number().over(w).cast("long") - 1 + base
+    )
     t0 = time.perf_counter()
     shard_spec = CorpusSpec(text_col=spec.text_col, id_col="docid", meta_cols=spec.meta_cols)
     idx = build_index(spark, with_ids, shard_spec)

@@ -59,6 +59,84 @@ def test_compaction_merges_and_purges(spark, fragmented):
     assert all(v["ok"] for v in report.values())
 
 
+def test_append_after_compaction_never_reuses_docids(spark, fragmented, corpus_rows):
+    """Regression: docBase must be the docid high-water mark, not the
+    sum of per-shard doc counts — after a tombstoned compaction the
+    surviving docids are sparse, and a count-sum base would hand a new
+    document an existing docid (postings merge across documents)."""
+    path = fragmented
+    idx, _ = load_live(spark, path)
+    s = IndexSearcher(idx)
+    victims = [h.docid for h in s.search(TermQuery(term="return"), 5)]
+    delete_docs(spark, path, victims)
+    compact_shards(spark, path)
+
+    old_ids = {r["docid"] for r in load_live(spark, path)[0].docs.select("docid").collect()}
+    append_batch(spark.createDataFrame(corpus_rows[:20]), path, SPEC, batch_id=99)
+    idx2, _ = load_live(spark, path)
+    all_ids = [r["docid"] for r in idx2.docs.select("docid").collect()]
+    assert len(all_ids) == len(set(all_ids))  # no collisions
+    assert min(set(all_ids) - old_ids) > max(old_ids)  # strictly above the mark
+    report = check_index(spark, path)
+    assert all(v["ok"] for v in report.values())
+
+
+def test_crash_between_commit_and_retire_does_not_double_docs(spark, fragmented):
+    """Crash window: the compacted shard's manifest is committed but
+    the superseded inputs were not yet removed. Readers must see ONLY
+    the compacted shard (supersedes metadata), and gc reclaims the
+    leftovers."""
+    import json
+    import shutil
+
+    from lucenenet_spark.index.checkpoint import gc_orphan_shards
+
+    path = fragmented
+    n_docs = load_live(spark, path)[0].max_doc
+    old = read_manifest(path)
+    # snapshot old shards + manifests, compact, then restore them to
+    # simulate the crash-before-retire state
+    snap = {}
+    for shard in old:
+        with open(os.path.join(path, "manifest", f"shard_{shard}.json")) as f:
+            snap[shard] = f.read()
+        shutil.copytree(
+            os.path.join(path, "shards", str(shard)),
+            os.path.join(path, "_snap", str(shard)),
+        )
+    rec = compact_shards(spark, path)
+    assert sorted(rec["supersedes"]) == sorted(old)
+    for shard, txt in snap.items():
+        with open(os.path.join(path, "manifest", f"shard_{shard}.json"), "w") as f:
+            f.write(txt)
+        shutil.copytree(
+            os.path.join(path, "_snap", str(shard)),
+            os.path.join(path, "shards", str(shard)),
+        )
+    # stale inputs present on disk, but readers ignore them
+    assert sorted(read_manifest(path)) == [rec["shard"]]
+    assert load_live(spark, path)[0].max_doc == n_docs
+    removed = gc_orphan_shards(path)
+    assert len(removed) == 2 * len(old)
+    assert sorted(read_manifest(path)) == [rec["shard"]]
+
+
+def test_orphan_shard_dir_is_invisible(spark, fragmented):
+    """A shard directory with no manifest (crash between data write and
+    manifest commit) must not be read."""
+    path = fragmented
+    n_docs = load_live(spark, path)[0].max_doc
+    import shutil
+
+    shutil.copytree(
+        os.path.join(path, "shards", "0"), os.path.join(path, "shards", "7")
+    )
+    assert load_live(spark, path)[0].max_doc == n_docs  # orphan ignored
+    from lucenenet_spark.index.checkpoint import gc_orphan_shards
+
+    assert gc_orphan_shards(path) == [os.path.join(path, "shards", "7")]
+
+
 def test_compaction_without_tombstones_is_pure_merge(spark, fragmented):
     path = fragmented
     idx, _ = load_live(spark, path)

@@ -85,6 +85,21 @@ def test_ngram_jaccard_exact(spark, docs_df):
     assert got[(0, 2)]["inter"] == 0 and got[(0, 2)]["jaccard"] == 0.0
 
 
+def test_ngram_jaccard_zero_shingle_doc_reported(spark, docs_df):
+    """A candidate pair with an empty/too-short doc must surface with
+    jaccard 0, not be dropped (sizes join is left, 0/0 guarded)."""
+    docs = docs_df.union(
+        spark.createDataFrame([(90, ""), (91, "ab")], "doc_id long, text string")
+    )
+    pairs = spark.createDataFrame(
+        [(0, 90), (90, 91)], "id_a long, id_b long"
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    assert set(got) == {(0, 90), (90, 91)}
+    assert got[(0, 90)]["size_b"] == 0 and got[(0, 90)]["jaccard"] == 0.0
+    assert got[(90, 91)]["jaccard"] == 0.0  # union == 0 -> defined as 0
+
+
 def _py_simhash(text_):
     toks = TOK_RE.findall(text_.lower())
     tf: dict[str, int] = {}
