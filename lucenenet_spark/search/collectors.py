@@ -54,25 +54,38 @@ def grouped_topk(
 ) -> DataFrame:
     """Two-pass grouping (GroupingSearch): top groups by best score,
     then top-k docs per group. Output: (group, group_rank, doc_rank,
-    docid, score) — one `Window.partitionBy(group)` instead of the
-    reference's two collector passes."""
+    docid, score).
+
+    Scale shape: pass 1 is a hash aggregate (map-side combined) to one
+    row per group, then a bounded top-k of groups via
+    TakeOrderedAndProject — never a global single-partition window over
+    all groups (10^8 groups would funnel through one task). Pass 2
+    ranks docs only inside the k surviving groups (broadcast
+    semi-join), so the per-group window sorts a bounded set."""
     scored = searcher.scored_docs(query)
     with_group = scored.join(
         searcher.index.docs.select("docid", F.col(group_col).alias("__grp")), "docid"
     )
-    doc_w = Window.partitionBy("__grp").orderBy(F.col("score").desc(), F.col("docid").asc())
-    ranked = with_group.withColumn("doc_rank", F.row_number().over(doc_w)).where(
-        F.col("doc_rank") <= k_per_group
+    # per-group best (score desc, docid asc) as max(struct(score, -docid))
+    grp_best = with_group.groupBy("__grp").agg(
+        F.max(F.struct(F.col("score"), (-F.col("docid")).alias("nd"))).alias("b")
+    ).select(
+        "__grp", F.col("b.score").alias("__best"), (-F.col("b.nd")).alias("__best_doc")
     )
-    grp_best = ranked.where(F.col("doc_rank") == 1).select(
-        "__grp", F.col("score").alias("__best"), F.col("docid").alias("__best_doc")
-    )
+    top_groups = grp_best.orderBy(
+        F.col("__best").desc(), F.col("__best_doc").asc()
+    ).limit(k_groups)
+    # rank the k surviving groups (k rows — the window is bounded)
     grp_w = Window.orderBy(F.col("__best").desc(), F.col("__best_doc").asc())
-    top_groups = grp_best.withColumn("group_rank", F.row_number().over(grp_w)).where(
-        F.col("group_rank") <= k_groups
+    top_groups = top_groups.withColumn("group_rank", F.row_number().over(grp_w))
+    doc_w = Window.partitionBy("__grp").orderBy(F.col("score").desc(), F.col("docid").asc())
+    ranked = (
+        with_group.join(F.broadcast(top_groups.select("__grp", "group_rank")), "__grp")
+        .withColumn("doc_rank", F.row_number().over(doc_w))
+        .where(F.col("doc_rank") <= k_per_group)
     )
     return (
-        ranked.join(top_groups.select("__grp", "group_rank"), "__grp")
+        ranked
         .select(
             F.col("__grp").alias("grp"),
             F.col("group_rank").cast("long").alias("group_rank"),

@@ -91,12 +91,16 @@ class IndexSearcher:
         index: InvertedIndex,
         use_packed: bool = True,
         prune: bool = True,
+        prune_min_df: int = 64 * _BLOCK_SIZE,
         stats_cache_max_terms: int = 2_000_000,
         tombstones: DataFrame | None = None,
     ):
         self.index = index
         self.use_packed = use_packed
         self.prune = prune
+        # below ~64 blocks the θ job costs as much as just decoding, so
+        # only high-df terms prune (tests lower this to force the path)
+        self.prune_min_df = prune_min_df
         # liveDocs: deleted docids anti-joined out of every result
         # (streaming/ingest.py delete model; reference BufferedUpdates)
         self.tombstones = tombstones
@@ -365,13 +369,12 @@ class IndexSearcher:
         # pruning certifies its threshold from block metadata that
         # still counts deleted docs — rank-safety requires liveDocs-free
         # reads, so disable under tombstones (merge/compaction restores
-        # it). Below ~64 blocks the metadata collect job costs as much
-        # as just decoding, so only high-df terms prune.
+        # it)
         if (
             self.prune
             and top_k is not None
             and self.tombstones is None
-            and df_ > 64 * _BLOCK_SIZE
+            and df_ > self.prune_min_df
         ):
             blocks = self._prune_blocks(blocks, weight, cache, top_k)
         # project before the UDF so parquet column pruning skips the
@@ -423,38 +426,41 @@ class IndexSearcher:
         4.8 reference lacks — SURVEY.md §4.2). Upper-bound score per
         block from (max_freq, max_norm): score is increasing in freq
         and in norm byte (shorter doc → bigger byte → smaller cache).
-        Driver collects only block *metadata* for the term (≤ a few
-        thousand rows/term at 10^9 docs), picks a threshold θ = k-th
-        best upper bound, and keeps blocks whose ub ≥ θ. Every block
-        that could contain a top-k doc survives ⇒ identical top-k.
+
+        θ (the k-th best certified lower bound) is computed WITH SPARK
+        — a TakeOrderedAndProject over the block-metadata columns only
+        (the enc blobs are column-pruned from that scan) — and only the
+        one θ scalar reaches the driver. Blocks per term grow as df/128
+        (a df=10^8 term has ~780k blocks), so collecting per-block
+        metadata driver-side does not scale; the keep-set stays a
+        filter, never a driver list.
+
+        lb: the doc attaining max_freq has norm >= min_norm, so the
+        block certifiably CONTAINS a doc scoring >= score(max_freq,
+        min_norm). The k-th largest lb across blocks is therefore a
+        certified k-th-best-score lower bound (k distinct docs, one per
+        block) — pruning ub < θ is rank-safe. Bounds are evaluated in
+        DOUBLE with a relative margin folded into θ so they certifiably
+        bracket the float32 scores the decode path produces.
         """
-        meta = blocks.select(
-            "bucket", "block_id", "max_freq", "max_norm", "min_norm"
-        ).collect()
-        if len(meta) <= max(8, k):
-            return blocks
-        wf = np.float32(weight)
-        mf = np.array([m["max_freq"] for m in meta], dtype=np.float32)
-        mx = np.array([m["max_norm"] for m in meta], dtype=np.int64)
-        mn = np.array([m["min_norm"] for m in meta], dtype=np.int64)
-        # ub: no doc in the block can beat score(max_freq, max_norm)
-        # (score is increasing in freq and in norm byte)
-        ub = (wf * mf / (mf + cache[mx])).astype(np.float32)
-        # lb: the doc attaining max_freq has norm >= min_norm, so the
-        # block certifiably CONTAINS a doc scoring >= score(max_freq,
-        # min_norm). The k-th largest lb across blocks is therefore a
-        # certified k-th-best-score lower bound (k distinct docs, one
-        # per block) — pruning ub < θ is rank-safe.
-        lb = (wf * mf / (mf + cache[mn])).astype(np.float32)
-        theta = np.partition(lb, len(lb) - k)[len(lb) - k]
-        keep_idx = np.flatnonzero(ub >= theta)
-        if len(keep_idx) == len(meta):
-            return blocks
-        keep_df = blocks.sparkSession.createDataFrame(
-            [(int(meta[i]["bucket"]), int(meta[i]["block_id"])) for i in keep_idx],
-            "bucket long, block_id int",
+        wf = float(np.float32(weight))
+        cache_arr = F.array(*[F.lit(float(v)) for v in cache])
+        mf = F.col("max_freq").cast("double")
+        ub = F.lit(wf) * mf / (mf + F.element_at(cache_arr, F.col("max_norm") + 1))
+        lb = F.lit(wf) * mf / (mf + F.element_at(cache_arr, F.col("min_norm") + 1))
+        krow = (
+            blocks.select(lb.alias("lb"))
+            .orderBy(F.col("lb").desc())
+            .limit(k)
+            .agg(F.min("lb").alias("theta"), F.count("*").alias("n"))
+            .collect()[0]
         )
-        return blocks.join(F.broadcast(keep_df), ["bucket", "block_id"], "inner")
+        if krow["n"] < k:  # fewer blocks than k: nothing prunable
+            return blocks
+        # one-sided margin covers double-vs-float32 evaluation skew on
+        # both bounds (relative error ~1e-7 each side)
+        theta = float(krow["theta"]) * (1.0 - 1e-5)
+        return blocks.where(ub >= theta)
 
     # ------------------------------------------- multi-term single scan
     def _docids_for_terms(self, terms: list[str]) -> DataFrame:

@@ -185,6 +185,35 @@ def test_pruning_is_rank_safe(spark_index, oracle_index):
         )
 
 
+def test_pruning_forced_is_rank_safe_and_covers_topk(spark_index, oracle_index):
+    """Force the pruning path (prune_min_df=0) at small k: results stay
+    identical to the unpruned scorer, and every true top-k doc lies in
+    a kept block (the rank-safety invariant, checked directly)."""
+    from lucenenet_spark.functions import bm25
+    from pyspark.sql import functions as F
+
+    _, mid, head = _pick_terms(oracle_index)
+    off = IndexSearcher(spark_index, prune=False)
+    on = IndexSearcher(spark_index, prune=True, prune_min_df=0)
+    for term, k in ((mid, 1), (head, 1), (head, 3)):
+        truth = off.search(TermQuery(term=term), k)
+        _assert_identical(
+            on.search(TermQuery(term=term), k),
+            [(h.docid, np.float32(h.score)) for h in truth],
+            f"forced-prune:{term}:k={k}",
+        )
+        df_ = oracle_index.df(term)
+        w = bm25.term_weight(bm25.idf(df_, on.index.max_doc), 1.0)
+        blocks = on.index.packed.where(F.col("term") == term)
+        kept = on._prune_blocks(blocks, w, on._cache, k).select(
+            "first_docid", "last_docid"
+        ).collect()
+        for h in truth:
+            assert any(
+                b["first_docid"] <= h.docid <= b["last_docid"] for b in kept
+            ), f"top-{k} doc {h.docid} pruned away for {term}"
+
+
 def test_flat_path_matches_packed(spark_index, oracle_index):
     _, mid, _ = _pick_terms(oracle_index)
     packed = IndexSearcher(spark_index, use_packed=True)
