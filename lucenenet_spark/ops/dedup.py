@@ -225,14 +225,28 @@ def minhash_dedup_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+SIMHASH_MAX_BUCKET = 1000
+
+
+def _half_hash_col(col, start: int):
+    """32-bit integer from md5 hex chars [start, start+8) — exact in
+    both engines (DuckDB: CAST('0x'||substring(md5,start,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("long")
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) 32-bit tf-weighted SimHash: per distinct token,
-    md5-prefix hash supplies the bit pattern; each bit accumulates
-    +tf / -tf votes; bit set iff vote > 0. Exact int64 arithmetic."""
+    """(id, simhash_hi, simhash_lo) 64-bit tf-weighted SimHash as two
+    unsigned 32-bit halves (a single signed int64 can't hold bit 63
+    portably across engines). Per distinct token, two md5-derived
+    32-bit hashes supply the bit pattern; each bit accumulates +tf/-tf
+    votes; bit set iff vote > 0. Exact int64 arithmetic throughout.
+
+    64 bits (vs 32) is what makes banding survive scale: 16-bit band
+    keys give 65536 buckets per band, so in-bucket candidate joins stay
+    ~quadratic in n/65536 instead of n/256."""
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(
@@ -244,27 +258,58 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         ).alias("tok"),
     )
     tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    th = tf.select("id", "tf", md5_prefix_int_col(F.col("tok")).alias("h"))
-    votes = th.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-                .otherwise(-F.col("tf"))
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    th = tf.select(
+        "id", "tf",
+        _half_hash_col(F.col("tok"), 1).alias("hlo"),
+        _half_hash_col(F.col("tok"), 9).alias("hhi"),
     )
-    sim = votes.select(
-        "id",
-        sum(
+    half = SIMHASH_BITS // 2
+
+    def vote(src, b):
+        return F.sum(
+            F.when(F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        )
+
+    votes = th.groupBy("id").agg(
+        *[vote("hlo", b).alias(f"lo{b}") for b in range(half)],
+        *[vote("hhi", b).alias(f"hi{b}") for b in range(half)],
+    )
+
+    def compose(prefix):
+        return sum(
             [
-                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(SIMHASH_BITS)
+                F.when(F.col(f"{prefix}{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(half)
             ],
             F.lit(0),
-        ).cast("long").alias("simhash"),
+        ).cast("long")
+
+    return votes.select(
+        "id", compose("hi").alias("simhash_hi"), compose("lo").alias("simhash_lo")
     )
-    return sim
+
+
+def _simhash_banded(sim: DataFrame) -> DataFrame:
+    """Explode (id, hi, lo) to (id, hi, lo, band, key): 4 bands of 16
+    bits — bands 0/1 from the lo half, 2/3 from the hi half."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    slots = []
+    for band in range(SIMHASH_BANDS):
+        src = "simhash_lo" if band < 2 else "simhash_hi"
+        shift = (band % 2) * SIMHASH_BAND_BITS
+        slots.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col(src), shift).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    return sim.select(
+        "id", "simhash_hi", "simhash_lo", F.explode(F.array(*slots)).alias("bk")
+    ).select(
+        "id", "simhash_hi", "simhash_lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
 
 
 def simhash_dup_pairs(
@@ -272,41 +317,37 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs with hamming(simhash) <= 3, found by
-    pigeonhole banding: 4 bands of 8 bits — a pair within distance 3
-    must agree exactly on >= 1 band, so the bucket self-join finds
+    """(id_a, id_b, hamming) pairs with hamming(simhash64) <= 3, found
+    by pigeonhole banding: 4 bands of 16 bits — a pair within distance
+    3 must agree exactly on >= 1 band, so the bucket self-join finds
     every qualifying pair (no recall loss), then exact popcount
-    filters. Scale: the join keys on (band, 8-bit value) -> bounded
-    buckets."""
+    filters. ``max_bucket`` drops degenerate buckets (boilerplate
+    corpora collapse to few simhashes) to bound the in-bucket join —
+    the same cap the MinHash pipeline applies."""
     assert max_hamming < SIMHASH_BANDS
-    sim = simhash(df, id_col, text_col)
-    width = SIMHASH_BITS // SIMHASH_BANDS
-    banded = sim.select(
-        "id", "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    banded = _simhash_banded(simhash(df, id_col, text_col))
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+    ok = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "key")
+    banded = banded.join(F.broadcast(ok), ["band", "key"], "left_semi")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash_hi").alias("ha"),
+        F.col("simhash_lo").alias("la"), "band", "key",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash_hi").alias("hb"),
+        F.col("simhash_lo").alias("lb"), "band", "key",
+    )
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "ha", "la", "hb", "lb")
         .distinct()
     )
-    return cand.select(
-        "id_a", "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

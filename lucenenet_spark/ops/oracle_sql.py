@@ -118,42 +118,76 @@ LEFT JOIN sizes sb ON sb.id = p.id_b"""
 
 
 def _simhash_prelude() -> str:
+    """64-bit simhash as two unsigned 32-bit halves (matches
+    ops/dedup.py::simhash): per-half md5 hex slices, tf-weighted bit
+    votes, bit set iff vote > 0."""
+    half = SIMHASH_BITS // 2
     return f"""
 WITH {_TOKS},
 tf AS (
   SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT id, unnest(toks) AS tok FROM toks) GROUP BY id, tok
 ),
-th AS (SELECT id, tf, {_md5int('tok')} AS h FROM tf),
+th AS (
+  SELECT id, tf,
+         CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hlo,
+         CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS hhi
+  FROM tf
+),
 votes AS (
   SELECT id, bb.b AS b,
-         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS v
-  FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b) bb
+         sum(CASE WHEN (hlo >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS vlo,
+         sum(CASE WHEN (hhi >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS vhi
+  FROM th CROSS JOIN (SELECT unnest(range({half})) AS b) bb
   GROUP BY id, bb.b
 ),
 sim AS (
   SELECT id,
-         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
-           AS simhash
+         CAST(sum(CASE WHEN vhi > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS simhash_hi,
+         CAST(sum(CASE WHEN vlo > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS simhash_lo
   FROM votes GROUP BY id
 )"""
 
 
 def simhash_sql() -> str:
-    return _simhash_prelude() + "\nSELECT id, simhash FROM sim"
+    return _simhash_prelude() + "\nSELECT id, simhash_hi, simhash_lo FROM sim"
 
 
-def simhash_pairs_sql(max_hamming: int = 3) -> str:
-    # direct pairwise in SQL — equals the Spark banding result set by
-    # the pigeonhole argument (banding has no recall loss at <= bands-1)
+def simhash_pairs_sql(
+    max_hamming: int = 3, max_bucket: int = 1000
+) -> str:
+    """Banding-based mirror (4 bands x 16 bits + bucket cap) so the cap
+    semantics match the Spark pipeline exactly; without the cap this
+    equals direct pairwise by the pigeonhole argument."""
     assert max_hamming < SIMHASH_BANDS
+    w = SIMHASH_BITS // SIMHASH_BANDS
     return (
         _simhash_prelude()
-        + f"""
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sim a JOIN sim b ON a.id < b.id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+        + f""",
+banded AS (
+  SELECT id, simhash_hi, simhash_lo, bb.band AS band,
+         (CASE WHEN bb.band < 2 THEN simhash_lo ELSE simhash_hi END
+          >> ((bb.band % 2) * {w})) & {(1 << w) - 1} AS key
+  FROM sim CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) bb
+),
+ok AS (
+  SELECT band, key FROM banded GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash_hi AS ha, a.simhash_lo AS la,
+         b.simhash_hi AS hb, b.simhash_lo AS lb
+  FROM banded a
+  JOIN ok o ON a.band = o.band AND a.key = o.key
+  JOIN banded b ON b.band = o.band AND b.key = o.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {max_hamming}"""
     )
 
 

@@ -101,27 +101,49 @@ def test_ngram_jaccard_zero_shingle_doc_reported(spark, docs_df):
 
 
 def _py_simhash(text_):
+    """(hi, lo) 64-bit simhash from two 32-bit md5-hex-slice hashes."""
+    import hashlib as _hl
+
     toks = TOK_RE.findall(text_.lower())
     tf: dict[str, int] = {}
     for t in toks:
         tf[t] = tf.get(t, 0) + 1
-    votes = [0] * 32
+    votes_lo, votes_hi = [0] * 32, [0] * 32
     for t, f in tf.items():
-        h = md5_prefix_int(t)
+        hx = _hl.md5(t.encode()).hexdigest()
+        hlo, hhi = int(hx[0:8], 16), int(hx[8:16], 16)
         for b in range(32):
-            votes[b] += f if (h >> b) & 1 else -f
-    return sum(1 << b for b in range(32) if votes[b] > 0)
+            votes_lo[b] += f if (hlo >> b) & 1 else -f
+            votes_hi[b] += f if (hhi >> b) & 1 else -f
+    return (
+        sum(1 << b for b in range(32) if votes_hi[b] > 0),
+        sum(1 << b for b in range(32) if votes_lo[b] > 0),
+    )
 
 
 def test_simhash_matches_python(docs_df):
-    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs_df).collect()}
+    got = {r["id"]: (r["simhash_hi"], r["simhash_lo"]) for r in dedup.simhash(docs_df).collect()}
     for i in (0, 1, 2, 4):
         assert got[i] == _py_simhash(DOCS[i][1]), f"doc {i}"
+        assert 0 <= got[i][0] < 1 << 32 and 0 <= got[i][1] < 1 << 32
 
 
 def test_simhash_pairs_exact_dup_distance_zero(docs_df):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_dup_pairs(docs_df).collect()}
     assert pairs.get((0, 3)) == 0
+
+
+def test_simhash_bucket_cap_bounds_join(spark):
+    """max_bucket drops degenerate buckets: 12 identical docs share all
+    4 band keys; with max_bucket=10 every bucket is over the cap, so no
+    pairs emerge — while distinct docs are unaffected."""
+    rows = [(i, "same text everywhere again and again") for i in range(12)]
+    rows += [(100, "an entirely different document body"), (101, "an entirely different document body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.simhash_dup_pairs(df, max_bucket=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 101) in ids
+    assert all(a not in range(12) for a, _ in ids)
 
 
 # -------------------------------------------------------- similarity
