@@ -236,6 +236,26 @@ def _q_numeric_range(spark, sf_dir):
     )
 
 
+def _q_sort_by_field(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.sort_topk(
+        s,
+        TermQuery(term="spark"),
+        [coll.SortField("field_length"), coll.SortField(coll.SortField.SCORE)],
+        10,
+    )
+
+
+def _q_sort_by_meta_desc(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.sort_topk(
+        s,
+        TermQuery(term="spark"),
+        [coll.SortField("lang", reverse=True), coll.SortField(coll.SortField.SCORE)],
+        10,
+    )
+
+
 def _q_grouped_topk(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.grouped_topk(s, TermQuery(term="hash"), "source", k_groups=10, k_per_group=3)
@@ -447,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
         "numeric_range_query": _q_numeric_range,
+        "sort_by_field": _q_sort_by_field,
+        "sort_by_meta_desc": _q_sort_by_meta_desc,
         "grouped_topk": _q_grouped_topk,
         "search_after": _q_search_after,
         "rescore": _q_rescore,
@@ -462,8 +484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # ann_float intentionally omitted: float fold order isn't
-    # SQL-expressible → driver records the weaker rows-only check
     return {
         "dedup_exact": oosql.dedup_exact_sql(),
         "minhash_sigs": oosql.minhash_sigs_sql(),
@@ -475,7 +495,11 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oosql.language_id_sql(),
         "doc_fingerprint": oosql.fingerprint_sql(),
         "ann_quantized": oosql.ann_quantized_sql(),
+        "ann_float": oosql.ann_float_sql([1.0] * 64),
+        "ann_lsh": oosql.ann_lsh_sql(query_id=0, k=10),
+        "ann_ivf": oosql.ann_ivf_sql(query_id=0, k=10),
         "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
+        "embedding_dup_pairs_lsh": oosql.embedding_dup_pairs_lsh_sql(0.42),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),
@@ -499,11 +523,14 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),
         "numeric_range_query": osql.numeric_range_query_sql("spark", 20, 30),
+        "sort_by_field": osql.sort_by_field_sql("spark"),
+        "sort_by_meta_desc": osql.sort_by_meta_desc_sql("spark", "lang"),
         "grouped_topk": osql.grouped_topk_sql("hash", "source", 10, 3),
         "search_after": osql.search_after_sql("spark", page=2, k=10),
         "rescore": osql.rescore_sql("hash", "table", "hash", 1.0, 2.0, 50, 10),
         "hit_count": osql.hit_count_sql("hash", "dup"),
         "mlt_terms": osql.mlt_terms_sql(0, 25, 2, 5),
+        "mlt_topk": osql.mlt_topk_sql(0, 25, 2, 5),
         "common_terms_split": osql.common_terms_split_sql(
             ["dup", "hash", "spark", "merge"], 0.1
         ),

@@ -305,6 +305,238 @@ SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rank, id
 FROM scored ORDER BY sim DESC, id ASC LIMIT {k}"""
 
 
+_QFLAT = """
+q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT id, CAST(k AS INT) AS k, qv[CAST(k AS INT)] AS v
+  FROM q, UNNEST(range(1, len(qv) + 1)) AS u(k)
+)"""
+
+
+def _lsh_keys_cte(n_planes: int = 32, bands: int = 4, seed: int = 42) -> str:
+    """CTE chain ``planes -> pdots -> keys``: mirror of
+    ops/similarity.py::lsh_band_keys — md5-derived int64 hyperplanes,
+    exact integer sign projections, banded keys."""
+    r = n_planes // bands
+    return f"""
+planes AS (
+  SELECT CAST(pj.j AS INT) AS j, CAST(pd.d AS INT) + 1 AS k,
+         CAST('0x' || substring(md5('plane:{seed}:' || pj.j || ':' || pd.d), 1, 15)
+              AS BIGINT) % 2001 - 1000 AS w
+  FROM UNNEST(range({n_planes})) AS pj(j),
+       UNNEST(range((SELECT max(len(qv)) FROM q))) AS pd(d)
+),
+pdots AS (
+  SELECT f.id, p.j, CAST(sum(f.v * p.w) AS BIGINT) AS dj
+  FROM flat f JOIN planes p ON p.k = f.k
+  GROUP BY f.id, p.j
+),
+keys AS (
+  SELECT id, CAST(j // {r} AS INT) AS band,
+         CAST(sum(CASE WHEN dj > 0 THEN CAST(1 AS BIGINT) << (j % {r})
+                       ELSE 0 END) AS BIGINT) AS key
+  FROM pdots GROUP BY id, j // {r}
+)"""
+
+
+def _rerank_quantized(cand_cte: str, query_id: int, k: int) -> str:
+    """Top-k quantized-cosine re-rank of a candidate id set CTE."""
+    return f"""
+qflat AS (SELECT k, v FROM flat WHERE id = {query_id}),
+nq AS (SELECT CAST(sum(v * v) AS BIGINT) AS n FROM qflat),
+rdots AS (
+  SELECT f.id,
+         CAST(sum(f.v * qf.v) AS BIGINT) AS dot,
+         CAST(sum(f.v * f.v) AS BIGINT) AS nself
+  FROM flat f JOIN qflat qf ON f.k = qf.k
+  WHERE f.id != {query_id} AND f.id IN (SELECT id FROM {cand_cte})
+  GROUP BY f.id
+),
+rscored AS (
+  SELECT id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(nself AS DOUBLE)) * sqrt(CAST((SELECT n FROM nq) AS DOUBLE)))
+           AS sim
+  FROM rdots
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rank, id, sim
+FROM rscored ORDER BY sim DESC, id ASC LIMIT {k}"""
+
+
+def ann_lsh_sql(
+    query_id: int = 0, k: int = 10,
+    n_planes: int = 32, bands: int = 4, seed: int = 42,
+    max_bucket: int = 100_000,
+) -> str:
+    """Mirror of ops/similarity.py::cosine_topk_lsh — candidates share
+    >= 1 of the query's band keys (over-cap buckets skipped, smallest
+    kept as fallback), exact quantized re-rank."""
+    return f"""
+WITH {_QFLAT},
+{_lsh_keys_cte(n_planes, bands, seed)},
+qkeys AS (SELECT band, key FROM keys WHERE id = {query_id}),
+bsz AS (
+  SELECT k2.band, k2.key, count(*) AS n
+  FROM keys k2 JOIN qkeys USING (band, key)
+  GROUP BY k2.band, k2.key
+),
+kept AS (
+  SELECT band, key FROM bsz WHERE n <= {max_bucket}
+  UNION ALL
+  SELECT band, key FROM (
+    SELECT band, key FROM bsz ORDER BY n ASC, band ASC LIMIT 1
+  ) WHERE NOT EXISTS (SELECT 1 FROM bsz WHERE n <= {max_bucket})
+),
+cand AS (SELECT DISTINCT k3.id FROM keys k3 JOIN kept USING (band, key)),
+{_rerank_quantized("cand", query_id, k)}"""
+
+
+def embedding_dup_pairs_lsh_sql(
+    threshold: float = 0.42,
+    n_planes: int = 32, bands: int = 4, seed: int = 42,
+    max_bucket: int = 10_000,
+) -> str:
+    """Mirror of ops/similarity.py::embedding_dup_pairs_lsh — banded
+    bucket self-join with cap, exact quantized-cosine verification."""
+    sim = (
+        "CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))"
+    )
+    return f"""
+WITH {_QFLAT},
+{_lsh_keys_cte(n_planes, bands, seed)},
+ok AS (
+  SELECT band, key FROM keys GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a
+  JOIN ok o ON a.band = o.band AND a.key = o.key
+  JOIN keys b ON b.band = o.band AND b.key = o.key AND a.id < b.id
+),
+norms AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM flat GROUP BY id),
+pdots2 AS (
+  SELECT p.id_a, p.id_b, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN flat fa ON fa.id = p.id_a
+  JOIN flat fb ON fb.id = p.id_b AND fb.k = fa.k
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b, {sim} AS sim
+FROM pdots2 d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE {sim} >= {threshold}"""
+
+
+def ann_ivf_sql(
+    query_id: int = 0, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+) -> str:
+    """Mirror of ops/similarity.py::cosine_topk_ivf with iters=1:
+    md5-ranked seeding, integer dot / greatest(sqrt(n2),1) assignment
+    (row_number ties to lowest cluster), truncating-division recenter,
+    nprobe probing, exact quantized re-rank in the probed cells."""
+
+    def assign(cent: str, cn: str, d: str, a: str) -> str:
+        return f"""
+{d} AS (
+  SELECT f.id, c0.c, CAST(sum(f.v * c0.w) AS BIGINT) AS dot
+  FROM flat f JOIN {cent} c0 ON c0.k = f.k
+  GROUP BY f.id, c0.c
+),
+{a} AS (
+  SELECT id, c AS cluster FROM (
+    SELECT {d}.id, {d}.c,
+           row_number() OVER (
+             PARTITION BY {d}.id
+             ORDER BY CAST({d}.dot AS DOUBLE)
+                        / greatest(sqrt(CAST(cn.n2 AS DOUBLE)), 1.0) DESC,
+                      {d}.c ASC
+           ) AS rn
+    FROM {d} JOIN {cn} cn USING (c)
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH {_QFLAT},
+hk AS (
+  SELECT id, qv,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM q
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, qv
+  FROM hk ORDER BY h, id LIMIT {n_centroids}
+),
+cent0 AS (
+  SELECT CAST(c AS INT) AS c, CAST(kk AS INT) AS k, qv[CAST(kk AS INT)] AS w
+  FROM seeds, UNNEST(range(1, len(qv) + 1)) AS u(kk)
+),
+cn0 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent0 GROUP BY c),
+{assign("cent0", "cn0", "d0", "a0")},
+sums AS (
+  SELECT a0.cluster AS c, f.k, CAST(sum(f.v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a0 JOIN flat f ON f.id = a0.id
+  GROUP BY a0.cluster, f.k
+),
+cent1 AS (
+  SELECT c0.c, c0.k, CAST(coalesce(s.s // s.n, c0.w) AS BIGINT) AS w
+  FROM cent0 c0 LEFT JOIN sums s ON s.c = c0.c AND s.k = c0.k
+),
+cn1 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent1 GROUP BY c),
+{assign("cent1", "cn1", "d1", "a1")},
+qf0 AS (SELECT k, v FROM flat WHERE id = {query_id}),
+qd AS (
+  SELECT c1.c, CAST(sum(qf0.v * c1.w) AS BIGINT) AS dot
+  FROM qf0 JOIN cent1 c1 ON c1.k = qf0.k
+  GROUP BY c1.c
+),
+probe AS (
+  SELECT c FROM (
+    SELECT qd.c,
+           row_number() OVER (
+             ORDER BY CAST(qd.dot AS DOUBLE)
+                        / greatest(sqrt(CAST(cn1.n2 AS DOUBLE)), 1.0) DESC,
+                      qd.c ASC
+           ) AS rn
+    FROM qd JOIN cn1 USING (c)
+  ) WHERE rn <= {nprobe}
+),
+cand AS (SELECT id FROM a1 WHERE cluster IN (SELECT c FROM probe)),
+{_rerank_quantized("cand", query_id, k)}"""
+
+
+def ann_float_sql(query_vec: list[float], k: int = 10) -> str:
+    """Mirror of ops/similarity.py::cosine_topk_float — the SAME
+    left-to-right double fold Spark's F.aggregate applies, written as
+    an explicit parenthesized sum so both engines produce identical
+    IEEE double bits."""
+    import numpy as np
+
+    dot = "CAST(0.0 AS DOUBLE)"
+    nrm = "CAST(0.0 AS DOUBLE)"
+    for i, qv in enumerate(query_vec):
+        e = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        dot = f"({dot} + {e} * CAST({float(qv)!r} AS DOUBLE))"
+        nrm = f"({nrm} + {e} * {e})"
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    return f"""
+WITH scored AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         {dot} / (sqrt({nrm}) * CAST({qnorm!r} AS DOUBLE)) AS sim
+  FROM embeddings
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rank, id, sim
+FROM scored ORDER BY sim DESC, id ASC LIMIT {k}"""
+
+
 def embedding_dup_pairs_sql(threshold: float = 0.42) -> str:
     """All-pairs quantized-cosine near-dup pairs (exact int64 dots)."""
     sim = (

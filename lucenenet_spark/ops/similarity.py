@@ -12,15 +12,21 @@ Three tiers:
 - **Float32 brute-force cosine**: ``F.aggregate``/``zip_with`` fold —
   the baseline; scores are float doubles whose exact bits depend on
   fold order, so it gets a rows-only driver check.
-- **LSH-bucketed (random hyperplane)**: seeded sign-projection
-  signature, candidates from matching buckets (multi-probe: exact
-  signature plus all 1-bit flips — recall >0.95 at 16 bits), exact
-  re-rank of candidates. The scale path: the self-join keys on the
-  signature, never all-pairs.
+- **LSH-bucketed (integer hyperplanes, banded)**: md5-derived int64
+  hyperplanes give sign signatures in exact integer math (fully
+  oracle-reproducible); 32 planes in 4 bands of 8 bits, candidates
+  share >= 1 whole band (AND-within-band / OR-across-bands like the
+  MinHash pipeline), buckets capped, exact quantized re-rank.
+- **IVF (coarse quantizer + probe)**: hash-sampled deterministic
+  seeding (a bounded TakeOrdered, never a full-id collect), integer
+  Lloyd refinement, nprobe probing. ``build_ivf_index`` persists the
+  assignment as a ``cluster`` partition column so standing-index
+  queries prune partitions instead of recomputing assignment.
 
 At 100 TB: brute-force top-k for one query is a single scan +
 TakeOrderedAndProject; batch ANN (many queries) broadcasts the query
-block and scores per-partition.
+block and scores per-partition; bucketed/partitioned variants touch
+~1-3% of the corpus per query.
 """
 
 from __future__ import annotations
@@ -59,35 +65,7 @@ def cosine_topk_quantized(
     """Exact top-k neighbors of one stored vector under quantized
     cosine: (rank, id, sim). sim = dot/(sqrt(na)*sqrt(nb)) on exact
     int64 dot/norms — bit-identical across engines. Ties broken by id."""
-    q = quantize(df, id_col, vec_col)
-    qrow = q.where(F.col("id") == query_id).collect()
-    if not qrow:
-        return df.sparkSession.createDataFrame([], "rank long, id long, sim double")
-    qvec = qrow[0]["qvec"]
-    qlit = F.array(*[F.lit(int(v)) for v in qvec])
-    scored = (
-        q.where(F.col("id") != query_id)
-        .select(
-            "id",
-            _dot(F.col("qvec"), qlit).alias("dot"),
-            _dot(F.col("qvec"), F.col("qvec")).alias("nself"),
-        )
-        .select(
-            "id",
-            (
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("nself").cast("double"))
-                    * F.sqrt(F.lit(float(sum(int(v) * int(v) for v in qvec))))
-                )
-            ).alias("sim"),
-        )
-    )
-    top = scored.orderBy(F.col("sim").desc(), F.col("id").asc()).limit(k)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("sim").desc(), F.col("id").asc())
-    return top.select(F.row_number().over(w).cast("long").alias("rank"), "id", "sim")
+    return _topk_quantized_pre(quantize(df, id_col, vec_col), query_id, k, "id")
 
 
 def cosine_topk_float(
@@ -156,158 +134,109 @@ def embedding_dup_pairs_lsh(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = None,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Scale path: candidates share an LSH bucket (near-identical
-    vectors almost surely do), verified with exact quantized cosine.
-    The self-join keys on the signature — cost is per-bucket, never
-    all-pairs."""
-    sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+    """Scale path: candidates share >= 1 LSH BAND (AND-within-band /
+    OR-across-bands, the MinHash banding scheme — near-identical
+    vectors almost surely agree on a whole band), verified with exact
+    quantized cosine. 32 planes in 4 bands of 8 bits give 256 buckets
+    PER BAND over a much finer 2^32 signature space than a flat 8-bit
+    signature; ``max_bucket`` drops degenerate buckets so the in-bucket
+    self-join stays bounded."""
+    keys = lsh_band_keys(df, id_col, vec_col, n_planes or N_PLANES, LSH_BANDS, seed)
+    sizes = keys.groupBy("band", "key").agg(F.count("*").alias("n"))
+    ok = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "key")
+    keys = keys.join(F.broadcast(ok), ["band", "key"], "left_semi")
     q = quantize(df, id_col, vec_col).select(
         "id", "qvec", _dot(F.col("qvec"), F.col("qvec")).alias("n2")
-    ).join(sigs, "id")
-    a = q.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"),
-                 F.col("n2").alias("na"), "sig")
-    b = q.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"),
-                 F.col("n2").alias("nb"), "sig")
-    pairs = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+    )
+    a = keys.select(F.col("id").alias("id_a"), "band", "key")
+    b = keys.select(F.col("id").alias("id_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = pairs.join(
+        q.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"), F.col("n2").alias("na")),
+        "id_a",
+    ).join(
+        q.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"), F.col("n2").alias("nb")),
+        "id_b",
+    )
     sim = (
         _dot(F.col("va"), F.col("vb")).cast("double")
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
     )
-    return (
-        pairs.select("id_a", "id_b", sim.alias("sim"))
-        .where(F.col("sim") >= threshold)
-        .distinct()
+    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= threshold)
+
+
+# --------------------------------------------- LSH (integer planes)
+
+N_PLANES = 32
+LSH_BANDS = 4
+PLANE_MOD = 2001
+PLANE_OFF = 1000
+
+
+def int_hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarray:
+    """(n_planes, dim) int64 hyperplanes with entries in [-1000, 1000],
+    derived from md5 — the same digest the DuckDB oracle computes, so
+    signatures are exact integer math in both engines (float planes
+    made the sign of near-zero projections fold-order-dependent)."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int
+
+    return np.array(
+        [
+            [
+                md5_prefix_int(f"plane:{seed}:{j}:{d}") % PLANE_MOD - PLANE_OFF
+                for d in range(dim)
+            ]
+            for j in range(n_planes)
+        ],
+        dtype=np.int64,
     )
 
 
-# ----------------------------------------------------------- IVF
-
-def ivf_centroids(
-    df: DataFrame,
-    n_centroids: int = 16,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-) -> np.ndarray:
-    """Deterministic coarse quantizer: centroids initialized from a
-    seeded choice of stored vectors, refined with Lloyd iterations run
-    as DataFrame jobs (assign via vectorized pandas UDF, re-center via
-    posexplode + per-(cluster, dim) mean — a hash aggregate, no
-    driver-side data). Returns (n_centroids, dim) float64."""
-    ids = [r[0] for r in df.select(id_col).orderBy(id_col).collect()]
-    rng = np.random.default_rng(seed)
-    chosen = list(rng.choice(np.asarray(ids), size=min(n_centroids, len(ids)), replace=False))
-    init = (
-        df.where(F.col(id_col).isin([int(i) for i in chosen]))
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    cents = np.array([r[0] for r in init], dtype=np.float64)
-    for _ in range(iters):
-        assigned = _assign_clusters(df, cents, id_col, vec_col)
-        rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
-        new = cents.copy()
-        for r in rows:
-            new[r["cluster"], r["dim"]] = r["m"]
-        cents = new
-    return cents
-
-
-def _assign_clusters(df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
-    cl = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-
-    @F.pandas_udf("int")
-    def nearest(vecs: pd.Series) -> pd.Series:
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(Vn @ cl.T, axis=1).astype(np.int32))
-
-    return df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(vec_col).alias(vec_col),
-        nearest(F.col(vec_col)).alias("cluster"),
-    )
-
-
-def cosine_topk_ivf(
-    df: DataFrame,
-    query_id: int,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus, probe the ``nprobe``
-    centroids nearest the query, exact quantized-cosine re-rank inside
-    the probed cells (~nprobe/n_centroids of the corpus scanned). At
-    100 TB the assignment is written once as a `cluster` partition
-    column so probing is partition pruning, not a scan."""
-    cents = ivf_centroids(df, n_centroids, 3, id_col, vec_col, seed)
-    assigned = _assign_clusters(df, cents, id_col, vec_col)
-    qrow = df.where(F.col(id_col) == query_id).select(vec_col).collect()
-    if not qrow:
-        return df.sparkSession.createDataFrame([], "rank long, id long, sim double")
-    qv = np.asarray(qrow[0][0], dtype=np.float64)
-    qn = qv / max(np.linalg.norm(qv), 1e-12)
-    cl = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    probes = [int(c) for c in np.argsort(-(cl @ qn))[:nprobe]]
-    cand = (
-        assigned.where(F.col("cluster").isin(probes))
-        .select(F.col("id").alias(id_col), vec_col)
-    )
-    return cosine_topk_quantized(cand, query_id, k, id_col, vec_col)
-
-
-N_PLANES = 8
-
-
-def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
-
-
-def lsh_signatures(
+def lsh_band_keys(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    bands: int = LSH_BANDS,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig) random-hyperplane sign signature as an int."""
+    """(id, band, key) banded sign signatures: bit_j = (qvec · plane_j
+    > 0) on floor-quantized int64 vectors — exact, reproducible
+    integer math. AND-within-band/OR-across-bands is the same recall
+    structure as the MinHash pipeline; at 32 planes in 4 bands each
+    band key has n_planes/bands bits (256 buckets/band)."""
     first = df.select(F.size(vec_col).alias("d")).first()
-    planes = hyperplanes(int(first["d"]), n_planes, seed)
-    sig = sum(
-        [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(p)) for p in planes[j]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(n_planes)
-        ],
-        F.lit(0),
-    )
-    return df.select(F.col(id_col).cast("long").alias("id"), sig.cast("long").alias("sig"))
+    planes = int_hyperplanes(int(first["d"]), n_planes, seed)
+    r = n_planes // bands
+
+    @F.pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        V = np.floor(
+            np.array([np.asarray(v, dtype=np.float64) for v in vecs]) * QUANT_SCALE
+        ).astype(np.int64)
+        bits = (V @ planes.T) > 0  # int64 matmul: exact
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    int(sum(1 << j for j in range(r) if row[b * r + j]))
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), band_keys(F.col(vec_col)).alias("ks")
+    ).select("id", F.posexplode("ks").alias("band", "key"))
 
 
 def cosine_topk_lsh(
@@ -318,24 +247,252 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     seed: int = 42,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """ANN top-k: candidates = vectors whose LSH signature is within
-    hamming distance 2 of the query's (multi-probe), re-ranked by
-    exact quantized cosine. Same output shape as the exact form; the
-    probe set covers 1 + n + n(n-1)/2 of the 2^n buckets (at 8 planes:
-    37/256 ≈ 14% of the corpus in the uniform case)."""
-    sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed)
-    qsig_row = sigs.where(F.col("id") == query_id).collect()
-    if not qsig_row:
+    """ANN top-k: candidates = vectors sharing >= 1 of the query's band
+    keys (4 probes of ~n/256 each ≈ 1.6% of a uniform corpus — versus
+    the 14% a hamming-2 multi-probe over one flat 8-bit signature
+    scans), re-ranked by exact quantized cosine. Over-cap probe buckets
+    are skipped (cost bound; recall documented best-effort like any
+    ANN). Same output shape as the exact form."""
+    keys = lsh_band_keys(df, id_col, vec_col, n_planes, LSH_BANDS, seed)
+    qrows = keys.where(F.col("id") == query_id).collect()
+    if not qrows:
         return df.sparkSession.createDataFrame([], "rank long, id long, sim double")
-    qsig = int(qsig_row[0]["sig"])
-    probes = [qsig] + [qsig ^ (1 << j) for j in range(n_planes)] + [
-        qsig ^ (1 << i) ^ (1 << j)
-        for i in range(n_planes)
-        for j in range(i + 1, n_planes)
-    ]
-    cand_ids = sigs.where(F.col("sig").isin(probes)).select("id")
+    probes = [(int(r["band"]), int(r["key"])) for r in qrows]
+    probe_cond = None
+    for b, kk in probes:
+        c = (F.col("band") == b) & (F.col("key") == kk)
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    sizes = {
+        (r["band"], r["key"]): r["n"]
+        for r in keys.where(probe_cond)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = [bk for bk in probes if sizes.get(bk, 0) <= max_bucket]
+    if not kept:
+        kept = [min(probes, key=lambda bk: sizes.get(bk, 0))]
+    keep_cond = None
+    for b, kk in kept:
+        c = (F.col("band") == b) & (F.col("key") == kk)
+        keep_cond = c if keep_cond is None else (keep_cond | c)
+    cand_ids = keys.where(keep_cond).select("id").distinct()
     cand = df.join(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
     )
     return cosine_topk_quantized(cand, query_id, k, id_col, vec_col)
+
+
+# ----------------------------------------------------------- IVF
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — matches DuckDB's
+    ``//`` (numpy/python floor-divide differs on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def ivf_model(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer in QUANTIZED int64 space.
+
+    Seeding collects exactly ``n_centroids`` rows — the vectors whose
+    ids rank first by (md5(id), id), a hash-based sample computed as a
+    bounded TakeOrderedAndProject (NEVER a full-id collect: at 10^9
+    vectors that is a driver OOM before the first Lloyd step). Lloyd
+    refinement assigns via a vectorized pandas UDF and re-centers with
+    a per-(cluster, dim) hash aggregate whose result is n_centroids*dim
+    rows — driver state is corpus-size independent. Centroid updates
+    use truncating integer division so the DuckDB oracle reproduces
+    every centroid bit-for-bit. Returns (n_centroids, dim) int64."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+
+    q = quantize(df, id_col, vec_col)
+    seeds = (
+        q.withColumn("hk", md5_prefix_int_col(F.col("id").cast("string")))
+        .orderBy("hk", "id")
+        .limit(n_centroids)
+        .select("qvec")
+        .collect()
+    )
+    qcent = np.array([r["qvec"] for r in seeds], dtype=np.int64)
+    for _ in range(iters):
+        assigned = _assign_clusters_quant(q, qcent)
+        rows = (
+            assigned.select("cluster", F.posexplode("qvec").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = qcent.copy()
+        for r in rows:
+            new[r["cluster"], r["dim"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        qcent = new
+    return qcent
+
+
+def _assign_clusters_quant(q: DataFrame, qcent: np.ndarray) -> DataFrame:
+    """(id, qvec, cluster): nearest centroid by dot/|centroid| (the
+    query-side norm is constant per row, so it cannot change the
+    argmax). Exact int64 dots; one correctly-rounded double divide and
+    sqrt per (row, centroid) — bit-reproducible in SQL. Ties go to the
+    lowest cluster id."""
+    div = np.sqrt((qcent.astype(np.float64) ** 2).sum(axis=1))
+    div = np.maximum(div, 1.0)  # all-zero centroid guard
+    cent = qcent.copy()
+
+    @F.pandas_udf("int")
+    def nearest(qvecs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.int64) for v in qvecs])
+        S = (V @ cent.T).astype(np.float64) / div
+        return pd.Series(np.argmax(S, axis=1).astype(np.int32))
+
+    return q.select("id", "qvec", nearest(F.col("qvec")).alias("cluster"))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus, probe the ``nprobe``
+    centroids nearest the query, exact quantized-cosine re-rank inside
+    the probed cells (~nprobe/n_centroids of the corpus scanned). For a
+    standing index use :func:`build_ivf_index` — assignment is written
+    ONCE as a ``cluster`` partition column and probing becomes parquet
+    partition pruning, not a scan + recompute per query."""
+    qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
+    q = quantize(df, id_col, vec_col)
+    qrow = q.where(F.col("id") == query_id).collect()
+    if not qrow:
+        return df.sparkSession.createDataFrame([], "rank long, id long, sim double")
+    probes = _probe_clusters(np.asarray(qrow[0]["qvec"], dtype=np.int64), qcent, nprobe)
+    assigned = _assign_clusters_quant(q, qcent)
+    cand = assigned.where(F.col("cluster").isin(probes)).select(
+        F.col("id").alias(id_col), F.col("qvec")
+    )
+    return _topk_quantized_pre(cand, query_id, k, id_col)
+
+
+def _probe_clusters(qvec: np.ndarray, qcent: np.ndarray, nprobe: int) -> list[int]:
+    div = np.maximum(np.sqrt((qcent.astype(np.float64) ** 2).sum(axis=1)), 1.0)
+    s = (qcent @ qvec).astype(np.float64) / div
+    # sort by (score desc, cluster asc) — stable ties
+    order = sorted(range(len(s)), key=lambda c: (-s[c], c))
+    return [int(c) for c in order[:nprobe]]
+
+
+def _topk_quantized_pre(
+    q: DataFrame, query_id: int, k: int, id_col: str = "id"
+) -> DataFrame:
+    """cosine_topk_quantized over an ALREADY-quantized (id, qvec)
+    frame (avoids re-quantizing candidate subsets)."""
+    qrow = q.where(F.col(id_col) == query_id).collect()
+    if not qrow:
+        return q.sparkSession.createDataFrame([], "rank long, id long, sim double")
+    qvec = qrow[0]["qvec"]
+    qlit = F.array(*[F.lit(int(v)) for v in qvec])
+    scored = (
+        q.where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("id"),
+            _dot(F.col("qvec"), qlit).alias("dot"),
+            _dot(F.col("qvec"), F.col("qvec")).alias("nself"),
+        )
+        .select(
+            "id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nself").cast("double"))
+                    * F.sqrt(F.lit(float(sum(int(v) * int(v) for v in qvec))))
+                )
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.row_number().over(w).cast("long").alias("rank"), "id", "sim")
+    )
+
+
+def ann_recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """|approx ∩ exact| / |exact| over the id columns — the standard
+    ANN quality metric against the (oracle-checked) exact top-k."""
+    a = {r["id"] for r in approx.select("id").collect()}
+    e = {r["id"] for r in exact.select("id").collect()}
+    return len(a & e) / max(len(e), 1)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """The standing-index form of IVF: train the coarse quantizer once,
+    write the corpus PARTITIONED BY its cluster assignment plus a tiny
+    centroids table. Probing a query then prunes to nprobe parquet
+    partitions — the 100 TB path (assignment cost paid once at build,
+    zero per query). Returns the centroid matrix."""
+    spark = df.sparkSession
+    qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
+    assigned = _assign_clusters_quant(quantize(df, id_col, vec_col), qcent)
+    (
+        df.select(F.col(id_col).cast("long").alias("id"), vec_col)
+        .join(assigned.select("id", "cluster"), "id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(c, [int(v) for v in qcent[c]]) for c in range(len(qcent))],
+        "cluster int, qcent array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return qcent
+
+
+def cosine_topk_ivf_persisted(
+    spark,
+    path: str,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` warehouse: read centroids (tiny),
+    pick probes, and scan ONLY the probed cluster partitions (parquet
+    partition pruning on the cluster column)."""
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    qcent = np.array([r["qcent"] for r in cents], dtype=np.int64)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    qrow = vecs.where(F.col("id") == query_id).collect()
+    if not qrow:
+        return spark.createDataFrame([], "rank long, id long, sim double")
+    qv = np.floor(
+        np.asarray(qrow[0][vec_col], dtype=np.float64) * QUANT_SCALE
+    ).astype(np.int64)
+    probes = _probe_clusters(qv, qcent, nprobe)
+    cand = vecs.where(F.col("cluster").isin(probes))
+    return cosine_topk_quantized(cand, query_id, k, id_col="id", vec_col=vec_col)

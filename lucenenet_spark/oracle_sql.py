@@ -417,6 +417,39 @@ WHERE r.doc_rank <= {k_per_group}"""
     )
 
 
+def sort_by_field_sql(term: str, k: int = K) -> str:
+    """TopFieldCollector mirror: matches of a term query sorted by
+    (field_length ASC, score DESC, docid ASC)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+joined AS (
+  SELECT s.docid, s.s, n.fl FROM t0 s JOIN norms n ON n.docid = s.docid
+)
+SELECT CAST(row_number() OVER (ORDER BY fl ASC, s DESC, docid ASC) AS BIGINT) AS rank,
+       docid, CAST(fl AS BIGINT) AS field_length, CAST(s AS DOUBLE) AS score
+FROM joined ORDER BY fl ASC, s DESC, docid ASC LIMIT {k}"""
+    )
+
+
+def sort_by_meta_desc_sql(term: str, meta_col: str, k: int = K) -> str:
+    """Sort by a string metadata column DESC, score DESC, docid ASC."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+joined AS (
+  SELECT s.docid, s.s, d.{meta_col} AS {meta_col}
+  FROM t0 s JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.docid
+)
+SELECT CAST(row_number() OVER (ORDER BY {meta_col} DESC, s DESC, docid ASC) AS BIGINT)
+         AS rank,
+       docid, {meta_col}, CAST(s AS DOUBLE) AS score
+FROM joined ORDER BY {meta_col} DESC, s DESC, docid ASC LIMIT {k}"""
+    )
+
+
 def search_after_sql(term: str, page: int = 2, k: int = 10) -> str:
     """Cursor pagination = the k hits after rank (page-1)*k."""
     lo, hi = (page - 1) * k, page * k
@@ -502,6 +535,60 @@ sel AS (
 )
 SELECT term, tf, df, mlt_score FROM sel
 ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
+    )
+
+
+def mlt_topk_sql(
+    docid: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    k: int = K,
+) -> str:
+    """MoreLikeThis top-k: the SHOULD-disjunction over the MLT-selected
+    terms, scored with the engine's float32 clause-order fold. The term
+    selection is the mlt_terms CTE; the fold uses list_reduce over
+    clause-ordered REAL scores — float32(0)+s0 == s0 exactly, so
+    reduce-from-first equals the engine's fold-from-zero."""
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        bm25_prelude()
+        + f""",
+dtf AS (
+  SELECT term, CAST(freq AS BIGINT) AS tf FROM postings
+  WHERE docid = {docid} AND freq >= {min_term_freq}
+),
+sel AS (
+  SELECT d.term, t.df,
+         d.tf * (ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE) / (t.df + 1)) + 1.0)
+           AS mlt_score
+  FROM dtf d JOIN term_stats t ON t.term = d.term
+  WHERE t.df >= {min_doc_freq}
+),
+selk AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY mlt_score DESC, term ASC) AS cidx
+  FROM sel ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}
+),
+tw AS (
+  SELECT term, cidx,
+         {_idf_expr("df")} * {_f32_lit(1.0)} * {k1p1} AS w
+  FROM selk
+),
+clause AS (
+  SELECT p.docid, tw.cidx,
+         tw.w * CAST(p.freq AS REAL) / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM postings p
+  JOIN tw ON tw.term = p.term
+  JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+),
+folded AS (
+  SELECT docid,
+         list_reduce(list(s ORDER BY cidx), (x, y) -> x + y) * {_f32_lit(1.0)} AS s
+  FROM clause GROUP BY docid
+)"""
+        + _topk("folded", k)
     )
 
 

@@ -237,6 +237,59 @@ def test_embedding_dup_pairs_exact(emb_df):
         assert abs(got[k] - expect[k]) < 1e-12
 
 
+def test_lsh_band_keys_match_python(emb_df):
+    got = {}
+    for r in similarity.lsh_band_keys(emb_df).collect():
+        got.setdefault(r["id"], {})[r["band"]] = r["key"]
+    planes = similarity.int_hyperplanes(8)
+    r_bits = similarity.N_PLANES // similarity.LSH_BANDS
+    for row in emb_df.collect():
+        v = np.floor(np.asarray(row["embedding"], dtype=np.float64) * 10000).astype(np.int64)
+        bits = (v @ planes.T) > 0
+        for b in range(similarity.LSH_BANDS):
+            key = sum(1 << j for j in range(r_bits) if bits[b * r_bits + j])
+            assert got[row["vec_id"]][b] == key
+
+
+def test_ivf_persisted_index_prunes_partitions(emb_df, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb_df, path, n_centroids=4)
+    spark = emb_df.sparkSession
+    inline = similarity.cosine_topk_ivf(emb_df, query_id=0, k=5, n_centroids=4, nprobe=2).collect()
+    persisted = similarity.cosine_topk_ivf_persisted(spark, path, query_id=0, k=5, nprobe=2).collect()
+    assert [(r["id"], r["sim"]) for r in persisted] == [(r["id"], r["sim"]) for r in inline]
+    # probing must PRUNE: the probed scan reads fewer files than the table has
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    qcent = np.array([r["qcent"] for r in cents], dtype=np.int64)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    qv = np.floor(np.asarray(
+        vecs.where(vecs.id == 0).collect()[0]["embedding"], dtype=np.float64
+    ) * 10000).astype(np.int64)
+    probes = similarity._probe_clusters(qv, qcent, 2)
+    pruned = vecs.where(vecs.cluster.isin(probes))
+    # the cluster predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a post-scan row filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster" in seg and "IN" in seg.upper()
+
+
+def test_ann_recall_at_k(emb_df):
+    exact = similarity.cosine_topk_quantized(emb_df, query_id=0, k=5)
+    lsh = similarity.cosine_topk_lsh(emb_df, query_id=0, k=5)
+    ivf = similarity.cosine_topk_ivf(emb_df, query_id=0, k=5, n_centroids=4, nprobe=4)
+    assert similarity.ann_recall_at_k(exact, exact) == 1.0
+    assert 0.0 <= similarity.ann_recall_at_k(lsh, exact) <= 1.0
+    assert similarity.ann_recall_at_k(ivf, exact) == 1.0  # full probe == exact
+
+
 def test_embedding_dup_pairs_lsh_subset(emb_df):
     exact = {
         (r["id_a"], r["id_b"])
