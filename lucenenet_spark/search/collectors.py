@@ -23,6 +23,71 @@ from lucenenet_spark.search.queries import Query
 from lucenenet_spark.search.searcher import IndexSearcher
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SortField:
+    """One sort key — the ``Search/SortField.cs:43-197`` analog.
+
+    ``field`` names a docs-table column, or ``SortField.SCORE`` for
+    relevance. Value fields sort ASCENDING by default and score sorts
+    DESCENDING by default (the reference's natural orders);
+    ``reverse`` flips either. ``missing_value`` is the sort value
+    substituted for null/absent fields (SortField.SetMissingValue);
+    left None, nulls sort last in whichever direction is active
+    (Spark's nulls-last default matches Lucene's missing-last)."""
+
+    field: str = ""
+    reverse: bool = False
+    missing_value: object = None
+
+    SCORE = "__score__"
+
+    def column(self):
+        base = F.col("score") if self.field == SortField.SCORE else F.col(self.field)
+        if self.missing_value is not None and self.field != SortField.SCORE:
+            base = F.coalesce(base, F.lit(self.missing_value))
+        descending = (self.field == SortField.SCORE) != self.reverse
+        if descending:
+            return base.desc_nulls_last()
+        return base.asc_nulls_last()
+
+
+def sort_topk(
+    searcher: IndexSearcher,
+    query: Query,
+    sorts: list[SortField],
+    k: int = 10,
+) -> DataFrame:
+    """TopFieldCollector (``Search/TopFieldCollector.cs:37``): top-k of
+    a query's matches under an explicit Sort instead of relevance, with
+    docid as the final tie-break. Output: (rank, docid, <each sort
+    field's value>, score).
+
+    Physical shape: scored docs join the docs table on docid (Catalyst
+    broadcasts whichever side is small), then ORDER BY the sort columns
+    LIMIT k — a TakeOrderedAndProject, i.e. per-partition bounded heaps
+    + driver merge, exactly the reference's field-comparator queue
+    distributed."""
+    scored = searcher.scored_docs(query)
+    field_cols = sorted(
+        {s.field for s in sorts if s.field != SortField.SCORE}
+    )
+    joined = scored.join(
+        searcher.index.docs.select("docid", *field_cols), "docid"
+    )
+    order = [s.column() for s in sorts] + [F.col("docid").asc()]
+    top = joined.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "docid",
+        *field_cols,
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def total_hit_count(searcher: IndexSearcher, query: Query) -> int:
     """TotalHitCountCollector (``Search/TotalHitCountCollector.cs``)."""
     return searcher.count(query)

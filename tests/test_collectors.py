@@ -23,6 +23,61 @@ def scored(searcher):
     return {r["docid"]: r["score"] for r in searcher.scored_docs(Q).collect()}
 
 
+def test_sort_topk_by_field_matches_bruteforce(searcher, scored, spark_index):
+    """TestSort analog: sort matches by (field_length asc, score desc,
+    docid asc) and compare to a python sort of the scored set."""
+    fl = {
+        r["docid"]: r["field_length"]
+        for r in spark_index.docs.select("docid", "field_length").collect()
+    }
+    got = coll.sort_topk(
+        searcher, Q,
+        [coll.SortField("field_length"), coll.SortField(coll.SortField.SCORE)],
+        k=10,
+    ).collect()
+    expect = sorted(
+        ((fl[d], -np.float32(s), d) for d, s in scored.items()),
+    )[:10]
+    assert [(r["field_length"], r["docid"]) for r in got] == [
+        (f, d) for f, _, d in expect
+    ]
+    # reverse flips the field direction
+    rev = coll.sort_topk(
+        searcher, Q, [coll.SortField("field_length", reverse=True)], k=5
+    ).collect()
+    expect_rev = sorted(((-fl[d], d) for d in scored))[:5]
+    assert [r["docid"] for r in rev] == [d for _, d in expect_rev]
+
+
+def test_sort_topk_missing_value_policy(spark, spark_index):
+    """Null field values: default nulls-last; an explicit missing_value
+    substitutes into the sort key (SortField.SetMissingValue)."""
+    from lucenenet_spark.index import CorpusSpec, build_index
+
+    rows = [
+        ("r", "a", "c1", None, "alpha beta"),
+        ("r", "b", "c2", 5, "alpha gamma"),
+        ("r", "c", "c3", 1, "alpha delta"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, stars int, content string"
+    )
+    idx = build_index(
+        spark, df,
+        CorpusSpec(text_col="content", order_cols=("repo", "path", "commit"),
+                   meta_cols=("path", "stars")),
+    )
+    s = IndexSearcher(idx)
+    q = TermQuery(term="alpha")
+    docs = {r["path"]: r["docid"] for r in idx.docs.select("docid", "path").collect()}
+    default = coll.sort_topk(s, q, [coll.SortField("stars")], k=3).collect()
+    assert [r["docid"] for r in default] == [docs["c"], docs["b"], docs["a"]]  # null last
+    filled = coll.sort_topk(
+        s, q, [coll.SortField("stars", missing_value=0)], k=3
+    ).collect()
+    assert [r["docid"] for r in filled] == [docs["a"], docs["c"], docs["b"]]  # null -> 0 first
+
+
 def test_facet_counts(searcher, scored, spark_index):
     got = {r["lang"]: r["n_docs"] for r in coll.facet_counts(searcher, Q, "lang").collect()}
     docs = {r["docid"]: r["lang"] for r in spark_index.docs.select("docid", "lang").collect()}
