@@ -256,6 +256,60 @@ def _q_sort_by_meta_desc(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- multi-field
+
+_MF_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _mf_searcher(spark, sf_dir):
+    """Two-field corpus derived from documents (title = first 80 chars,
+    body = full text), indexed per field over a shared docid space."""
+    from lucenenet_spark.index.multifield import build_multi_field_index
+    from lucenenet_spark.search.multifield import MultiFieldSearcher
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _MF_CACHE:
+        docs2 = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80).alias("title"),
+            F.coalesce(F.col("text"), F.lit("")).alias("body"),
+        )
+        mfi = build_multi_field_index(
+            spark,
+            docs2,
+            {"title": "title", "body": "body"},
+            _mf_spec(),
+            default_field="body",
+        ).cache()
+        _MF_CACHE[key] = MultiFieldSearcher(mfi)
+    return _MF_CACHE[key]
+
+
+def _mf_spec():
+    return CorpusSpec(text_col="body", id_col="doc_id")
+
+
+def _q_field_term_query(spark, sf_dir):
+    mfs = _mf_searcher(spark, sf_dir)
+    return _ranked(mfs.search_df(TermQuery(term="merge", field="title"), 10))
+
+
+def _q_multi_field_dismax(spark, sf_dir):
+    mfs = _mf_searcher(spark, sf_dir)
+    return _ranked(
+        mfs.dismax_all_fields(TermQuery(term="spark"), tie_breaker=0.3, k=10)
+    )
+
+
+def _q_multi_field_boolean(spark, sf_dir):
+    mfs = _mf_searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="spark", field="title"), Occur.MUST),
+        (TermQuery(term="merge", field="body"), Occur.MUST),
+    )
+    return _ranked(mfs.search_df(q, 10))
+
+
 def _q_grouped_topk(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.grouped_topk(s, TermQuery(term="hash"), "source", k_groups=10, k_per_group=3)
@@ -467,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
         "numeric_range_query": _q_numeric_range,
+        "field_term_query": _q_field_term_query,
+        "multi_field_dismax": _q_multi_field_dismax,
+        "multi_field_boolean": _q_multi_field_boolean,
         "sort_by_field": _q_sort_by_field,
         "sort_by_meta_desc": _q_sort_by_meta_desc,
         "grouped_topk": _q_grouped_topk,
@@ -523,6 +580,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),
         "numeric_range_query": osql.numeric_range_query_sql("spark", 20, 30),
+        "field_term_query": osql.multifield_term_query_sql("merge", "t_"),
+        "multi_field_dismax": osql.multifield_dismax_sql("spark", 0.3),
+        "multi_field_boolean": osql.multifield_boolean_sql("spark", "merge"),
         "sort_by_field": osql.sort_by_field_sql("spark"),
         "sort_by_meta_desc": osql.sort_by_meta_desc_sql("spark", "lang"),
         "grouped_topk": osql.grouped_topk_sql("hash", "source", 10, 3),

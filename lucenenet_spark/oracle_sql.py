@@ -538,6 +538,136 @@ ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
     )
 
 
+# ------------------------------------------------------- multi-field
+
+TITLE_CHARS = 80  # the derived two-field corpus: title = first 80 chars
+
+
+def _field_prelude(p: str, text_col: str) -> str:
+    """Per-field BM25 CTE chain over the derived two-field table
+    ``d2`` — same shapes as bm25_prelude, names prefixed ``{p}`` so two
+    fields coexist in one WITH block (per-field df/avgdl/norms, the
+    FieldInfos model). norm_decode/norm_table are shared (emitted once
+    by mf_prelude)."""
+    tok = duckdb_token_sql("d2", "doc_id", text_col, with_positions=False)
+    return f"""
+{p}tok AS ({tok}),
+{p}postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM {p}tok GROUP BY docid, term
+),
+{p}doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM d2 d
+  LEFT JOIN (SELECT docid, count(*) AS fl FROM {p}tok GROUP BY docid) t
+    ON d.doc_id = t.docid
+),
+{p}norms AS (
+  SELECT docid, fl,
+         CASE WHEN fl = 0 THEN 255 ELSE (
+           SELECT max(b) FROM norm_decode
+           WHERE val <= CAST(1.0 AS REAL)/CAST(sqrt(CAST(fl AS DOUBLE)) AS REAL)
+         ) END AS norm
+  FROM {p}doclen
+),
+{p}cstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS max_doc,
+         CAST(CAST(coalesce(sum(fl), 0) AS DOUBLE) / count(*) AS REAL) AS avgdl
+  FROM {p}doclen
+),
+{p}term_stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM {p}postings GROUP BY term
+),
+{p}cache AS (
+  SELECT nb,
+         {_f32_lit(1.2)} * (({_f32_lit(1.0)} - {_f32_lit(0.75)})
+            + {_f32_lit(0.75)} * nt / (SELECT avgdl FROM {p}cstats)) AS c
+  FROM norm_table
+)"""
+
+
+def mf_prelude() -> str:
+    return f"""
+WITH d2 AS (
+  SELECT doc_id,
+         substring(coalesce(text, ''), 1, {TITLE_CHARS}) AS title,
+         coalesce(text, '') AS body
+  FROM documents
+),
+norm_decode(b, val) AS (VALUES {_norm_decode_values()}),
+norm_table(nb, nt) AS (VALUES {_norm_table_values()}),
+{_field_prelude('t_', 'title')},
+{_field_prelude('b_', 'body')}"""
+
+
+def _mf_term_scores_cte(name: str, p: str, term: str, boost: float = 1.0) -> str:
+    """CTE ``{name}(docid, s)``: float32 BM25 for one term in field
+    ``{p}`` — this field's idf, avgdl cache, and norms."""
+    idf = (
+        f"CAST(ln(1 + ((SELECT max_doc FROM {p}cstats)"
+        f" - (SELECT df FROM {p}term_stats WHERE term = '{term}') + 0.5)"
+        f" / ((SELECT df FROM {p}term_stats WHERE term = '{term}') + 0.5)) AS REAL)"
+    )
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return f"""{name}_w(w) AS (SELECT {idf} * {_f32_lit(boost)} * {k1p1}),
+{name} AS (
+  SELECT p.docid,
+         (SELECT w FROM {name}_w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM {p}postings p JOIN {p}norms n ON p.docid = n.docid
+  JOIN {p}cache c ON c.nb = n.norm
+  WHERE p.term = '{term}'
+)"""
+
+
+def multifield_term_query_sql(term: str, field_prefix: str = "t_", k: int = K) -> str:
+    """One fielded term query (e.g. title:term) scored with that
+    field's statistics."""
+    return (
+        mf_prelude()
+        + ",\n" + _mf_term_scores_cte("f0", field_prefix, term)
+        + _topk("f0", k)
+    )
+
+
+def multifield_dismax_sql(term: str, tie: float, k: int = K) -> str:
+    """Cross-field DisMax of one term over (title, body) — the
+    MultiFieldQueryParser shape; fold order = field order."""
+    z = _f32_lit(0.0)
+    return (
+        mf_prelude()
+        + ",\n" + _mf_term_scores_cte("c0", "t_", term)
+        + ",\n" + _mf_term_scores_cte("c1", "b_", term)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         CAST(greatest(coalesce(c0.s, {z}), coalesce(c1.s, {z})) AS REAL) AS mx,
+         ({z} + coalesce(c0.s, {z})) + coalesce(c1.s, {z}) AS acc
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+scored AS (
+  SELECT docid, (mx + (acc - mx) * {_f32_lit(tie)}) * {_f32_lit(1.0)} AS s
+  FROM merged
+)"""
+        + _topk("scored", k)
+    )
+
+
+def multifield_boolean_sql(t_title: str, t_body: str, k: int = K) -> str:
+    """+title:t0 +body:t1 — cross-field conjunction, clause scores
+    folded ((0+s0)+s1) float32 in clause order."""
+    return (
+        mf_prelude()
+        + ",\n" + _mf_term_scores_cte("c0", "t_", t_title)
+        + ",\n" + _mf_term_scores_cte("c1", "b_", t_body)
+        + f""",
+merged AS (
+  SELECT c0.docid, ({_f32_lit(0.0)} + c0.s) + c1.s AS s
+  FROM c0 JOIN c1 ON c0.docid = c1.docid
+)"""
+        + _topk("merged", k)
+    )
+
+
 def mlt_topk_sql(
     docid: int,
     max_query_terms: int = 25,

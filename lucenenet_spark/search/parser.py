@@ -137,12 +137,13 @@ class _Parser:
                 )
             elif kind == "word":
                 word = m.group("word")
-                # field:term — single-field engine: strip the field
-                # qualifier (GetFieldQuery routes all fields to the one
-                # indexed content field)
+                # field:term — captured onto the term/phrase node
+                # (GetFieldQuery); single-field searchers ignore it,
+                # MultiFieldSearcher routes on it
+                qfield = None
                 fqm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", word)
                 if fqm:
-                    word = fqm.group(2)
+                    qfield, word = fqm.group(1), fqm.group(2)
                 boost_later = True
                 fm = re.match(r"(.+?)~(\d?)$", word)
                 if fm and not word.startswith("~"):
@@ -163,10 +164,12 @@ class _Parser:
                     if not pairs:
                         q = None
                     elif len(pairs) == 1:
-                        q = TermQuery(boost=boost, term=pairs[0][0])
+                        q = TermQuery(boost=boost, term=pairs[0][0], field=qfield)
                     else:
                         q = PhraseQuery(
-                            boost=boost, phrase_terms=tuple(t for t, _ in pairs)
+                            boost=boost,
+                            phrase_terms=tuple(t for t, _ in pairs),
+                            field=qfield,
                         )
             if q is None:
                 pending_occur = None

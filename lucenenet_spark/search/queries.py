@@ -43,6 +43,10 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str = ""
+    # index field to search (``Index/Term.cs`` Field); None = the
+    # searcher's default. Single-field searchers ignore it;
+    # MultiFieldSearcher routes on it.
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return [self.term]
@@ -103,6 +107,7 @@ class PhraseQuery(Query):
     # relative positions, defaults to 0..n-1; stopword gaps allowed
     term_positions: tuple[int, ...] | None = None
     slop: int = 0
+    field: str | None = None
 
     def positions(self) -> tuple[int, ...]:
         return self.term_positions or tuple(range(len(self.phrase_terms)))

@@ -616,38 +616,7 @@ class IndexSearcher:
 
         min_should = q.minimum_number_should_match
         required_should = max(min_should, 0 if must else 1)
-
-        agg = pos.groupBy("docid").agg(
-            F.sum((F.col("kind") == 1).cast("int")).alias("n_must"),
-            F.sum((F.col("kind") == 0).cast("int")).alias("n_should"),
-            F.sum((F.col("kind") == -1).cast("int")).alias("n_not"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("kind") >= 0, F.struct("cidx", "score"))
-                )
-            ).alias("cs"),
-        )
-        cond = (
-            (F.col("n_must") == len(must))
-            & (F.col("n_should") >= required_should)
-            & (F.col("n_not") == 0)
-        )
-        agg = agg.where(cond)
-
-        boost = float(np.float32(q.boost))
-
-        @F.pandas_udf("float")
-        def fold(cs: pd.Series) -> pd.Series:
-            b = np.float32(boost)
-            out = np.empty(len(cs), dtype=np.float32)
-            for i, lst in enumerate(cs):
-                acc = np.float32(0.0)
-                for item in lst:
-                    acc = np.float32(acc + np.float32(item["score"]))
-                out[i] = np.float32(acc * b)
-            return pd.Series(out)
-
-        scored = agg.select("docid", fold(F.col("cs")).alias("score"))
+        scored = combine_boolean_frames(pos, len(must), required_should, q.boost)
         return self._apply_not(scored, complex_nots, stats)
 
     def _apply_not(self, scored: DataFrame, nots, stats) -> DataFrame:
@@ -696,28 +665,7 @@ class IndexSearcher:
         pos = frames[0]
         for fdf in frames[1:]:
             pos = pos.unionByName(fdf)
-        tie = float(np.float32(q.tie_breaker))
-        boost = float(np.float32(q.boost))
-
-        @F.pandas_udf("float")
-        def fold(cs: pd.Series) -> pd.Series:
-            t, b = np.float32(tie), np.float32(boost)
-            out = np.empty(len(cs), dtype=np.float32)
-            for i, lst in enumerate(cs):
-                mx, acc = np.float32(0.0), np.float32(0.0)
-                for item in lst:
-                    s = np.float32(item["score"])
-                    acc = np.float32(acc + s)
-                    if s > mx:
-                        mx = s
-                # DisjunctionMaxQuery.cs:69-77: max + tie*(sum-max)
-                out[i] = np.float32((mx + np.float32(acc - mx) * t) * b)
-            return pd.Series(out)
-
-        agg = pos.groupBy("docid").agg(
-            F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs")
-        )
-        return agg.select("docid", fold(F.col("cs")).alias("score"))
+        return combine_dismax_frames(pos, q.tie_breaker, q.boost)
 
     # ----------------------------------------------------- phrase
     def _phrase(self, q: PhraseQuery, stats) -> DataFrame | None:
@@ -788,6 +736,77 @@ class IndexSearcher:
             "docid", phrase_score(F.col("tp"), F.col("norm")).alias("score")
         ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         return scored
+
+
+def combine_boolean_frames(
+    pos: DataFrame, n_must: int, required_should: int, boost: float
+) -> DataFrame:
+    """Fold per-clause score frames (docid, cidx, kind, score) into
+    boolean-scored docs: MUST count must equal ``n_must``, SHOULD count
+    >= ``required_should``, any MUST_NOT row disqualifies; surviving
+    clause scores are summed in clause-index order in float32 — the
+    pinned deterministic summation (partition-count invariant). Shared
+    by the single-index boolean scorer and the cross-field
+    MultiFieldSearcher (where each clause frame comes from a different
+    field's index)."""
+    agg = pos.groupBy("docid").agg(
+        F.sum((F.col("kind") == 1).cast("int")).alias("n_must"),
+        F.sum((F.col("kind") == 0).cast("int")).alias("n_should"),
+        F.sum((F.col("kind") == -1).cast("int")).alias("n_not"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("kind") >= 0, F.struct("cidx", "score"))
+            )
+        ).alias("cs"),
+    )
+    cond = (
+        (F.col("n_must") == n_must)
+        & (F.col("n_should") >= required_should)
+        & (F.col("n_not") == 0)
+    )
+    agg = agg.where(cond)
+
+    boost_f = float(np.float32(boost))
+
+    @F.pandas_udf("float")
+    def fold(cs: pd.Series) -> pd.Series:
+        b = np.float32(boost_f)
+        out = np.empty(len(cs), dtype=np.float32)
+        for i, lst in enumerate(cs):
+            acc = np.float32(0.0)
+            for item in lst:
+                acc = np.float32(acc + np.float32(item["score"]))
+            out[i] = np.float32(acc * b)
+        return pd.Series(out)
+
+    return agg.select("docid", fold(F.col("cs")).alias("score"))
+
+
+def combine_dismax_frames(pos: DataFrame, tie_breaker: float, boost: float) -> DataFrame:
+    """Fold per-disjunct score frames (docid, cidx, score) with the
+    DisjunctionMaxQuery rule max + tie*(sum-max) in float32, clause
+    scores visited in cidx order (``DisjunctionMaxQuery.cs:69-77``)."""
+    tie = float(np.float32(tie_breaker))
+    boost_f = float(np.float32(boost))
+
+    @F.pandas_udf("float")
+    def fold(cs: pd.Series) -> pd.Series:
+        t, b = np.float32(tie), np.float32(boost_f)
+        out = np.empty(len(cs), dtype=np.float32)
+        for i, lst in enumerate(cs):
+            mx, acc = np.float32(0.0), np.float32(0.0)
+            for item in lst:
+                s = np.float32(item["score"])
+                acc = np.float32(acc + s)
+                if s > mx:
+                    mx = s
+            out[i] = np.float32((mx + np.float32(acc - mx) * t) * b)
+        return pd.Series(out)
+
+    agg = pos.groupBy("docid").agg(
+        F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs")
+    )
+    return agg.select("docid", fold(F.col("cs")).alias("score"))
 
 
 def _pure_term_disjunction(q: Query) -> list[str] | None:
