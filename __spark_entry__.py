@@ -185,6 +185,38 @@ def _q_prefix_docs(spark, sf_dir):
     return df.select("docid", F.col("score").cast("double").alias("score"))
 
 
+def _q_multi_phrase(spark, sf_dir):
+    from lucenenet_spark.search.queries import MultiPhraseQuery
+
+    _, s = _searcher(spark, sf_dir)
+    q = MultiPhraseQuery(slots=(("table",), ("hash", "scan")))
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_regexp_terms(spark, sf_dir):
+    from lucenenet_spark.search.queries import RegexpQuery
+
+    idx, _ = _searcher(spark, sf_dir)
+    q = RegexpQuery(pattern="s.+a.*")
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
+def _q_match_all(spark, sf_dir):
+    from lucenenet_spark.search.queries import MatchAllDocsQuery
+
+    _, s = _searcher(spark, sf_dir)
+    return s.search_df(MatchAllDocsQuery(), k=None).select(
+        "docid", F.col("score").cast("double").alias("score")
+    )
+
+
+def _q_field_value_filter(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(coll.field_value_filter(s, TermQuery(term="spark"), "source", 10))
+
+
 def _q_wildcard_terms(spark, sf_dir):
     idx, _ = _searcher(spark, sf_dir)
     q = WildcardQuery(pattern="s*a*")
@@ -533,6 +565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_terms": _q_mlt_terms,
         "mlt_topk": _q_mlt_topk,
         "common_terms_split": _q_common_terms_split,
+        "multi_phrase": _q_multi_phrase,
+        "regexp_terms": _q_regexp_terms,
+        "match_all_docs": _q_match_all,
+        "field_value_filter": _q_field_value_filter,
         "prefix_docs": _q_prefix_docs,
         "wildcard_terms": _q_wildcard_terms,
         "fuzzy_terms": _q_fuzzy_terms,
@@ -594,6 +630,10 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_split": osql.common_terms_split_sql(
             ["dup", "hash", "spark", "merge"], 0.1
         ),
+        "multi_phrase": osql.multi_phrase_sql(["table"], ["hash", "scan"]),
+        "regexp_terms": osql.regexp_terms_sql("s.+a.*"),
+        "match_all_docs": osql.match_all_sql(),
+        "field_value_filter": osql.field_value_filter_sql("spark", "source"),
         "prefix_docs": osql.prefix_docs_sql("s"),
         "wildcard_terms": osql.wildcard_terms_sql("^s.*a.*$"),
         "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),

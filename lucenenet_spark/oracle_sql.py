@@ -538,6 +538,73 @@ ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
     )
 
 
+def multi_phrase_sql(slot0: list[str], slot1: list[str], k: int = K) -> str:
+    """2-slot MultiPhraseQuery: slot1 alternatives at slot0.pos + 1;
+    freq = count of distinct start positions; weight = float32-ordered
+    idf sum over every term of both slots (absent terms: df=0)."""
+    w = _f32_lit(0.0)
+    for t in list(slot0) + list(slot1):
+        idf = _idf_expr(
+            f"coalesce((SELECT df FROM term_stats WHERE term = '{t}'), 0)"
+        )
+        w = f"({w} + {idf})"
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    in0 = ", ".join(f"'{t}'" for t in slot0)
+    in1 = ", ".join(f"'{t}'" for t in slot1)
+    return (
+        bm25_prelude(with_positions=True)
+        + f""",
+w AS (SELECT {w} * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(DISTINCT a.pos) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term IN ({in0}) AND b.term IN ({in1})
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         (SELECT w FROM w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("scored", k)
+    )
+
+
+def regexp_terms_sql(pattern: str) -> str:
+    """Dictionary expansion of RegexpQuery (anchored full-match)."""
+    return (
+        bm25_prelude()
+        + f"\nSELECT term, df, ttf FROM term_stats WHERE regexp_full_match(term, '{pattern}')"
+    )
+
+
+def match_all_sql() -> str:
+    """MatchAllDocsQuery: every doc, constant score = boost."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score FROM doclen"""
+    )
+
+
+def field_value_filter_sql(term: str, meta_col: str, k: int = K) -> str:
+    """FieldValueFilter: term query restricted to docs with a non-null
+    field value (``Search/FieldValueFilter.cs``)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+kept AS (
+  SELECT s.docid, s.s FROM t0 s
+  JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.docid
+  WHERE d.{meta_col} IS NOT NULL
+)"""
+        + _topk("kept", k)
+    )
+
+
 # ------------------------------------------------------- multi-field
 
 TITLE_CHARS = 80  # the derived two-field corpus: title = first 80 chars

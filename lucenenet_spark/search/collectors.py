@@ -180,6 +180,15 @@ def filtered_topk(
     )
 
 
+def field_value_filter(
+    searcher: IndexSearcher, query: Query, col_name: str, k: int = 10
+) -> DataFrame:
+    """FieldValueFilter (``Search/FieldValueFilter.cs``): restrict a
+    query's matches to documents that HAVE a value for a field — the
+    isNotNull predicate pushed to the docs-table parquet scan."""
+    return filtered_topk(searcher, query, F.col(col_name).isNotNull(), k)
+
+
 def search_after(
     searcher: IndexSearcher,
     query: Query,

@@ -117,6 +117,28 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with ALTERNATIVES per slot (``Search/MultiPhraseQuery.cs:72``):
+    slot i matches if ANY of its terms occurs at the expected position —
+    the synonym/analyzer-graph phrase. Matching rides the same positions
+    join as PhraseQuery with each slot's position set = the union of its
+    terms' positions; weight = float32-ordered idf sum over every term
+    of every slot (the reference sums TermStatistics over all termArrays
+    entries, absent terms contributing their df=0 idf)."""
+
+    slots: tuple[tuple[str, ...], ...] = ()
+    term_positions: tuple[int, ...] | None = None
+    slop: int = 0
+    field: str | None = None
+
+    def positions(self) -> tuple[int, ...]:
+        return self.term_positions or tuple(range(len(self.slots)))
+
+    def terms(self) -> list[str]:
+        return [t for slot in self.slots for t in slot]
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 
@@ -199,6 +221,26 @@ class WildcardQuery(MultiTermQuery):
         import re as _re
 
         return _re.match(self._regex(), term) is not None
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """Terms matching an ANCHORED regular expression
+    (``Search/RegexpQuery.cs:52`` — Lucene regexps are full-match
+    against the term). The automaton walk over the FST collapses to a
+    dictionary predicate scan (rlike/fullmatch)."""
+
+    pattern: str = ""
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        return F.col("term").rlike(f"^(?:{self.pattern})$")
+
+    def python_predicate(self, term: str) -> bool:
+        import re as _re
+
+        return _re.fullmatch(self.pattern, term) is not None
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,7 @@ from lucenenet_spark.search.queries import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,
@@ -351,6 +352,8 @@ class IndexSearcher:
             return self._dismax(q, stats)
         if isinstance(q, PhraseQuery):
             return self._phrase(q, stats)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase(q, stats)
         raise NotImplementedError(type(q).__name__)
 
     # ----------------------------------------------------- term scorer
@@ -736,6 +739,91 @@ class IndexSearcher:
             "docid", phrase_score(F.col("tp"), F.col("norm")).alias("score")
         ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
         return scored
+
+    def _multi_phrase(self, q: MultiPhraseQuery, stats) -> DataFrame | None:
+        """MultiPhraseQuery (``Search/MultiPhraseQuery.cs:72``): slot i
+        matches if ANY of its alternatives sits at the expected
+        position. Same physical shape as the exact/sloppy phrase — one
+        packed scan filtered to all slot terms (parquet In pushdown),
+        one groupBy(docid) shuffle, vectorized position math — with
+        each slot's position set being the union of its present terms'
+        positions (UnionDocsAndPositionsEnum's merge)."""
+        slots = [tuple(s) for s in q.slots if s]
+        rels = list(q.positions())
+        if not slots:
+            return None
+        present = [[t for t in slot if t in stats] for slot in slots]
+        if any(not p for p in present):
+            return None  # a slot with no indexed alternative matches nothing
+        # weight: idf summed over EVERY term of every slot in order,
+        # absent terms contributing df=0 idf (reference sums the full
+        # termArrays' TermStatistics)
+        idfs = [
+            bm25.idf(stats.get(t, (0, 0))[0], self.index.max_doc)
+            for slot in slots
+            for t in slot
+        ]
+        w = bm25.term_weight(bm25.float32_ordered_sum(np.array(idfs)), q.boost)
+        cache = self._cache
+        wf = float(w)
+        uniq = sorted({t for p in present for t in p})
+        slots_l = [list(p) for p in present]
+        rels_l = list(rels)
+        slop = q.slop
+
+        if self.use_packed:
+            from lucenenet_spark.index.builder import unpack_postings
+
+            src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
+        else:
+            src = self.index.postings.where(F.col("term").isin(uniq))
+        cand = src.groupBy("docid").agg(
+            F.collect_list(F.struct("term", "positions")).alias("tp"),
+            F.first("norm").alias("norm"),
+        )
+
+        @F.pandas_udf("float")
+        def mp_score(tp: pd.Series, norm: pd.Series) -> pd.Series:
+            from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
+            w32 = np.float32(wf)
+            out = np.empty(len(tp), dtype=np.float32)
+            for i, lst in enumerate(tp):
+                posmap = {
+                    item["term"]: np.asarray(item["positions"], dtype=np.int64)
+                    for item in lst
+                }
+                offs = []
+                ok = True
+                for slot, r in zip(slots_l, rels_l):
+                    arrs = [posmap[t] for t in slot if t in posmap]
+                    if not arrs:
+                        ok = False
+                        break
+                    u = np.unique(np.concatenate(arrs))
+                    offs.append(u - r)
+                if not ok:
+                    out[i] = np.nan
+                    continue
+                if slop == 0:
+                    acc = offs[0]
+                    for o in offs[1:]:
+                        acc = np.intersect1d(acc, o, assume_unique=True)
+                        if acc.size == 0:
+                            break
+                    freq = np.float32(acc.size)
+                else:
+                    freq = sloppy_phrase_freq(offs, slop)
+                if freq == 0:
+                    out[i] = np.nan
+                else:
+                    c = cache[int(norm.iloc[i])]
+                    out[i] = np.float32(w32 * freq / (freq + c))
+            return pd.Series(out)
+
+        return cand.select(
+            "docid", mp_score(F.col("tp"), F.col("norm")).alias("score")
+        ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
 
 
 def combine_boolean_frames(
