@@ -1,50 +1,206 @@
-"""Sloppy-phrase frequency: greedy minimal-window matcher.
+"""Sloppy-phrase frequency — faithful port of the reference's
+priority-queue repositioning algorithm (``Search/SloppyPhraseScorer.cs``,
+``Search/PhraseQueue.cs``), replacing the round-1 greedy
+minimal-window approximation whose repeated-term corner cases diverged.
 
-Semantics note (documented divergence): the reference's
-``SloppyPhraseScorer`` (``Search/SloppyPhraseScorer.cs``) runs a
-priority-queue repositioning algorithm whose corner cases around
-repeated terms are subtle; this engine instead pins the following
-deterministic spec, shared verbatim between the Spark UDF and the
-pure-Python oracle (so Spark↔oracle identity is exact):
+Semantics reimplemented (not translated) from the reference:
 
-- offsets applied first (``q_i = position - expected_offset``);
-- sweep the classic k-sorted-lists minimal windows: at each step the
-  current window spans one candidate per term; its length is
-  ``L = max - min``;
-- a window with ``L <= slop`` MATCHES, contributes
-  ``1 / (1 + L)`` (the reference's sloppyFreq,
-  ``Similarities/Similarity.cs`` SloppyFreq analog) to the phrase
-  frequency in float32, and consumes all its elements (greedy
-  non-overlapping, left-to-right);
-- otherwise the smallest element advances.
+- One PhrasePosition (pp) per query slot, walking that term's position
+  list with the slot's query offset subtracted
+  (``pp.position = tp.position - offset`` — an exact match is all pps
+  at the same adjusted position).
+- A min-heap ordered by (position, offset, ord)
+  (``PhraseQueue.cs`` LessThan) always advances the least pp;
+  ``end`` tracks the largest adjusted position seen.
+- A match is emitted when the just-advanced pp overshoots the queue
+  head (``pp.position > next``): its length is ``end - popped.position``
+  minimized while the popped pp stayed least; a length ``L <= slop``
+  contributes ``1/(1+L)`` (``Similarity.SloppyFreq``) to the float32
+  frequency. One final check when a pp exhausts
+  (``SloppyPhraseScorer.cs:102-146``).
+- REPEATED TERMS (``"A A A"``, ``"drug x drug"``): pps of the same term
+  form repeat groups sorted by offset; at init the j-th member is
+  advanced j extra positions so no two start on the same term position
+  (``AdvanceRepeatGroups``), and whenever an advance makes two group
+  members collide on the same underlying term position, the LESSER one
+  (by position then offset) is advanced until the collision clears,
+  re-queuing any in-queue members whose positions moved
+  (``AdvanceRpts`` / ``Collide`` / ``Lesser``). This is what makes
+  "A A"~0 not match a single "A", and caps the frequency (LUCENE-3215
+  infinite-freq bugs are the regression tests).
 
-For ``slop = 0`` this reduces to exact-phrase counting (all offsets
-equal), and the engine uses the vectorized exact path instead.
+Multi-term-per-slot repeats (MultiPhraseQuery with a term repeated
+across slots — ``hasMultiTermRpts``) are NOT ported: the engine's
+MultiPhraseQuery merges each slot's alternatives into one position
+union first, which matches the reference except when alternatives
+repeat across slots (documented divergence).
 """
 
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 
 
-def sloppy_phrase_freq(offset_positions: list[np.ndarray], slop: int) -> np.float32:
-    """float32 sloppy frequency over offset-adjusted, sorted position
-    arrays (one per phrase term)."""
-    k = len(offset_positions)
-    lists = [np.asarray(p, dtype=np.int64) for p in offset_positions]
-    ptrs = [0] * k
-    acc = np.float32(0.0)
-    while True:
-        vals = []
-        for i in range(k):
-            if ptrs[i] >= len(lists[i]):
-                return acc
-            vals.append(int(lists[i][ptrs[i]]))
-        lo, hi = min(vals), max(vals)
-        L = hi - lo
-        if L <= slop:
-            acc = np.float32(acc + np.float32(1.0 / (1.0 + L)))
-            for i in range(k):
-                ptrs[i] += 1
+class _PP:
+    """One phrase position: a cursor over a slot's raw term positions,
+    exposing the offset-adjusted position."""
+
+    __slots__ = ("arr", "i", "offset", "ord", "pos", "rpt_group", "rpt_ind")
+
+    def __init__(self, arr: np.ndarray, offset: int, ord_: int):
+        self.arr = arr
+        self.offset = int(offset)
+        self.ord = ord_
+        self.i = 0
+        self.pos = int(arr[0]) - self.offset
+        self.rpt_group = -1
+        self.rpt_ind = -1
+
+    def next_position(self) -> bool:
+        self.i += 1
+        if self.i >= len(self.arr):
+            return False
+        self.pos = int(self.arr[self.i]) - self.offset
+        return True
+
+    def tp_pos(self) -> int:
+        return self.pos + self.offset
+
+    def heap_key(self):
+        return (self.pos, self.offset, self.ord)
+
+
+def sloppy_phrase_freq(
+    positions: list[np.ndarray],
+    slop: int,
+    offsets: list[int] | None = None,
+    term_keys: list | None = None,
+) -> np.float32:
+    """float32 sloppy frequency for one document.
+
+    ``positions``: per query slot, that slot's RAW term positions in
+    the doc (sorted ascending). ``offsets``: the slot's query position
+    (default 0..n-1). ``term_keys``: slots with equal keys are the SAME
+    term (repeat groups); default = all distinct.
+    """
+    k = len(positions)
+    if k == 0:
+        return np.float32(0.0)
+    offs = list(offsets) if offsets is not None else list(range(k))
+    keys = list(term_keys) if term_keys is not None else list(range(k))
+    pps = [
+        _PP(np.asarray(p, dtype=np.int64), o, i)
+        for i, (p, o) in enumerate(zip(positions, offs))
+    ]
+    if any(len(pp.arr) == 0 for pp in pps):
+        return np.float32(0.0)
+    if k == 1:  # degenerate (real 1-term phrases rewrite to TermQuery)
+        acc = np.float32(0.0)
+        for _ in range(len(pps[0].arr)):
+            acc = np.float32(acc + np.float32(1.0))
+        return acc
+
+    # ---- repeat groups: same term at several query offsets
+    by_key: dict = {}
+    for pp in pps:
+        by_key.setdefault(keys[pp.ord], []).append(pp)
+    rpt_groups = [
+        sorted(g, key=lambda p: p.offset) for g in by_key.values() if len(g) > 1
+    ]
+    for gi, rg in enumerate(rpt_groups):
+        for j, pp in enumerate(rg):
+            pp.rpt_group = gi
+            pp.rpt_ind = j
+
+    state = {"end": -(1 << 62)}
+
+    def advance_pp(pp: _PP) -> bool:
+        if not pp.next_position():
+            return False
+        if pp.pos > state["end"]:
+            state["end"] = pp.pos
+        return True
+
+    # init: j-th member of each group advanced j extra positions so the
+    # group starts collision-free (AdvanceRepeatGroups, non-MTP case)
+    for rg in rpt_groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next_position():
+                    return np.float32(0.0)
+
+    for pp in pps:
+        if pp.pos > state["end"]:
+            state["end"] = pp.pos
+
+    heap: list = [(pp.heap_key(), pp) for pp in pps]
+    heapq.heapify(heap)
+
+    def collide(pp: _PP) -> int:
+        tp = pp.tp_pos()
+        for other in rpt_groups[pp.rpt_group]:
+            if other is not pp and other.tp_pos() == tp:
+                return other.rpt_ind
+        return -1
+
+    def lesser(a: _PP, b: _PP) -> _PP:
+        if a.pos < b.pos or (a.pos == b.pos and a.offset < b.offset):
+            return a
+        return b
+
+    def advance_rpts(pp: _PP) -> bool:
+        if pp.rpt_group < 0:
+            return True
+        rg = rpt_groups[pp.rpt_group]
+        k0 = pp.rpt_ind
+        moved: set[int] = set()
+        while True:
+            kk = collide(pp)
+            if kk < 0:
+                break
+            pp = lesser(pp, rg[kk])
+            if not advance_pp(pp):
+                return False
+            if kk != k0:
+                moved.add(kk)
+        # re-queue members whose positions changed while in the heap:
+        # pop until all moved ones are out, then push everything back
+        stack = []
+        grp = pp.rpt_group
+        while moved:
+            _, pp2 = heapq.heappop(heap)
+            stack.append(pp2)
+            if pp2.rpt_group == grp and pp2.rpt_ind in moved:
+                moved.discard(pp2.rpt_ind)
+        for pp2 in reversed(stack):
+            heapq.heappush(heap, (pp2.heap_key(), pp2))
+        return True
+
+    has_rpts = bool(rpt_groups)
+    freq = np.float32(0.0)
+    _, pp = heapq.heappop(heap)
+    match_length = state["end"] - pp.pos
+    next_pos = heap[0][1].pos
+    while advance_pp(pp):
+        if has_rpts and not advance_rpts(pp):
+            break
+        if pp.pos > next_pos:  # done minimizing the current match
+            if match_length <= slop:
+                freq = np.float32(
+                    freq + np.float32(np.float32(1.0) / np.float32(match_length + 1))
+                )
+            heapq.heappush(heap, (pp.heap_key(), pp))
+            _, pp = heapq.heappop(heap)
+            next_pos = heap[0][1].pos
+            match_length = state["end"] - pp.pos
         else:
-            ptrs[vals.index(lo)] += 1
+            ml2 = state["end"] - pp.pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = np.float32(
+            freq + np.float32(np.float32(1.0) / np.float32(match_length + 1))
+        )
+    return freq

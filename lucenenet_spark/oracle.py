@@ -24,6 +24,7 @@ from lucenenet_spark.search.queries import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,
@@ -134,7 +135,62 @@ class OracleSearcher:
             return self._dismax(q)
         if isinstance(q, PhraseQuery):
             return self._phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase(q)
         raise NotImplementedError(type(q).__name__)
+
+    def _multi_phrase(self, q: MultiPhraseQuery) -> dict[int, np.float32]:
+        """Slot-union mirror of searcher._multi_phrase."""
+        slots = [tuple(s) for s in q.slots if s]
+        rels = list(q.positions())
+        present = [
+            [t for t in slot if t in self.index.postings] for slot in slots
+        ]
+        if not slots or any(not p for p in present):
+            return {}
+        idfs = [
+            bm25.idf(self.index.df(t), self.index.max_doc)
+            for slot in slots
+            for t in slot
+        ]
+        w = bm25.term_weight(bm25.float32_ordered_sum(np.array(idfs)), q.boost)
+        cand = set.intersection(
+            *[set().union(*[self.index.postings[t] for t in p]) for p in present]
+        )
+        out = {}
+        for d in sorted(cand):
+            unions = []
+            ok = True
+            for p in present:
+                arrs = [
+                    np.array(self.index.postings[t][d][1], dtype=np.int64)
+                    for t in p
+                    if d in self.index.postings[t]
+                ]
+                if not arrs:
+                    ok = False
+                    break
+                unions.append(np.unique(np.concatenate(arrs)))
+            if not ok:
+                continue
+            if q.slop == 0:
+                acc = unions[0] - rels[0]
+                for u, r in zip(unions[1:], rels[1:]):
+                    acc = np.intersect1d(acc, u - r, assume_unique=True)
+                    if acc.size == 0:
+                        break
+                f = np.float32(np.count_nonzero(acc >= 0))
+            else:
+                from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
+                f = sloppy_phrase_freq(
+                    unions, q.slop, offsets=rels,
+                    term_keys=[tuple(s) for s in slots],
+                )
+            if f > 0:
+                c = self._cache[int(self.index.norms[d])]
+                out[d] = np.float32(w * f / (f + c))
+        return out
 
     def _term(self, q: TermQuery) -> dict[int, np.float32]:
         plist = self.index.postings.get(q.term)
@@ -224,15 +280,20 @@ class OracleSearcher:
                     )
                     if acc.size == 0:
                         break
-                f = np.float32(acc.size)
+                # ExactPhraseScorer: phrase start must be >= 0
+                f = np.float32(np.count_nonzero(acc >= 0))
             else:
                 from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
 
-                offs = [
-                    np.array(self.index.postings[t][d][1], dtype=np.int64) - r
-                    for t, r in zip(terms, rels)
-                ]
-                f = sloppy_phrase_freq(offs, q.slop)
+                f = sloppy_phrase_freq(
+                    [
+                        np.array(self.index.postings[t][d][1], dtype=np.int64)
+                        for t in terms
+                    ],
+                    q.slop,
+                    offsets=list(rels),
+                    term_keys=list(terms),
+                )
             if f > 0:
                 c = self._cache[int(self.index.norms[d])]
                 out[d] = np.float32(w * f / (f + c))

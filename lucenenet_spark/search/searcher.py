@@ -95,6 +95,7 @@ class IndexSearcher:
         prune_min_df: int = 64 * _BLOCK_SIZE,
         stats_cache_max_terms: int = 2_000_000,
         tombstones: DataFrame | None = None,
+        similarity=None,
     ):
         self.index = index
         self.use_packed = use_packed
@@ -108,6 +109,15 @@ class IndexSearcher:
         self.stats_cache_max_terms = stats_cache_max_terms
         self._avgdl = bm25.avg_field_length(index.sum_total_term_freq, index.max_doc)
         self._cache = bm25.norm_cache(self._avgdl)
+        # pluggable similarity (§2.11): term/boolean/dismax scoring
+        # routes through sim.weight/sim.score; phrase scoring and
+        # explain stay BM25 (the reference's phrase scorer is also
+        # similarity-generic, ours is pinned — documented limitation)
+        if similarity is None:
+            from lucenenet_spark.functions.similarity import BM25Similarity
+
+            similarity = BM25Similarity(self._avgdl)
+        self.sim = similarity
         # term dictionary cache: None = not loaded yet; False = larger
         # than stats_cache_max_terms (fall back to per-query Spark
         # lookups); dict = full {term: (df, ttf)} held driver-side.
@@ -363,7 +373,8 @@ class IndexSearcher:
         if term not in stats:
             return None
         df_, _ttf = stats[term]
-        weight = bm25.term_weight(bm25.idf(df_, self.index.max_doc), boost)
+        sim = self.sim
+        weight = sim.weight(df_, self.index.max_doc, boost)
         cache = self._cache
         if not self.use_packed:
             return self._term_scores_flat(term, weight)
@@ -372,11 +383,13 @@ class IndexSearcher:
         # pruning certifies its threshold from block metadata that
         # still counts deleted docs — rank-safety requires liveDocs-free
         # reads, so disable under tombstones (merge/compaction restores
-        # it)
+        # it). The ub/lb bounds encode BM25's monotonicity, so pruning
+        # only engages for the BM25 similarity.
         if (
             self.prune
             and top_k is not None
             and self.tombstones is None
+            and getattr(sim, "name", "") == "bm25"
             and df_ > self.prune_min_df
         ):
             blocks = self._prune_blocks(blocks, weight, cache, top_k)
@@ -396,7 +409,7 @@ class IndexSearcher:
                     d = delta_decode_docids(bytes(docs_enc))
                     f = decode_freqs(bytes(freqs_enc)).astype(np.float32)
                     n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
-                    s = (wf * f / (f + cache[n])).astype(np.float32)
+                    s = sim.score(f, n, wf)
                     outs.append(pd.DataFrame({"docid": d, "score": s}))
                 yield pd.concat(outs) if outs else pd.DataFrame(
                     {"docid": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")}
@@ -407,15 +420,15 @@ class IndexSearcher:
     def _term_scores_flat(self, term: str, weight) -> DataFrame:
         """Flat-postings scorer (no block decode) — used when positions
         or uncompressed postings are already in memory."""
-        cache = self._cache
+        sim = self.sim
         w = float(weight)
 
         def score_batch(iterator):
             wf = np.float32(w)
             for pdf in iterator:
                 f = pdf["freq"].to_numpy(dtype=np.float32)
-                n = pdf["norm"].to_numpy(dtype=np.int64)
-                s = (wf * f / (f + cache[n])).astype(np.float32)
+                n = pdf["norm"].to_numpy(dtype=np.uint8)
+                s = sim.score(f, n, wf)
                 yield pd.DataFrame({"docid": pdf["docid"], "score": s})
 
         return (
@@ -498,7 +511,7 @@ class IndexSearcher:
         distributed analog of BooleanScorer's single pass over all
         subscorers (Search/BooleanScorer.cs) — without it a k-clause
         query costs k scans of the index."""
-        cache = self._cache
+        sim = self.sim
         plan = {t: [(int(c), int(m), float(w)) for c, m, w in v] for t, v in term_plan.items()}
         empty = pd.DataFrame(
             {"docid": pd.array([], dtype="int64"),
@@ -522,9 +535,8 @@ class IndexSearcher:
                         d = delta_decode_docids(bytes(de))
                         f = decode_freqs(bytes(fe)).astype(np.float32)
                         n = np.frombuffer(bytes(ne), dtype=np.uint8)
-                        c = cache[n]
                         for cidx, kind, w in plan[term]:
-                            s = (np.float32(w) * f / (f + c)).astype(np.float32)
+                            s = sim.score(f, n, np.float32(w))
                             outs.append(
                                 pd.DataFrame(
                                     {"docid": d, "cidx": np.int32(cidx),
@@ -543,13 +555,13 @@ class IndexSearcher:
             for pdf in iterator:
                 outs = []
                 f_all = pdf["freq"].to_numpy(dtype=np.float32)
-                n_all = pdf["norm"].to_numpy(dtype=np.int64)
+                n_all = pdf["norm"].to_numpy(dtype=np.uint8)
                 terms = pdf["term"].to_numpy()
                 for term in np.unique(terms):
                     m = terms == term
-                    f, c = f_all[m], cache[n_all[m]]
+                    f, n = f_all[m], n_all[m]
                     for cidx, kind, w in plan[str(term)]:
-                        s = (np.float32(w) * f / (f + c)).astype(np.float32)
+                        s = sim.score(f, n, np.float32(w))
                         outs.append(
                             pd.DataFrame(
                                 {"docid": pdf["docid"].to_numpy()[m],
@@ -593,7 +605,7 @@ class IndexSearcher:
                         return None  # unmatched MUST ⇒ empty result
                     continue
                 df_, _ = stats[c.query.term]
-                w = bm25.term_weight(bm25.idf(df_, self.index.max_doc), c.query.boost)
+                w = self.sim.weight(df_, self.index.max_doc, c.query.boost)
                 term_plan.setdefault(c.query.term, []).append((cidx, kind, float(w)))
                 continue
             sub = self._compile(c.query, stats, None)
@@ -653,7 +665,7 @@ class IndexSearcher:
                 if d.term not in stats:
                     continue
                 df_, _ = stats[d.term]
-                w = bm25.term_weight(bm25.idf(df_, self.index.max_doc), d.boost)
+                w = self.sim.weight(df_, self.index.max_doc, d.boost)
                 term_plan.setdefault(d.term, []).append((cidx, 0, float(w)))
                 continue
             sub = self._compile(d, stats, None)
@@ -724,10 +736,15 @@ class IndexSearcher:
                         acc = np.intersect1d(acc, posmap[t] - r, assume_unique=False)
                         if acc.size == 0:
                             break
-                    freq = np.float32(acc.size)
+                    # ExactPhraseScorer.cs:292 posIndex >= 0: a phrase
+                    # cannot start before the document (matters only
+                    # for term_positions not starting at 0)
+                    freq = np.float32(np.count_nonzero(acc >= 0))
                 else:
-                    offs = [posmap[t] - r for t, r in zip(terms_l, rels_l)]
-                    freq = sloppy_phrase_freq(offs, slop)
+                    freq = sloppy_phrase_freq(
+                        [posmap[t] for t in terms_l], slop,
+                        offsets=rels_l, term_keys=terms_l,
+                    )
                 if freq == 0:
                     out[i] = np.nan
                 else:
@@ -793,27 +810,31 @@ class IndexSearcher:
                     item["term"]: np.asarray(item["positions"], dtype=np.int64)
                     for item in lst
                 }
-                offs = []
+                unions = []
                 ok = True
-                for slot, r in zip(slots_l, rels_l):
+                for slot in slots_l:
                     arrs = [posmap[t] for t in slot if t in posmap]
                     if not arrs:
                         ok = False
                         break
-                    u = np.unique(np.concatenate(arrs))
-                    offs.append(u - r)
+                    unions.append(np.unique(np.concatenate(arrs)))
                 if not ok:
                     out[i] = np.nan
                     continue
                 if slop == 0:
-                    acc = offs[0]
-                    for o in offs[1:]:
-                        acc = np.intersect1d(acc, o, assume_unique=True)
+                    acc = unions[0] - rels_l[0]
+                    for u, r in zip(unions[1:], rels_l[1:]):
+                        acc = np.intersect1d(acc, u - r, assume_unique=True)
                         if acc.size == 0:
                             break
-                    freq = np.float32(acc.size)
+                    freq = np.float32(np.count_nonzero(acc >= 0))
                 else:
-                    freq = sloppy_phrase_freq(offs, slop)
+                    # slot identity as the repeat key: identical slots
+                    # (same alternative set) form a repeat group
+                    keys = [tuple(s) for s in slots_l]
+                    freq = sloppy_phrase_freq(
+                        unions, slop, offsets=rels_l, term_keys=keys
+                    )
                 if freq == 0:
                     out[i] = np.nan
                 else:
