@@ -185,6 +185,12 @@ def _q_prefix_docs(spark, sf_dir):
     return df.select("docid", F.col("score").cast("double").alias("score"))
 
 
+def _q_sloppy_phrase(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = PhraseQuery(phrase_terms=("table", "hash"), slop=2)
+    return s.scored_docs(q).select("docid")
+
+
 def _q_multi_phrase(spark, sf_dir):
     from lucenenet_spark.search.queries import MultiPhraseQuery
 
@@ -286,6 +292,56 @@ def _q_sort_by_meta_desc(spark, sf_dir):
         [coll.SortField("lang", reverse=True), coll.SortField(coll.SortField.SCORE)],
         10,
     )
+
+
+def _q_classic_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx, similarity=ClassicSimilarity())
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_highlight(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="table"), Occur.SHOULD), (TermQuery(term="hash"), Occur.SHOULD)
+    )
+    return coll.highlight(s, q, window=10, k=10)
+
+
+def _q_facet_ranges(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.facet_ranges(
+        s,
+        TermQuery(term="spark"),
+        "field_length",
+        [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)],
+    )
+
+
+def _q_group_distinct(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.group_distinct(s, TermQuery(term="spark"), "lang", "source")
+
+
+def _q_suggest(spark, sf_dir):
+    from lucenenet_spark.search.suggest import suggest_similar
+
+    idx, _ = _searcher(spark, sf_dir)
+    return suggest_similar(IndexSearcher(idx), "sparc", max_suggestions=5, max_edits=2)
+
+
+def _q_prefix_suggest(spark, sf_dir):
+    from lucenenet_spark.search.suggest import complete_prefix
+
+    idx, _ = _searcher(spark, sf_dir)
+    return complete_prefix(IndexSearcher(idx), "s", max_suggestions=5)
+
+
+def _q_function_query(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(coll.boost_by_value(s, TermQuery(term="spark"), "field_length", 10))
 
 
 # ------------------------------------------------------- multi-field
@@ -550,6 +606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": _q_min_should_match,
         "dismax": _q_dismax,
         "phrase_query": _q_phrase,
+        "classic_term_query": _q_classic_term,
+        "highlight": _q_highlight,
+        "facet_ranges": _q_facet_ranges,
+        "group_distinct": _q_group_distinct,
+        "suggest": _q_suggest,
+        "prefix_suggest": _q_prefix_suggest,
+        "function_query": _q_function_query,
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
         "numeric_range_query": _q_numeric_range,
@@ -565,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_terms": _q_mlt_terms,
         "mlt_topk": _q_mlt_topk,
         "common_terms_split": _q_common_terms_split,
+        "sloppy_phrase": _q_sloppy_phrase,
         "multi_phrase": _q_multi_phrase,
         "regexp_terms": _q_regexp_terms,
         "match_all_docs": _q_match_all,
@@ -613,6 +677,15 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match": osql.min_should_match_sql("hash", "merge", "scan", 2),
         "dismax": osql.dismax_sql("spark", "stream", 0.5),
         "phrase_query": osql.phrase_sql("table", "hash"),
+        "classic_term_query": osql.classic_term_query_sql("spark"),
+        "highlight": osql.highlight_sql("table", "hash", 10, 10),
+        "facet_ranges": osql.facet_ranges_sql(
+            "spark", [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)]
+        ),
+        "group_distinct": osql.group_distinct_sql("spark", "lang", "source"),
+        "suggest": osql.suggest_sql("sparc", 5, 2, 1),
+        "prefix_suggest": osql.prefix_suggest_sql("s", 5),
+        "function_query": osql.boost_by_value_sql("spark"),
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),
         "numeric_range_query": osql.numeric_range_query_sql("spark", 20, 30),
@@ -630,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_split": osql.common_terms_split_sql(
             ["dup", "hash", "spark", "merge"], 0.1
         ),
+        "sloppy_phrase": osql.sloppy_phrase_hits_sql("table", "hash", 2),
         "multi_phrase": osql.multi_phrase_sql(["table"], ["hash", "scan"]),
         "regexp_terms": osql.regexp_terms_sql("s.+a.*"),
         "match_all_docs": osql.match_all_sql(),

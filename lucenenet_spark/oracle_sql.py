@@ -538,6 +538,151 @@ ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
     )
 
 
+def classic_term_query_sql(term: str, k: int = K) -> str:
+    """ClassicSimilarity (TFIDF/DefaultSimilarity) term query: idf =
+    float32(ln(maxDoc/(df+1)) + 1), weight = (idf*idf)*boost, score =
+    (weight * float32(sqrt(freq))) * byte315-decoded norm — mirrors
+    functions/similarity.py::ClassicSimilarity op-for-op (queryNorm
+    omitted on both sides)."""
+    idf = (
+        f"CAST(ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE)"
+        f" / ((SELECT df FROM term_stats WHERE term = '{term}') + 1)) + 1.0 AS REAL)"
+    )
+    return (
+        bm25_prelude()
+        + f""",
+w AS (SELECT ({idf} * {idf}) * {_f32_lit(1.0)} AS w),
+scored AS (
+  SELECT p.docid,
+         ((SELECT w FROM w) * CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL)) * d.val AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )
+
+
+def highlight_sql(t0: str, t1: str, window: int = 10, k: int = K) -> str:
+    """Best token-window fragment per top-k hit of OR(t0, t1)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         ({_f32_lit(0.0)} + coalesce(c0.s, {_f32_lit(0.0)}))
+           + coalesce(c1.s, {_f32_lit(0.0)}) AS s
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+top AS (SELECT docid FROM merged ORDER BY s DESC, docid ASC LIMIT {k}),
+hits AS (
+  SELECT t.docid, t.pos AS p FROM tok t JOIN top USING (docid)
+  WHERE t.term IN ('{t0}', '{t1}')
+),
+counts AS (
+  SELECT a.docid, a.p AS start, count(*) AS n
+  FROM hits a JOIN hits b
+    ON b.docid = a.docid AND b.p >= a.p AND b.p < a.p + {window}
+  GROUP BY a.docid, a.p
+),
+best AS (
+  SELECT docid, start, n FROM (
+    SELECT docid, start, n,
+           row_number() OVER (PARTITION BY docid ORDER BY n DESC, start ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT docid, CAST(start AS BIGINT) AS frag_start,
+       CAST(start + {window} - 1 AS BIGINT) AS frag_end,
+       CAST(n AS BIGINT) AS n_hits
+FROM best"""
+    )
+
+
+def facet_ranges_sql(term: str, ranges: list[tuple[str, int, int]]) -> str:
+    """Range facet counts over field_length for a term query's matches."""
+    vals = ", ".join(f"('{la}', {lo}, {hi})" for la, lo, hi in ranges)
+    return (
+        bm25_prelude()
+        + f""",
+rng(label, lo, hi) AS (VALUES {vals}),
+matched AS (
+  SELECT n.fl FROM norms n
+  WHERE n.docid IN (SELECT docid FROM postings WHERE term = '{term}')
+)
+SELECT r.label, CAST(count(m.fl) AS BIGINT) AS n_docs
+FROM rng r LEFT JOIN matched m ON m.fl >= r.lo AND m.fl < r.hi
+GROUP BY r.label"""
+    )
+
+
+def group_distinct_sql(term: str, group_col: str, value_col: str) -> str:
+    """Distinct (group, value) pairs among a term query's matches."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT DISTINCT d.{group_col} AS grp, d.{value_col} AS val
+FROM documents d
+WHERE CAST(d.doc_id AS BIGINT) IN (SELECT docid FROM postings WHERE term = '{term}')"""
+    )
+
+
+def suggest_sql(
+    term: str, max_suggestions: int = 5, max_edits: int = 2, min_df: int = 1
+) -> str:
+    """SpellChecker.SuggestSimilar over the term dictionary."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT term, CAST(levenshtein(term, '{term}') AS BIGINT) AS distance, df
+FROM term_stats
+WHERE levenshtein(term, '{term}') <= {max_edits}
+  AND term != '{term}' AND df >= {min_df}
+ORDER BY distance ASC, df DESC, term ASC LIMIT {max_suggestions}"""
+    )
+
+
+def prefix_suggest_sql(prefix: str, max_suggestions: int = 5) -> str:
+    """Prefix completion ranked by document frequency."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT term, df FROM term_stats WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC LIMIT {max_suggestions}"""
+    )
+
+
+def boost_by_value_sql(term: str, k: int = K) -> str:
+    """FunctionQuery mirror: score' = score * float32(ln(1 + fl))."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+boosted AS (
+  SELECT s.docid, s.s * CAST(ln(1 + n.fl) AS REAL) AS s
+  FROM t0 s JOIN norms n ON n.docid = s.docid
+)"""
+        + _topk("boosted", k)
+    )
+
+
+def sloppy_phrase_hits_sql(t0: str, t1: str, slop: int) -> str:
+    """Match SET of a 2-term sloppy phrase. For two DISTINCT terms the
+    PQ repositioning algorithm matches a doc iff some position pair has
+    |p1 - p0 - 1| <= slop (the merge sweep visits the minimal pair), so
+    the hit set — unlike the float32 frequency — is SQL-expressible."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT DISTINCT a.docid
+FROM tok a JOIN tok b ON b.docid = a.docid
+WHERE a.term = '{t0}' AND b.term = '{t1}'
+  AND abs(b.pos - a.pos - 1) <= {slop}"""
+    )
+
+
 def multi_phrase_sql(slot0: list[str], slot1: list[str], k: int = K) -> str:
     """2-slot MultiPhraseQuery: slot1 alternatives at slot0.pos + 1;
     freq = count of distinct start positions; weight = float32-ordered

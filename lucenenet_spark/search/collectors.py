@@ -211,6 +211,121 @@ def search_after(
     )
 
 
+def highlight(
+    searcher: IndexSearcher, query: Query, window: int = 10, k: int = 10
+) -> DataFrame:
+    """Best-fragment extraction (``Highlighter/Highlight/Highlighter.cs:34``
+    role) in TOKEN-POSITION space: for each top-k hit, the window of
+    ``window`` consecutive positions holding the most query-term
+    occurrences, ties to the earliest start. Output (docid, frag_start,
+    frag_end, n_hits).
+
+    Divergence (documented): the reference scores char-offset fragments
+    by summed term weights; positions are what the index stores, so the
+    fragment is a token window (apps map token->char at render time)
+    and the fragment score is the hit count. Physical shape: positions
+    of the query's terms for ONLY the k hit docs (packed scan with term
+    pushdown + broadcast semi-join), then a bounded per-doc self-join —
+    never a full positions scan."""
+    top = searcher.search_df(query, k).select("docid")
+    terms = sorted(set(query.terms()))
+    hits = (
+        searcher.index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(top), "docid", "left_semi")
+        .select("docid", F.explode("positions").alias("p"))
+    )
+    a = hits.select("docid", F.col("p").alias("start"))
+    b = hits.select("docid", F.col("p").alias("hit"))
+    counts = (
+        a.join(b, "docid")
+        .where((F.col("hit") >= F.col("start")) & (F.col("hit") < F.col("start") + window))
+        .groupBy("docid", "start")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    best = counts.groupBy("docid").agg(
+        F.max(F.struct(F.col("n_hits"), (-F.col("start")).alias("ns"))).alias("b")
+    )
+    return best.select(
+        "docid",
+        (-F.col("b.ns")).cast("long").alias("frag_start"),
+        (-F.col("b.ns") + window - 1).cast("long").alias("frag_end"),
+        F.col("b.n_hits").cast("long").alias("n_hits"),
+    )
+
+
+def facet_ranges(
+    searcher: IndexSearcher,
+    query: Query,
+    col_name: str,
+    ranges: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Range facets (``Facet/Range/Int64RangeFacetCounts.cs`` role):
+    doc count per [lo, hi) range among the query's matches — ranges may
+    overlap and every requested range appears (zero counts included).
+    Output (label, n_docs)."""
+    spark = searcher.index.docs.sparkSession
+    matched = searcher.matching_docids(query)
+    vals = searcher.index.docs.join(matched, "docid", "left_semi").select(
+        F.col(col_name).alias("__v")
+    )
+    rng = spark.createDataFrame(
+        [(label, int(lo), int(hi)) for label, lo, hi in ranges],
+        "label string, lo long, hi long",
+    )
+    counted = (
+        vals.crossJoin(F.broadcast(rng))
+        .where((F.col("__v") >= F.col("lo")) & (F.col("__v") < F.col("hi")))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        rng.join(counted, "label", "left")
+        .select("label", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"))
+    )
+
+
+def group_distinct(
+    searcher: IndexSearcher, query: Query, group_col: str, value_col: str
+) -> DataFrame:
+    """Distinct values per group among matches
+    (``Grouping/AbstractDistinctValuesCollector.cs``): one row per
+    (group, value) pair — a plain distinct over the semi-joined docs
+    table (hash aggregate; no windows, no collect_set blowup)."""
+    matched = searcher.matching_docids(query)
+    return (
+        searcher.index.docs.join(matched, "docid", "left_semi")
+        .select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
+        .distinct()
+    )
+
+
+def boost_by_value(
+    searcher: IndexSearcher, query: Query, value_col: str, k: int = 10
+) -> DataFrame:
+    """FunctionQuery / ValueSource analog
+    (``Queries/Function/FunctionQuery.cs:34``; boost-by-recency/
+    popularity): score' = float32(score * float32(ln(1 + value))) —
+    the relevance score modulated by a stored numeric field, float32
+    op order pinned (ln computed in double then truncated, matching
+    the SQL oracle bit-for-bit)."""
+    scored = searcher.scored_docs(query)
+    vals = searcher.index.docs.select("docid", F.col(value_col).alias("__v"))
+    joined = scored.join(vals, "docid")
+
+    @F.pandas_udf("float")
+    def combine(s: pd.Series, v: pd.Series) -> pd.Series:
+        factor = np.log(1.0 + v.to_numpy(dtype=np.float64)).astype(np.float32)
+        return pd.Series(
+            (s.to_numpy(dtype=np.float32) * factor).astype(np.float32)
+        )
+
+    return (
+        joined.select("docid", combine(F.col("score"), F.col("__v")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
 def rescore(
     searcher: IndexSearcher,
     first_query: Query,

@@ -10,10 +10,12 @@ from lucenenet_spark.search.queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
     WildcardQuery,
 )
@@ -50,4 +52,7 @@ def reference_query_set(seed: int = 42) -> dict[str, Query]:
         "prefix": PrefixQuery(prefix="get"),
         "wildcard": WildcardQuery(pattern="ret*"),
         "fuzzy": FuzzyQuery(term="retrn", max_edits=2),
+        "sloppy_phrase": PhraseQuery(phrase_terms=("return", "value"), slop=2),
+        "multi_phrase": MultiPhraseQuery(slots=(("return",), ("value", "data0"))),
+        "regexp": RegexpQuery(pattern="ret.*"),
     }

@@ -1,0 +1,128 @@
+"""Round-2 extension surfaces: pluggable similarity (Classic/TFIDF),
+highlighter, range facets, group-distinct, suggesters, function query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.functions.similarity import BM25Similarity, ClassicSimilarity
+from lucenenet_spark.functions.smallfloat import byte315_to_float
+from lucenenet_spark.search import collectors as coll
+from lucenenet_spark.search.queries import BooleanQuery, Occur, TermQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+
+Q = TermQuery(term="return")
+
+
+@pytest.fixture(scope="module")
+def classic(spark_index):
+    return IndexSearcher(spark_index, similarity=ClassicSimilarity())
+
+
+def test_classic_scores_match_bruteforce(classic, spark_index, oracle_index):
+    hits = classic.search(Q, 10)
+    assert hits
+    max_doc = spark_index.max_doc
+    df = oracle_index.df("return")
+    idf = np.float32(np.log(max_doc / (df + 1.0)) + 1.0)
+    w = np.float32(np.float32(idf * idf) * np.float32(1.0))
+    for h in hits:
+        freq = oracle_index.postings["return"][h.docid][0]
+        nb = int(oracle_index.norms[h.docid])
+        tf = np.float32(np.sqrt(np.float64(freq)))
+        nd = byte315_to_float(np.array([nb], dtype=np.uint8))[0]
+        expect = np.float32(np.float32(np.float32(w) * tf) * nd)
+        assert np.float32(h.score) == expect, h
+
+
+def test_classic_and_bm25_rank_differently_but_both_sane(classic, spark_index):
+    bm = IndexSearcher(spark_index)
+    a = bm.search(Q, 100000)
+    b = classic.search(Q, 100000)
+    assert {h.docid for h in a} == {h.docid for h in b}  # same match set
+    # boolean under classic: sum of classic clause scores
+    qb = BooleanQuery.of(
+        (TermQuery(term="return"), Occur.MUST), (TermQuery(term="value"), Occur.MUST)
+    )
+    hits = classic.search(qb, 5)
+    s1 = {h.docid: np.float32(h.score) for h in classic.search(TermQuery(term="return"), 1000)}
+    s2 = {h.docid: np.float32(h.score) for h in classic.search(TermQuery(term="value"), 1000)}
+    for h in hits:
+        expect = np.float32(
+            np.float32(np.float32(0.0) + s1[h.docid]) + s2[h.docid]
+        )
+        assert np.float32(h.score) == expect
+
+
+def test_highlight_best_window(searcher_ext, spark_index, oracle_index):
+    q = BooleanQuery.of(
+        (TermQuery(term="return"), Occur.SHOULD), (TermQuery(term="value"), Occur.SHOULD)
+    )
+    window = 8
+    rows = coll.highlight(searcher_ext, q, window=window, k=5).collect()
+    assert rows
+    for r in rows:
+        pos = []
+        for t in ("return", "value"):
+            if r["docid"] in oracle_index.postings.get(t, {}):
+                pos.extend(oracle_index.postings[t][r["docid"]][1])
+        pos = sorted(pos)
+        best = max(
+            ((sum(1 for x in pos if p <= x < p + window), -p) for p in pos),
+        )
+        assert r["n_hits"] == best[0] and r["frag_start"] == -best[1]
+        assert r["frag_end"] == r["frag_start"] + window - 1
+
+
+@pytest.fixture(scope="module")
+def searcher_ext(spark_index):
+    return IndexSearcher(spark_index)
+
+
+def test_facet_ranges_counts(searcher_ext, spark_index):
+    ranges = [("short", 0, 25), ("long", 25, 10000), ("overlap", 0, 10000)]
+    got = {r["label"]: r["n_docs"] for r in coll.facet_ranges(searcher_ext, Q, "field_length", ranges).collect()}
+    fl = {r["docid"]: r["field_length"] for r in spark_index.docs.select("docid", "field_length").collect()}
+    matched = {r["docid"] for r in searcher_ext.matching_docids(Q).collect()}
+    for label, lo, hi in ranges:
+        assert got[label] == sum(1 for d in matched if lo <= fl[d] < hi)
+    assert got["overlap"] == got["short"] + got["long"]  # overlap allowed
+
+
+def test_group_distinct_pairs(searcher_ext, spark_index):
+    got = {(r["grp"], r["val"]) for r in coll.group_distinct(searcher_ext, Q, "repo", "lang").collect()}
+    docs = {
+        r["docid"]: (r["repo"], r["lang"])
+        for r in spark_index.docs.select("docid", "repo", "lang").collect()
+    }
+    matched = {r["docid"] for r in searcher_ext.matching_docids(Q).collect()}
+    assert got == {docs[d] for d in matched}
+
+
+def test_suggest_similar_ranking(searcher_ext):
+    from lucenenet_spark.search.suggest import suggest_similar
+
+    rows = suggest_similar(searcher_ext, "retur", max_suggestions=5, max_edits=2).collect()
+    assert rows and rows[0]["term"] == "return"  # distance 1 beats distance 2
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["term"] != "retur" for r in rows)
+
+
+def test_complete_prefix_by_df(searcher_ext, spark_index):
+    from lucenenet_spark.search.suggest import complete_prefix
+
+    rows = complete_prefix(searcher_ext, "re", max_suggestions=3).collect()
+    assert all(r["term"].startswith("re") for r in rows)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_boost_by_value_math(searcher_ext, spark_index):
+    rows = coll.boost_by_value(searcher_ext, Q, "field_length", 10).collect()
+    base = {h.docid: np.float32(h.score) for h in searcher_ext.search(Q, 100000)}
+    fl = {r["docid"]: r["field_length"] for r in spark_index.docs.select("docid", "field_length").collect()}
+    for r in rows:
+        factor = np.float32(np.log(1.0 + np.float64(fl[r["docid"]])))
+        assert np.float32(r["score"]) == np.float32(base[r["docid"]] * factor)
