@@ -294,6 +294,34 @@ def _q_sort_by_meta_desc(spark, sf_dir):
     )
 
 
+def _q_join_query_max(spark, sf_dir):
+    from lucenenet_spark.search.join import join_query
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(join_query(s, TermQuery(term="dup"), "source", "source", "max", 10))
+
+
+def _q_join_query_total(spark, sf_dir):
+    from lucenenet_spark.search.join import join_query
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(join_query(s, TermQuery(term="dup"), "source", "source", "total", 10))
+
+
+def _q_sort_rescore(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.sort_rescore(
+        s, TermQuery(term="spark"), [coll.SortField("field_length")], 50, 10
+    )
+
+
+def _q_term_vector(spark, sf_dir):
+    from lucenenet_spark.search.mlt import term_vector
+
+    idx, _ = _searcher(spark, sf_dir)
+    return term_vector(IndexSearcher(idx), 0)
+
+
 def _q_classic_term(spark, sf_dir):
     from lucenenet_spark.functions.similarity import ClassicSimilarity
 
@@ -606,6 +634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": _q_min_should_match,
         "dismax": _q_dismax,
         "phrase_query": _q_phrase,
+        "join_query_max": _q_join_query_max,
+        "join_query_total": _q_join_query_total,
+        "sort_rescore": _q_sort_rescore,
+        "term_vector": _q_term_vector,
         "classic_term_query": _q_classic_term,
         "highlight": _q_highlight,
         "facet_ranges": _q_facet_ranges,
@@ -677,6 +709,10 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match": osql.min_should_match_sql("hash", "merge", "scan", 2),
         "dismax": osql.dismax_sql("spark", "stream", 0.5),
         "phrase_query": osql.phrase_sql("table", "hash"),
+        "join_query_max": osql.join_query_sql("dup", "source", "max"),
+        "join_query_total": osql.join_query_sql("dup", "source", "total"),
+        "sort_rescore": osql.sort_rescore_sql("spark", 50, 10),
+        "term_vector": osql.term_vector_sql(0),
         "classic_term_query": osql.classic_term_query_sql("spark"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

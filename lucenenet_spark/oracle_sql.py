@@ -538,6 +538,63 @@ ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
     )
 
 
+def join_query_sql(term: str, field: str, score_mode: str = "max", k: int = K) -> str:
+    """JoinUtil mirror: to-side docs whose {field} value appears among
+    the from-query matches' values; score per value = max, or the
+    float32 docid-ordered total/avg (list_reduce fold)."""
+    if score_mode == "max":
+        pv = f"SELECT v, CAST(max(s) AS REAL) AS s FROM fv GROUP BY v"
+    else:
+        fold = "list_reduce(list(s ORDER BY docid), (x, y) -> x + y)"
+        if score_mode == "avg":
+            fold = f"CAST({fold} / CAST(count(*) AS REAL) AS REAL)"
+        pv = f"SELECT v, {fold} AS s FROM fv GROUP BY v"
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+fv AS (
+  SELECT d.{field} AS v, s.docid, s.s
+  FROM t0 s JOIN documents d ON CAST(d.doc_id AS BIGINT) = s.docid
+  WHERE d.{field} IS NOT NULL
+),
+pv AS ({pv}),
+joined AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS docid, p.s AS s
+  FROM documents d JOIN pv p ON d.{field} = p.v
+)"""
+        + _topk("joined", k)
+    )
+
+
+def sort_rescore_sql(term: str, k_first: int = 50, k_final: int = K) -> str:
+    """SortRescorer mirror: relevance top-k_first re-ordered by
+    (field_length asc, docid asc)."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+firstk AS (SELECT docid, s FROM t0 ORDER BY s DESC, docid ASC LIMIT {k_first}),
+joined AS (
+  SELECT f.docid, f.s, n.fl FROM firstk f JOIN norms n ON n.docid = f.docid
+)
+SELECT CAST(row_number() OVER (ORDER BY fl ASC, docid ASC) AS BIGINT) AS rank,
+       docid, CAST(fl AS BIGINT) AS field_length, CAST(s AS DOUBLE) AS score
+FROM joined ORDER BY fl ASC, docid ASC LIMIT {k_final}"""
+    )
+
+
+def term_vector_sql(docid: int) -> str:
+    """Per-doc term vector with positions."""
+    tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
+    return f"""
+WITH tok AS ({tok})
+SELECT term,
+       CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS freq,
+       pos
+FROM tok WHERE docid = {docid}"""
+
+
 def classic_term_query_sql(term: str, k: int = K) -> str:
     """ClassicSimilarity (TFIDF/DefaultSimilarity) term query: idf =
     float32(ln(maxDoc/(df+1)) + 1), weight = (idf*idf)*boost, score =

@@ -180,6 +180,32 @@ def filtered_topk(
     )
 
 
+def sort_rescore(
+    searcher: IndexSearcher,
+    query: Query,
+    sorts: list[SortField],
+    k_first: int = 100,
+    k_final: int = 10,
+) -> DataFrame:
+    """SortRescorer (``Search/SortRescorer.cs``): take the first-pass
+    RELEVANCE top-k_first, then re-order those hits by an explicit Sort
+    and keep k_final. Output shape matches sort_topk."""
+    first = searcher.search_df(query, k_first)
+    field_cols = sorted({s.field for s in sorts if s.field != SortField.SCORE})
+    joined = first.join(
+        searcher.index.docs.select("docid", *field_cols), "docid"
+    )
+    order = [s.column() for s in sorts] + [F.col("docid").asc()]
+    top = joined.orderBy(*order).limit(k_final)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "docid",
+        *field_cols,
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def field_value_filter(
     searcher: IndexSearcher, query: Query, col_name: str, k: int = 10
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Query-time join — JoinUtil.CreateJoinQuery (reference
+``src/Lucene.Net.Join/JoinUtil.cs:61``): match documents whose
+``to_field`` value appears among the ``from_field`` values of a first
+query's matches, optionally carrying from-side scores across the join
+(ScoreMode None/Max/Total/Avg).
+
+Spark shape: the from-side scored set joins the docs table for its
+join values, aggregates one row PER VALUE (map-side combined hash
+agg — the reference's TermsCollector/TermsWithScoreCollector), and the
+to side is a broadcast-or-shuffle join on that value set; Catalyst
+picks the strategy from stats. Total/Avg fold from-side float32 scores
+in docid order (a deterministic, partition-count-invariant fold — an
+unordered SQL SUM over floats would not be reproducible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import Query
+from lucenenet_spark.search.searcher import IndexSearcher
+
+SCORE_MODES = ("none", "max", "total", "avg")
+
+
+def join_query(
+    searcher: IndexSearcher,
+    from_query: Query,
+    from_field: str,
+    to_field: str,
+    score_mode: str = "none",
+    k: int | None = 10,
+) -> DataFrame:
+    """(docid, score) of to-side documents. score per join value:
+    none -> 1.0; max -> max of from-side scores; total -> float32
+    docid-ordered sum; avg -> float32(total / count)."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    docs = searcher.index.docs
+    from_vals = (
+        searcher.scored_docs(from_query)
+        .join(docs.select("docid", F.col(from_field).alias("__v")), "docid")
+        .where(F.col("__v").isNotNull())
+    )
+    if score_mode == "none":
+        per_value = from_vals.select("__v").distinct().withColumn(
+            "__s", F.lit(1.0).cast("float")
+        )
+    elif score_mode == "max":
+        per_value = from_vals.groupBy("__v").agg(F.max("score").alias("__s"))
+    else:
+        agg = from_vals.groupBy("__v").agg(
+            F.sort_array(F.collect_list(F.struct("docid", "score"))).alias("ds"),
+        )
+        want_avg = score_mode == "avg"
+
+        @F.pandas_udf("float")
+        def fold(ds: pd.Series) -> pd.Series:
+            out = np.empty(len(ds), dtype=np.float32)
+            for i, lst in enumerate(ds):
+                acc = np.float32(0.0)
+                for item in lst:
+                    acc = np.float32(acc + np.float32(item["score"]))
+                if want_avg:
+                    acc = np.float32(acc / np.float32(len(lst)))
+                out[i] = acc
+            return pd.Series(out)
+
+        per_value = agg.select("__v", fold(F.col("ds")).alias("__s"))
+    out = (
+        docs.select("docid", F.col(to_field).alias("__v"))
+        .join(per_value, "__v")
+        .select("docid", F.col("__s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+    return out.limit(k) if k is not None else out

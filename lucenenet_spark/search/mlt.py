@@ -37,6 +37,29 @@ def doc_term_freqs(searcher: IndexSearcher, docid: int) -> DataFrame:
     )
 
 
+def term_vector(searcher: IndexSearcher, docid: int) -> DataFrame:
+    """Per-document term vector with positions — the Fields.GetTerms
+    (term vectors, ``Index/Fields.cs`` / TermVectorsReader) surface:
+    (term, freq, pos) rows for one document, decoding only the doc's
+    bucket (same row-group pruning as doc_term_freqs)."""
+    bucket = docid // BUCKET_DOCS
+    blocks = searcher.index.packed.where(
+        (F.col("bucket") == bucket)
+        & (F.col("first_docid") <= docid)
+        & (F.col("last_docid") >= docid)
+    )
+    return (
+        unpack_postings(blocks)
+        .where(F.col("docid") == docid)
+        .select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.explode("positions").alias("pos"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
 def interesting_terms(
     searcher: IndexSearcher,
     docid: int,

@@ -119,6 +119,60 @@ def test_complete_prefix_by_df(searcher_ext, spark_index):
     assert dfs == sorted(dfs, reverse=True)
 
 
+def test_join_query_modes(searcher_ext, spark_index):
+    from lucenenet_spark.search.join import join_query
+
+    docs = {
+        r["docid"]: r["repo"]
+        for r in spark_index.docs.select("docid", "repo").collect()
+    }
+    from_scores = {h.docid: np.float32(h.score) for h in searcher_ext.search(Q, 100000)}
+    per_repo: dict[str, list] = {}
+    for d, s in from_scores.items():
+        per_repo.setdefault(docs[d], []).append((d, s))
+    rows = join_query(searcher_ext, Q, "repo", "repo", "max", k=None).collect()
+    got = {r["docid"]: np.float32(r["score"]) for r in rows}
+    assert set(got) == {d for d, r in docs.items() if r in per_repo}
+    for d, s in got.items():
+        assert s == max(x for _, x in per_repo[docs[d]])
+    # total: float32 docid-ordered fold
+    rows_t = join_query(searcher_ext, Q, "repo", "repo", "total", k=None).collect()
+    for r in rows_t:
+        acc = np.float32(0.0)
+        for _, x in sorted(per_repo[docs[r["docid"]]]):
+            acc = np.float32(acc + x)
+        assert np.float32(r["score"]) == acc
+    with pytest.raises(ValueError):
+        join_query(searcher_ext, Q, "repo", "repo", "bogus")
+
+
+def test_sort_rescore_reorders_first_pass(searcher_ext, spark_index):
+    first = {r["docid"] for r in searcher_ext.search_df(Q, 20).collect()}
+    rows = coll.sort_rescore(searcher_ext, Q, [coll.SortField("field_length")], 20, 5).collect()
+    fl = {r["docid"]: r["field_length"] for r in spark_index.docs.select("docid", "field_length").collect()}
+    assert all(r["docid"] in first for r in rows)  # rescore never adds docs
+    vals = [(r["field_length"], r["docid"]) for r in rows]
+    assert vals == sorted((fl[d], d) for d in first)[:5]
+
+
+def test_term_vector_matches_analyzer(searcher_ext, corpus_rows):
+    from lucenenet_spark.analysis.analyzer import analyze
+    from lucenenet_spark.search.mlt import term_vector
+
+    rows = term_vector(searcher_ext, 0).collect()
+    # doc 0 = first row in the pinned (repo, path, commit) order
+    ordered = sorted(corpus_rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    pairs = analyze(ordered[0]["content"])
+    expect = {}
+    for t, p in pairs:
+        expect.setdefault(t, []).append(p)
+    got = {}
+    for r in rows:
+        got.setdefault(r["term"], []).append(r["pos"])
+        assert r["freq"] == len(expect[r["term"]])
+    assert {t: sorted(v) for t, v in got.items()} == expect
+
+
 def test_boost_by_value_math(searcher_ext, spark_index):
     rows = coll.boost_by_value(searcher_ext, Q, "field_length", 10).collect()
     base = {h.docid: np.float32(h.score) for h in searcher_ext.search(Q, 100000)}
