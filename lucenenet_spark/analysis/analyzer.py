@@ -59,6 +59,18 @@ def analyze(text: str) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(toks) if t not in ENGLISH_STOP_WORDS]
 
 
+def analyze_stemmed(text: str) -> list[tuple[str, int]]:
+    """EnglishAnalyzer-style pipeline: the standard pipeline with a
+    PorterStemFilter appended (``Analysis/En/PorterStemFilter.cs:53`` —
+    stemming runs AFTER stop removal, positions unchanged). The index
+    builder selects this via ``CorpusSpec(stem=True)``; queries must
+    stem their terms with :func:`porter_stem` (the parser does when
+    constructed with stem=True)."""
+    from lucenenet_spark.analysis.porter import porter_stem
+
+    return [(porter_stem(t), p) for t, p in analyze(text)]
+
+
 def analyze_series(texts: Iterable[str]) -> list[list[tuple[str, int]]]:
     """Batch analyze (used inside mapInPandas); plain loop over the
     batch but regex+filters are C-level per string."""

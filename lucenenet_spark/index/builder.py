@@ -81,6 +81,9 @@ class CorpusSpec:
     id_col: str | None = None
     order_cols: tuple[str, ...] = ("repo", "path", "commit")
     meta_cols: tuple[str, ...] = ()
+    # append a PorterStemFilter to the analysis pipeline
+    # (EnglishAnalyzer role); queries must stem their terms too
+    stem: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -233,8 +236,14 @@ class _SegmentWriter:
     flushes sorted, bucket-split, ≤128-doc delta+varbyte blocks plus
     the doc-level rows — all inside one Python stage, no shuffle."""
 
-    def __init__(self, meta_cols: list[str]):
+    def __init__(self, meta_cols: list[str], stem: bool = False):
         self.meta_cols = meta_cols
+        if stem:
+            from lucenenet_spark.analysis.analyzer import analyze_stemmed
+
+            self.analyze = analyze_stemmed
+        else:
+            self.analyze = analyze
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
         self.terms: dict[str, tuple[list, list, list, list]] = {}
         self.doc_ids: list[int] = []
@@ -247,7 +256,7 @@ class _SegmentWriter:
         fls = np.zeros(len(texts), dtype=np.int64)
         per_doc: list[dict[str, list[int]]] = []
         for i, text in enumerate(texts):
-            pairs = analyze(text)
+            pairs = self.analyze(text)
             fls[i] = len(pairs)
             agg: dict[str, list[int]] = {}
             for term, pos in pairs:
@@ -332,13 +341,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str]):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols)
+        w = _SegmentWriter(meta_cols, stem)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -594,7 +603,7 @@ def build_index(
         with_ids = corpus.withColumn("docid", F.col(spec.id_col).cast("long"))
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(None, meta), schema=schema)
+        ).mapInPandas(_segment_gen(None, meta, spec.stem), schema=schema)
     else:
         # no pre-existing id: range-partitioned total order, with docid
         # assignment FUSED into the tokenize stage (a separate
@@ -603,7 +612,7 @@ def build_index(
         ordered, offsets = _ordered_with_offsets(corpus, spec, partitions)
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(offsets, meta), schema=schema)
+        ).mapInPandas(_segment_gen(offsets, meta, spec.stem), schema=schema)
     flat_all = flat_all.persist()
 
     packed = flat_all.where(F.col("term").isNotNull()).select(

@@ -47,9 +47,10 @@ _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)")
 
 
 class _Parser:
-    def __init__(self, s: str):
+    def __init__(self, s: str, analyzer=analyze):
         self.s = s
         self.i = 0
+        self.analyze = analyzer
 
     def peek(self):
         if self.i >= len(self.s):
@@ -104,7 +105,7 @@ class _Parser:
                 q = _boosted(q, self.maybe_boost())
             elif kind == "quoted":
                 text = m.group("quoted")[1:-1]
-                pairs = analyze(text)
+                pairs = self.analyze(text)
                 boost = self.maybe_boost()
                 slop = 0
                 sm = re.match(r"~(\d+)", self.s[self.i :])
@@ -160,7 +161,7 @@ class _Parser:
                         q = WildcardQuery(boost=boost, pattern=word.lower())
                 else:
                     boost = self.maybe_boost()
-                    pairs = analyze(word)
+                    pairs = self.analyze(word)
                     if not pairs:
                         q = None
                     elif len(pairs) == 1:
@@ -182,7 +183,13 @@ class _Parser:
         return BooleanQuery(clauses=tuple(clauses))
 
 
-def parse_query(s: str) -> Query:
+def parse_query(s: str, stem: bool = False) -> Query:
     """Parse a classic-syntax query string; single-clause boolean
-    collapses via Query.rewrite at search time."""
+    collapses via Query.rewrite at search time. ``stem=True`` runs
+    terms/phrases through the Porter pipeline — REQUIRED when querying
+    an index built with ``CorpusSpec(stem=True)``."""
+    if stem:
+        from lucenenet_spark.analysis.analyzer import analyze_stemmed
+
+        return _Parser(s, analyzer=analyze_stemmed).parse()
     return _Parser(s).parse()
