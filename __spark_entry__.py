@@ -294,6 +294,21 @@ def _q_sort_by_meta_desc(spark, sf_dir):
     )
 
 
+def _q_expression_topk(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    # sqrt/+/*// are IEEE correctly-rounded in BOTH engines; ln is
+    # last-ulp engine-dependent (JVM StrictMath vs libm), so the
+    # oracle-checked expression sticks to exactly-rounded ops
+    return coll.expression_topk(
+        s, TermQuery(term="spark"), "score * sqrt(field_length) + 0.25 * field_length", 10
+    )
+
+
+def _q_facet_taxonomy(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.facet_taxonomy(s, TermQuery(term="spark"), ["lang", "source"])
+
+
 def _q_join_query_max(spark, sf_dir):
     from lucenenet_spark.search.join import join_query
 
@@ -634,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": _q_min_should_match,
         "dismax": _q_dismax,
         "phrase_query": _q_phrase,
+        "expression_topk": _q_expression_topk,
+        "facet_taxonomy": _q_facet_taxonomy,
         "join_query_max": _q_join_query_max,
         "join_query_total": _q_join_query_total,
         "sort_rescore": _q_sort_rescore,
@@ -709,6 +726,10 @@ def oracle_sql() -> dict[str, str]:
         "min_should_match": osql.min_should_match_sql("hash", "merge", "scan", 2),
         "dismax": osql.dismax_sql("spark", "stream", 0.5),
         "phrase_query": osql.phrase_sql("table", "hash"),
+        "expression_topk": osql.expression_topk_sql(
+            "spark", "score * sqrt(field_length) + 0.25 * field_length"
+        ),
+        "facet_taxonomy": osql.facet_taxonomy_sql("spark", ["lang", "source"]),
         "join_query_max": osql.join_query_sql("dup", "source", "max"),
         "join_query_total": osql.join_query_sql("dup", "source", "total"),
         "sort_rescore": osql.sort_rescore_sql("spark", 50, 10),

@@ -538,6 +538,48 @@ ORDER BY mlt_score DESC, term ASC LIMIT {max_query_terms}"""
     )
 
 
+def expression_topk_sql(term: str, expr: str, k: int = K) -> str:
+    """Expression-ranked matches: the SAME expression string compiled
+    for DuckDB (functions/expressions.py::expression_sql) over the
+    float32 score (exact when widened to double) and norms.fl."""
+    from lucenenet_spark.functions.expressions import expression_sql
+
+    e = expression_sql(expr, {"score": "s.s", "field_length": "n.fl"})
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+joined AS (
+  SELECT s.docid, {e} AS expr_score
+  FROM t0 s JOIN norms n ON n.docid = s.docid
+)
+SELECT CAST(row_number() OVER (ORDER BY expr_score DESC, docid ASC) AS BIGINT) AS rank,
+       docid, expr_score
+FROM joined ORDER BY expr_score DESC, docid ASC LIMIT {k}"""
+    )
+
+
+def facet_taxonomy_sql(term: str, levels: list[str]) -> str:
+    """ROLLUP mirror of the hierarchical facet counts."""
+    cols = ", ".join(levels)
+    depth = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)" for c in levels
+    )
+    path = ", ".join(f"coalesce({c}, '')" for c in levels)
+    return (
+        bm25_prelude()
+        + f""",
+matched AS (
+  SELECT d.* FROM documents d
+  WHERE CAST(d.doc_id AS BIGINT) IN (SELECT docid FROM postings WHERE term = '{term}')
+)
+SELECT CAST({depth} AS BIGINT) AS depth,
+       regexp_replace(concat_ws('/', {path}), '/+$', '') AS path,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched GROUP BY ROLLUP ({cols})"""
+    )
+
+
 def join_query_sql(term: str, field: str, score_mode: str = "max", k: int = K) -> str:
     """JoinUtil mirror: to-side docs whose {field} value appears among
     the from-query matches' values; score per value = max, or the

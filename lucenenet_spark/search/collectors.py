@@ -352,6 +352,73 @@ def boost_by_value(
     )
 
 
+def expression_topk(
+    searcher: IndexSearcher, query: Query, expr: str, k: int = 10
+) -> DataFrame:
+    """Expression-sorted results (Expressions module /
+    ``JS/JavascriptCompiler.cs`` role): rank a query's matches by an
+    arithmetic expression over ``score`` and docs-table fields, e.g.
+    ``"score * ln(1 + field_length)"``. The expression compiles to
+    Catalyst Columns (whole-stage codegen, double precision, no UDF);
+    output (rank, docid, expr_score)."""
+    from lucenenet_spark.functions.expressions import compile_expression
+
+    scored = searcher.scored_docs(query)
+    import ast as _ast
+
+    tree = _ast.parse(expr, mode="eval")
+    fn_names = {
+        n.func.id
+        for n in _ast.walk(tree)
+        if isinstance(n, _ast.Call) and isinstance(n.func, _ast.Name)
+    }
+    idents = {
+        n.id for n in _ast.walk(tree) if isinstance(n, _ast.Name)
+    } - fn_names
+    field_cols = sorted(idents - {"score"})
+    joined = scored.join(
+        searcher.index.docs.select("docid", *field_cols), "docid"
+    )
+    fields = {"score": F.col("score"), **{c: F.col(c) for c in field_cols}}
+    val = compile_expression(expr, fields)
+    top = joined.select("docid", val.alias("expr_score")).orderBy(
+        F.col("expr_score").desc(), F.col("docid").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("expr_score").desc(), F.col("docid").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "docid", "expr_score"
+    )
+
+
+def facet_taxonomy(
+    searcher: IndexSearcher, query: Query, levels: list[str]
+) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts
+    (``Facet/Taxonomy/FastTaxonomyFacetCounts.cs`` role): doc counts at
+    EVERY level of a dimension path among the query's matches — the
+    drill-down tree. Spark-first: one ROLLUP aggregate (no per-level
+    passes); output (depth, path, n_docs) with path = '/'-joined
+    values, depth 0 = the root total."""
+    matched = searcher.matching_docids(query)
+    rolled = (
+        searcher.index.docs.join(matched, "docid", "left_semi")
+        .rollup(*levels)
+        .count()
+    )
+    # depth = number of non-null level columns in the rollup row
+    depth = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in levels
+    )
+    path = F.concat_ws(
+        "/", *[F.coalesce(F.col(c), F.lit("")) for c in levels]
+    )
+    return rolled.select(
+        depth.cast("long").alias("depth"),
+        F.regexp_replace(path, "/+$", "").alias("path"),
+        F.col("count").cast("long").alias("n_docs"),
+    )
+
+
 def rescore(
     searcher: IndexSearcher,
     first_query: Query,

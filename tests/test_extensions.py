@@ -119,6 +119,48 @@ def test_complete_prefix_by_df(searcher_ext, spark_index):
     assert dfs == sorted(dfs, reverse=True)
 
 
+def test_expression_compiler_and_topk(searcher_ext, spark_index):
+    from lucenenet_spark.functions.expressions import compile_expression, expression_sql
+
+    rows = coll.expression_topk(
+        searcher_ext, Q, "score * sqrt(field_length) + 0.5", 5
+    ).collect()
+    base = {h.docid: h.score for h in searcher_ext.search(Q, 100000)}
+    fl = {r["docid"]: r["field_length"] for r in spark_index.docs.select("docid", "field_length").collect()}
+    expect = sorted(
+        ((-(s * np.sqrt(float(fl[d])) + 0.5), d) for d, s in base.items())
+    )[:5]
+    assert [(r["docid"], r["expr_score"]) for r in rows] == [
+        (d, -v) for v, d in expect
+    ]
+    # rejected syntax: calls to unknown fns, attributes, comparisons
+    with pytest.raises(ValueError):
+        compile_expression("__import__('os')", {})
+    with pytest.raises(ValueError):
+        compile_expression("score > 1", {"score": None})
+    with pytest.raises(ValueError):
+        expression_sql("evil(1)", {})
+
+
+def test_facet_taxonomy_rollup(searcher_ext, spark_index):
+    got = {
+        (r["depth"], r["path"]): r["n_docs"]
+        for r in coll.facet_taxonomy(searcher_ext, Q, ["repo", "lang"]).collect()
+    }
+    docs = {
+        r["docid"]: (r["repo"], r["lang"])
+        for r in spark_index.docs.select("docid", "repo", "lang").collect()
+    }
+    matched = {r["docid"] for r in searcher_ext.matching_docids(Q).collect()}
+    assert got[(0, "")] == len(matched)  # root total
+    for d in matched:
+        repo, lang = docs[d]
+        assert got[(1, repo)] == sum(1 for x in matched if docs[x][0] == repo)
+        assert got[(2, f"{repo}/{lang}")] == sum(
+            1 for x in matched if docs[x] == (repo, lang)
+        )
+
+
 def test_join_query_modes(searcher_ext, spark_index):
     from lucenenet_spark.search.join import join_query
 
