@@ -185,6 +185,16 @@ def _q_prefix_docs(spark, sf_dir):
     return df.select("docid", F.col("score").cast("double").alias("score"))
 
 
+def _q_span_near_ordered(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.span_near(s, "table", "hash", slop=3, in_order=True)
+
+
+def _q_span_near_unordered(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.span_near(s, "table", "hash", slop=3, in_order=False)
+
+
 def _q_sloppy_phrase(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     q = PhraseQuery(phrase_terms=("table", "hash"), slop=2)
@@ -677,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_terms": _q_mlt_terms,
         "mlt_topk": _q_mlt_topk,
         "common_terms_split": _q_common_terms_split,
+        "span_near_ordered": _q_span_near_ordered,
+        "span_near_unordered": _q_span_near_unordered,
         "sloppy_phrase": _q_sloppy_phrase,
         "multi_phrase": _q_multi_phrase,
         "regexp_terms": _q_regexp_terms,
@@ -760,6 +772,8 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_split": osql.common_terms_split_sql(
             ["dup", "hash", "spark", "merge"], 0.1
         ),
+        "span_near_ordered": osql.span_near_sql("table", "hash", 3, True),
+        "span_near_unordered": osql.span_near_sql("table", "hash", 3, False),
         "sloppy_phrase": osql.sloppy_phrase_hits_sql("table", "hash", 2),
         "multi_phrase": osql.multi_phrase_sql(["table"], ["hash", "scan"]),
         "regexp_terms": osql.regexp_terms_sql("s.+a.*"),

@@ -767,6 +767,22 @@ boosted AS (
     )
 
 
+def span_near_sql(t0: str, t1: str, slop: int, in_order: bool = True) -> str:
+    """Mirror of collectors.py::span_near's pinned span-count spec."""
+    if in_order:
+        cond = f"b.pos > a.pos AND b.pos - a.pos - 1 <= {slop}"
+    else:
+        cond = f"a.pos != b.pos AND abs(b.pos - a.pos) - 1 <= {slop}"
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT a.docid, CAST(count(DISTINCT a.pos) AS BIGINT) AS n_spans
+FROM tok a JOIN tok b ON b.docid = a.docid
+WHERE a.term = '{t0}' AND b.term = '{t1}' AND {cond}
+GROUP BY a.docid"""
+    )
+
+
 def sloppy_phrase_hits_sql(t0: str, t1: str, slop: int) -> str:
     """Match SET of a 2-term sloppy phrase. For two DISTINCT terms the
     PQ repositioning algorithm matches a doc iff some position pair has

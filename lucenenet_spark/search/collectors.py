@@ -352,6 +352,47 @@ def boost_by_value(
     )
 
 
+def span_near(
+    searcher: IndexSearcher,
+    first: str,
+    second: str,
+    slop: int,
+    in_order: bool = True,
+) -> DataFrame:
+    """Two-term SpanNearQuery analog (``Search/Spans/SpanNearQuery.cs:40``)
+    with a PINNED span-count spec: a span starts at each position p of
+    ``first`` that has an occurrence q of ``second`` with
+    ``q - p - 1 <= slop`` and (ordered) ``q > p``, or (unordered)
+    ``|q - p| - 1 <= slop``. Output (docid, n_spans) for matching docs.
+
+    Divergence (documented): the reference's NearSpansOrdered
+    enumerates minimal non-overlapping spans; counting per start
+    position is a simpler spec that agrees on the MATCH SET and is
+    exactly SQL-expressible for the oracle. Physical shape = the
+    phrase positions join (one packed scan with term IN pushdown, one
+    groupBy(docid) shuffle)."""
+    pos = (
+        searcher.index.postings.where(F.col("term").isin([first, second]))
+        .select("docid", "term", F.explode("positions").alias("p"))
+    )
+    a = pos.where(F.col("term") == first).select("docid", F.col("p").alias("pa"))
+    b = pos.where(F.col("term") == second).select("docid", F.col("p").alias("pb"))
+    if in_order:
+        cond = (F.col("pb") > F.col("pa")) & (
+            F.col("pb") - F.col("pa") - 1 <= slop
+        )
+    else:
+        cond = (F.col("pa") != F.col("pb")) & (
+            F.abs(F.col("pb") - F.col("pa")) - 1 <= slop
+        )
+    return (
+        a.join(b, "docid")
+        .where(cond)
+        .groupBy("docid")
+        .agg(F.count_distinct("pa").cast("long").alias("n_spans"))
+    )
+
+
 def expression_topk(
     searcher: IndexSearcher, query: Query, expr: str, k: int = 10
 ) -> DataFrame:
