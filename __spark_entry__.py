@@ -319,6 +319,14 @@ def _q_facet_taxonomy(spark, sf_dir):
     return coll.facet_taxonomy(s, TermQuery(term="spark"), ["lang", "source"])
 
 
+def _q_block_join(spark, sf_dir):
+    from lucenenet_spark.search.join import to_parent_join
+
+    _, s = _searcher(spark, sf_dir)
+    parent = F.col("docid") - F.pmod(F.col("docid"), 10)
+    return _ranked(to_parent_join(s, TermQuery(term="hash"), parent, "avg", 10))
+
+
 def _q_join_query_max(spark, sf_dir):
     from lucenenet_spark.search.join import join_query
 
@@ -661,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": _q_phrase,
         "expression_topk": _q_expression_topk,
         "facet_taxonomy": _q_facet_taxonomy,
+        "block_join_avg": _q_block_join,
         "join_query_max": _q_join_query_max,
         "join_query_total": _q_join_query_total,
         "sort_rescore": _q_sort_rescore,
@@ -742,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
             "spark", "score * sqrt(field_length) + 0.25 * field_length"
         ),
         "facet_taxonomy": osql.facet_taxonomy_sql("spark", ["lang", "source"]),
+        "block_join_avg": osql.block_join_sql("hash", 10, "avg"),
         "join_query_max": osql.join_query_sql("dup", "source", "max"),
         "join_query_total": osql.join_query_sql("dup", "source", "total"),
         "sort_rescore": osql.sort_rescore_sql("spark", 50, 10),

@@ -609,6 +609,35 @@ joined AS (
     )
 
 
+def block_join_sql(
+    term: str, block: int = 10, score_mode: str = "avg", k: int = K
+) -> str:
+    """to_parent_join mirror over the derived decade-block relation
+    (parent = docid - docid % block; parents are their own decade
+    heads and are excluded from the child set)."""
+    if score_mode == "max":
+        s = "CAST(max(s) AS REAL)"
+    else:
+        s = "list_reduce(list(s ORDER BY docid), (x, y) -> x + y)"
+        if score_mode == "avg":
+            s = f"CAST({s} / CAST(count(*) AS REAL) AS REAL)"
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+kids AS (
+  SELECT s.docid, s.s, s.docid - s.docid % {block} AS p
+  FROM t0 s WHERE s.docid - s.docid % {block} != s.docid
+),
+pv AS (SELECT p, {s} AS s FROM kids GROUP BY p),
+joined AS (
+  SELECT p AS docid, s FROM pv
+  WHERE p IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+)"""
+        + _topk("joined", k)
+    )
+
+
 def sort_rescore_sql(term: str, k_first: int = 50, k_final: int = K) -> str:
     """SortRescorer mirror: relevance top-k_first re-ordered by
     (field_length asc, docid asc)."""

@@ -26,6 +26,67 @@ from lucenenet_spark.search.searcher import IndexSearcher
 SCORE_MODES = ("none", "max", "total", "avg")
 
 
+def to_parent_join(
+    searcher: IndexSearcher,
+    child_query: Query,
+    parent_col,
+    score_mode: str = "max",
+    k: int | None = 10,
+) -> DataFrame:
+    """Parent/child block join — ToParentBlockJoinQuery semantics
+    (reference ``src/Lucene.Net.Join/ToParentBlockJoinQuery.cs``):
+    score PARENT documents from their matching children, ScoreMode
+    folding child scores per parent. The reference encodes the
+    parent/child relation positionally (children precede their parent
+    in a doc block); columnar corpora carry it as a parent-id
+    expression/column instead — ``parent_col`` is any Column over the
+    docs table (e.g. ``F.col('parent_id')`` or a derived expression)
+    yielding each child's parent docid. Output (docid=parent, score).
+
+    Same fold discipline as :func:`join_query`: total/avg accumulate
+    child float32 scores in child-docid order (deterministic,
+    partition-count invariant)."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    docs = searcher.index.docs
+    kids = (
+        searcher.scored_docs(child_query)
+        .join(docs.select("docid", parent_col.cast("long").alias("__p")), "docid")
+        .where(F.col("__p").isNotNull() & (F.col("__p") != F.col("docid")))
+    )
+    if score_mode == "none":
+        parents = kids.select("__p").distinct().withColumn(
+            "score", F.lit(1.0).cast("float")
+        )
+    elif score_mode == "max":
+        parents = kids.groupBy("__p").agg(F.max("score").alias("score"))
+    else:
+        agg = kids.groupBy("__p").agg(
+            F.sort_array(F.collect_list(F.struct("docid", "score"))).alias("ds")
+        )
+        want_avg = score_mode == "avg"
+
+        @F.pandas_udf("float")
+        def fold(ds: pd.Series) -> pd.Series:
+            out = np.empty(len(ds), dtype=np.float32)
+            for i, lst in enumerate(ds):
+                acc = np.float32(0.0)
+                for item in lst:
+                    acc = np.float32(acc + np.float32(item["score"]))
+                if want_avg:
+                    acc = np.float32(acc / np.float32(len(lst)))
+                out[i] = acc
+            return pd.Series(out)
+
+        parents = agg.select("__p", fold(F.col("ds")).alias("score"))
+    out = (
+        parents.select(F.col("__p").alias("docid"), "score")
+        .join(docs.select("docid"), "docid", "left_semi")  # parent must exist
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+    return out.limit(k) if k is not None else out
+
+
 def join_query(
     searcher: IndexSearcher,
     from_query: Query,

@@ -188,6 +188,31 @@ def test_join_query_modes(searcher_ext, spark_index):
         join_query(searcher_ext, Q, "repo", "repo", "bogus")
 
 
+def test_to_parent_block_join(searcher_ext, spark_index):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.search.join import to_parent_join
+
+    parent = F.col("docid") - F.pmod(F.col("docid"), 10)
+    rows = to_parent_join(searcher_ext, Q, parent, "avg", k=None).collect()
+    child = {h.docid: np.float32(h.score) for h in searcher_ext.search(Q, 100000)}
+    per_parent: dict[int, list] = {}
+    for d, s in child.items():
+        p = d - d % 10
+        if p != d:
+            per_parent.setdefault(p, []).append((d, s))
+    got = {r["docid"]: np.float32(r["score"]) for r in rows}
+    assert set(got) == set(per_parent)
+    for p, kids in per_parent.items():
+        acc = np.float32(0.0)
+        for _, s in sorted(kids):
+            acc = np.float32(acc + s)
+        assert got[p] == np.float32(acc / np.float32(len(kids)))
+    # parents score even when the parent doc itself doesn't match;
+    # children never appear in the output
+    assert all(d % 10 == 0 for d in got)
+
+
 def test_sort_rescore_reorders_first_pass(searcher_ext, spark_index):
     first = {r["docid"] for r in searcher_ext.search_df(Q, 20).collect()}
     rows = coll.sort_rescore(searcher_ext, Q, [coll.SortField("field_length")], 20, 5).collect()
