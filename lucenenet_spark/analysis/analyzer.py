@@ -71,6 +71,38 @@ def analyze_stemmed(text: str) -> list[tuple[str, int]]:
     return [(porter_stem(t), p) for t, p in analyze(text)]
 
 
+# CJK ranges: Han, Hiragana, Katakana, Hangul
+_CJK = r"一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯"
+_MIXED_RE = re.compile(rf"([{_CJK}]+)|({TOKEN_PATTERN})", re.UNICODE)
+
+
+def analyze_cjk(text: str) -> list[tuple[str, int]]:
+    """CJK-aware pipeline (the CJKAnalyzer role,
+    ``Analysis/Cjk/CJKBigramFilter.cs``): non-CJK runs tokenize exactly
+    like :func:`analyze`; CJK character runs emit overlapping BIGRAMS
+    (a single isolated CJK char emits itself), each consuming one
+    position — the standard bigram indexing that makes CJK text
+    searchable without a segmenter. Stop filter applies to the
+    non-CJK tokens as usual (gaps preserved).
+
+    Not oracle-mirrored (the pinned ASCII regex is what the DuckDB
+    oracles reproduce); guarded by pytest fixtures instead."""
+    if not text:
+        return []
+    toks: list[str] = []
+    for m in _MIXED_RE.finditer(text.lower()):
+        if m.group(1):  # CJK run -> bigrams
+            run = m.group(1)
+            if len(run) == 1:
+                toks.append(run)
+            else:
+                toks.extend(run[i : i + 2] for i in range(len(run) - 1))
+        else:
+            toks.append(m.group(2))
+    toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
+    return [(t, i) for i, t in enumerate(toks) if t not in ENGLISH_STOP_WORDS]
+
+
 def analyze_series(texts: Iterable[str]) -> list[list[tuple[str, int]]]:
     """Batch analyze (used inside mapInPandas); plain loop over the
     batch but regex+filters are C-level per string."""

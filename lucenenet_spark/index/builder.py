@@ -84,6 +84,8 @@ class CorpusSpec:
     # append a PorterStemFilter to the analysis pipeline
     # (EnglishAnalyzer role); queries must stem their terms too
     stem: bool = False
+    # CJK bigram tokenization (CJKAnalyzer role); exclusive with stem
+    cjk: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -236,12 +238,18 @@ class _SegmentWriter:
     flushes sorted, bucket-split, ≤128-doc delta+varbyte blocks plus
     the doc-level rows — all inside one Python stage, no shuffle."""
 
-    def __init__(self, meta_cols: list[str], stem: bool = False):
+    def __init__(self, meta_cols: list[str], stem: bool = False, cjk: bool = False):
         self.meta_cols = meta_cols
+        if stem and cjk:
+            raise ValueError("stem and cjk analyzers are mutually exclusive")
         if stem:
             from lucenenet_spark.analysis.analyzer import analyze_stemmed
 
             self.analyze = analyze_stemmed
+        elif cjk:
+            from lucenenet_spark.analysis.analyzer import analyze_cjk
+
+            self.analyze = analyze_cjk
         else:
             self.analyze = analyze
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
@@ -341,13 +349,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem)
+        w = _SegmentWriter(meta_cols, stem, cjk)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -589,6 +597,8 @@ def build_index(
     partitions: int | None = None,
 ) -> InvertedIndex:
     spec = spec or CorpusSpec()
+    if spec.stem and spec.cjk:  # fail on the driver, not inside workers
+        raise ValueError("stem and cjk analyzers are mutually exclusive")
     meta = [
         c for c in spec.meta_cols if c in corpus.columns and c != spec.text_col
     ]
@@ -603,7 +613,7 @@ def build_index(
         with_ids = corpus.withColumn("docid", F.col(spec.id_col).cast("long"))
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(None, meta, spec.stem), schema=schema)
+        ).mapInPandas(_segment_gen(None, meta, spec.stem, spec.cjk), schema=schema)
     else:
         # no pre-existing id: range-partitioned total order, with docid
         # assignment FUSED into the tokenize stage (a separate
@@ -612,7 +622,7 @@ def build_index(
         ordered, offsets = _ordered_with_offsets(corpus, spec, partitions)
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(offsets, meta, spec.stem), schema=schema)
+        ).mapInPandas(_segment_gen(offsets, meta, spec.stem, spec.cjk), schema=schema)
     flat_all = flat_all.persist()
 
     packed = flat_all.where(F.col("term").isNotNull()).select(

@@ -55,6 +55,49 @@ def test_analyze_stemmed_pipeline_order():
     assert analyze("the running dogs")[0] == ("running", 1)
 
 
+def test_analyze_cjk_bigrams():
+    from lucenenet_spark.analysis.analyzer import analyze_cjk
+
+    # pure CJK run -> overlapping bigrams at consecutive positions
+    got = analyze_cjk("upstream 数据处理 pipeline")
+    assert got == [
+        ("upstream", 0), ("数据", 1), ("据处", 2), ("处理", 3), ("pipeline", 4)
+    ]
+    # single isolated CJK char emits itself; stopwords still gap
+    got2 = analyze_cjk("the 工 system")
+    assert got2 == [("工", 1), ("system", 2)]
+    # hangul + ascii mix
+    got3 = analyze_cjk("한국어 tokenizer")
+    assert got3 == [("한국", 0), ("국어", 1), ("tokenizer", 2)]
+
+
+def test_cjk_index_end_to_end(spark):
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [
+        ("r", "a", "c", "分布式搜索引擎 based on spark"),
+        ("r", "b", "c", "搜索 quality matters"),
+        ("r", "c", "c", "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, content string")
+    idx = build_index(
+        spark, df, CorpusSpec(order_cols=("repo", "path", "commit"), cjk=True)
+    )
+    s = IndexSearcher(idx)
+    # bigram '搜索' appears in docs 0 and 1
+    hits = s.search(TermQuery(term="搜索"), 10)
+    assert {h.docid for h in hits} == {0, 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_index(
+            spark, df,
+            CorpusSpec(order_cols=("repo", "path", "commit"), cjk=True, stem=True),
+        ).docs.count()
+
+
 def test_stemmed_index_matches_morphological_variants(spark):
     from lucenenet_spark.index.builder import CorpusSpec, build_index
     from lucenenet_spark.search.parser import parse_query

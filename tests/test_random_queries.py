@@ -16,10 +16,12 @@ from lucenenet_spark.search.queries import (
     BooleanQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
 )
 from lucenenet_spark.search.searcher import IndexSearcher
@@ -37,13 +39,25 @@ def _vocab(corpus_rows) -> list[str]:
 
 def _leaf(rng: random.Random, vocab: list[str]) -> Query:
     r = rng.random()
-    if r < 0.6:
+    if r < 0.5:
         return TermQuery(term=rng.choice(vocab), boost=rng.choice([1.0, 1.0, 2.0, 0.5]))
-    if r < 0.75:
+    if r < 0.62:
         t0, t1 = rng.choice(vocab), rng.choice(vocab)
         return PhraseQuery(phrase_terms=(t0, t1))
-    if r < 0.9:
+    if r < 0.72:
+        # sloppy, sometimes with a REPEATED term (the PQ algorithm's
+        # hard corner) and sometimes a 3-term phrase
+        t0 = rng.choice(vocab)
+        t1 = t0 if rng.random() < 0.3 else rng.choice(vocab)
+        terms = (t0, t1) if rng.random() < 0.7 else (t0, t1, rng.choice(vocab))
+        return PhraseQuery(phrase_terms=terms, slop=rng.choice([1, 2, 3]))
+    if r < 0.8:
+        t0, t1a, t1b = rng.choice(vocab), rng.choice(vocab), rng.choice(vocab)
+        return MultiPhraseQuery(slots=((t0,), (t1a, t1b)))
+    if r < 0.88:
         return PrefixQuery(prefix=rng.choice(vocab)[:2])
+    if r < 0.94:
+        return RegexpQuery(pattern=rng.choice(vocab)[:2] + ".*")
     return FuzzyQuery(term=rng.choice(vocab), max_edits=1)
 
 
