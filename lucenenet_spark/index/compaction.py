@@ -97,14 +97,59 @@ def repack_postings(flat: DataFrame) -> DataFrame:
     )
 
 
-def compact_shards(spark: SparkSession, path: str) -> dict:
-    """Merge all shards into one, applying tombstones. Returns the new
-    shard's manifest record."""
+def select_merge_candidates(
+    manifest: dict[int, dict], max_merge_docs: int | None = None, min_shards: int = 2
+) -> list[int]:
+    """TieredMergePolicy's selection role (``TieredMergePolicy.cs:308``
+    FindMerges): pick the shards worth merging — those at or below
+    ``max_merge_docs`` (None = all). Merging fewer than ``min_shards``
+    is not worth a rewrite unless tombstones need purging (caller's
+    call). Returns sorted shard ids."""
+    if max_merge_docs is None:
+        return sorted(manifest)
+    picked = [s for s, rec in manifest.items() if rec.get("docs", 0) <= max_merge_docs]
+    return sorted(picked) if len(picked) >= min_shards else []
+
+
+def compact_shards(
+    spark: SparkSession, path: str, max_merge_docs: int | None = None
+) -> dict:
+    """Merge shards into one, applying tombstones. With
+    ``max_merge_docs`` set, only shards at or below that size merge —
+    the TIERED policy: NRT appends produce many small shards, and
+    rewriting the large settled ones on every maintenance pass would
+    make compaction cost proportional to total index size instead of
+    to the churn. Untouched shards keep their manifests; tombstones are
+    consumed only when every shard was merged (a tombstoned docid may
+    live in an unmerged shard). Returns the new shard's manifest
+    record."""
     manifest = read_manifest(path)
     if not manifest:
         raise ValueError(f"no shards under {path}")
-    old_shards = sorted(manifest)
-    idx = load_sharded(spark, path)
+    old_shards = select_merge_candidates(manifest, max_merge_docs)
+    if not old_shards:
+        return {}
+    full_merge = old_shards == sorted(manifest)
+    if full_merge:
+        idx = load_sharded(spark, path)
+    else:
+        base = os.path.join(path, "shards")
+        docs_src = spark.read.parquet(
+            *[os.path.join(base, str(s), "docs") for s in old_shards]
+        )
+        packed_src = spark.read.parquet(
+            *[os.path.join(base, str(s), "packed") for s in old_shards]
+        )
+        from lucenenet_spark.index.builder import InvertedIndex
+
+        idx = InvertedIndex(
+            docs=docs_src,
+            postings=unpack_postings(packed_src),
+            packed=packed_src,
+            term_stats=None,
+            max_doc=0,
+            sum_total_term_freq=0,
+        )
 
     tpath = os.path.join(path, "tombstones")
     tombs = (
@@ -119,7 +164,9 @@ def compact_shards(spark: SparkSession, path: str) -> dict:
         docs = docs.join(tombs, "docid", "left_anti")
         flat = flat.join(tombs, "docid", "left_anti")
 
-    new_shard = max(old_shards) + 1
+    # next id over ALL live shards — a partial merge's inputs may not
+    # include the highest shard id
+    new_shard = max(manifest) + 1
     sdir = os.path.join(path, "shards", str(new_shard))
     t0 = time.perf_counter()
     docs.write.mode("overwrite").parquet(os.path.join(sdir, "docs"))
@@ -165,6 +212,9 @@ def compact_shards(spark: SparkSession, path: str) -> dict:
     for s in old_shards:
         os.remove(os.path.join(path, "manifest", f"shard_{s}.json"))
         shutil.rmtree(os.path.join(path, "shards", str(s)), ignore_errors=True)
-    if tombs is not None:
+    # tombstones are consumed only by a FULL merge: after a tiered
+    # (partial) merge a deleted docid may still live in an unmerged
+    # shard, so the tombstone set must keep filtering reads
+    if tombs is not None and full_merge:
         shutil.rmtree(tpath, ignore_errors=True)
     return rec

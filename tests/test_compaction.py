@@ -137,6 +137,57 @@ def test_orphan_shard_dir_is_invisible(spark, fragmented):
     assert gc_orphan_shards(path) == [os.path.join(path, "shards", "7")]
 
 
+def test_tiered_compaction_merges_only_small_shards(spark, corpus_rows, tmp_path):
+    """TieredMergePolicy analog: with max_merge_docs, only shards at or
+    below the threshold merge; the large shard is untouched (its
+    manifest survives) and results are identical to before."""
+    path = str(tmp_path / "tiered_idx")
+    big, rest = corpus_rows[:120], corpus_rows[120:]
+    append_batch(spark.createDataFrame(big), path, SPEC, batch_id=0)
+    third = max(len(rest) // 3, 1)
+    for bid, lo in enumerate(range(0, len(rest), third), start=1):
+        batch = rest[lo : lo + third]
+        if batch:
+            append_batch(spark.createDataFrame(batch), path, SPEC, batch_id=bid)
+    before_manifest = read_manifest(path)
+    small_ids = [s for s, r in before_manifest.items() if r["docs"] <= third]
+    assert len(small_ids) >= 2 and 0 not in small_ids
+    idx0, _ = load_live(spark, path)
+    q = TermQuery(term="return")
+    before = [(h.docid, h.score) for h in IndexSearcher(idx0).search(q, 10)]
+
+    rec = compact_shards(spark, path, max_merge_docs=third)
+    after_manifest = read_manifest(path)
+    assert 0 in after_manifest  # the big shard survived untouched
+    assert sorted(rec["supersedes"]) == sorted(small_ids)
+    assert sorted(after_manifest) == sorted([0, rec["shard"]])
+    idx1, _ = load_live(spark, path)
+    after = [(h.docid, h.score) for h in IndexSearcher(idx1).search(q, 10)]
+    assert before == after  # pure merge: identical docids AND score bits
+    report = check_index(spark, path)
+    assert all(v["ok"] for v in report.values())
+
+
+def test_tiered_compaction_keeps_tombstones_for_unmerged_shards(spark, corpus_rows, tmp_path):
+    """A tombstoned docid living in an UNMERGED shard must stay hidden
+    after a partial compaction (tombstones only retire on full merge)."""
+    path = str(tmp_path / "tiered_tomb")
+    append_batch(spark.createDataFrame(corpus_rows[:120]), path, SPEC, batch_id=0)
+    append_batch(spark.createDataFrame(corpus_rows[120:150]), path, SPEC, batch_id=1)
+    append_batch(spark.createDataFrame(corpus_rows[150:180]), path, SPEC, batch_id=2)
+    delete_docs(spark, path, [0])  # docid 0 lives in the BIG shard
+    compact_shards(spark, path, max_merge_docs=40)
+    idx, tombs = load_live(spark, path)
+    assert tombs is not None  # tombstones survived the partial merge
+    s = IndexSearcher(idx, tombstones=tombs)
+    assert 0 not in {r["docid"] for r in s.scored_docs(TermQuery(term="return")).collect()}
+    # a later FULL merge purges them
+    compact_shards(spark, path)
+    idx2, tombs2 = load_live(spark, path)
+    assert tombs2 is None
+    assert 0 not in {r["docid"] for r in idx2.docs.select("docid").collect()}
+
+
 def test_compaction_without_tombstones_is_pure_merge(spark, fragmented):
     path = fragmented
     idx, _ = load_live(spark, path)
