@@ -97,7 +97,8 @@ def build_multi_field_index(
     fields: dict[str, InvertedIndex] = {}
     for name in order:
         fspec = CorpusSpec(
-            text_col=field_cols[name], id_col="docid", meta_cols=spec.meta_cols
+            text_col=field_cols[name], id_col="docid", meta_cols=spec.meta_cols,
+            stem=spec.stem, cjk=spec.cjk,
         )
         fields[name] = build_index(spark, with_ids, fspec)
     return MultiFieldIndex(

@@ -359,18 +359,21 @@ def span_near(
     slop: int,
     in_order: bool = True,
 ) -> DataFrame:
-    """Two-term SpanNearQuery analog (``Search/Spans/SpanNearQuery.cs:40``)
-    with a PINNED span-count spec: a span starts at each position p of
-    ``first`` that has an occurrence q of ``second`` with
-    ``q - p - 1 <= slop`` and (ordered) ``q > p``, or (unordered)
-    ``|q - p| - 1 <= slop``. Output (docid, n_spans) for matching docs.
+    """Two-term SpanNearQuery analog (``Search/Spans/SpanNearQuery.cs:40``):
+    a span starts at each position p of ``first`` that has an
+    occurrence q of ``second`` with ``q - p - 1 <= slop`` and (ordered)
+    ``q > p``, or (unordered) ``|q - p| - 1 <= slop``. Output
+    (docid, n_spans) for matching docs.
 
-    Divergence (documented): the reference's NearSpansOrdered
-    enumerates minimal non-overlapping spans; counting per start
-    position is a simpler spec that agrees on the MATCH SET and is
-    exactly SQL-expressible for the oracle. Physical shape = the
-    phrase positions join (one packed scan with term IN pushdown, one
-    groupBy(docid) shuffle)."""
+    For the ORDERED two-clause case this per-start count EQUALS the
+    reference's NearSpansOrdered enumeration: each first-clause
+    position yields at most one span (paired with the earliest second
+    after it, which is minimal — if any q within slop exists, the
+    earliest does). The UNORDERED count is a pinned simplification of
+    NearSpansUnordered's queue walk (match set agrees; span
+    multiplicity may differ around shared positions — documented).
+    Physical shape = the phrase positions join (one packed scan with
+    term IN pushdown, one groupBy(docid) shuffle)."""
     pos = (
         searcher.index.postings.where(F.col("term").isin([first, second]))
         .select("docid", "term", F.explode("positions").alias("p"))
