@@ -464,6 +464,22 @@ def _q_grouped_topk(spark, sf_dir):
     return coll.grouped_topk(s, TermQuery(term="hash"), "source", k_groups=10, k_per_group=3)
 
 
+def _q_stored_fields(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return s.docs_df([0, 1, 2, 3, 4]).select("docid", "lang", "source")
+
+
+def _q_sort_search_after(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = TermQuery(term="spark")
+    # page 1 under (field_length asc, docid asc); cursor = its last row
+    first = coll.sort_topk(s, q, [coll.SortField("field_length")], 10).collect()
+    last = first[-1]
+    return coll.sort_search_after(
+        s, q, coll.SortField("field_length"), last["field_length"], last["docid"], 10
+    )
+
+
 def _q_search_after(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     q = TermQuery(term="spark")
@@ -553,6 +569,10 @@ def _q_minhash_dedup(spark, sf_dir):
     return dd.ngram_jaccard(docs, pairs)
 
 
+def _q_near_dup_groups(spark, sf_dir):
+    return dd.near_dup_groups(_docs(spark, sf_dir), threshold=0.8)
+
+
 def _q_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir))
 
@@ -581,6 +601,10 @@ def _q_fingerprint(spark, sf_dir):
 
 def _q_ann_quantized(spark, sf_dir):
     return sim.cosine_topk_quantized(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_ann_batch(spark, sf_dir):
+    return sim.cosine_topk_quantized_batch(_emb(spark, sf_dir), [0, 1, 2], k=5)
 
 
 def _q_ann_float(spark, sf_dir):
@@ -636,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "minhash_dedup": _q_minhash_dedup,
+        "near_dup_groups": _q_near_dup_groups,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "token_stats": _q_token_stats,
@@ -643,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "ann_quantized": _q_ann_quantized,
+        "ann_batch": _q_ann_batch,
         "ann_float": _q_ann_float,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -691,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_meta_desc": _q_sort_by_meta_desc,
         "grouped_topk": _q_grouped_topk,
         "search_after": _q_search_after,
+        "stored_fields": _q_stored_fields,
+        "sort_search_after": _q_sort_search_after,
         "rescore": _q_rescore,
         "hit_count": _q_hit_count,
         "mlt_terms": _q_mlt_terms,
@@ -715,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oosql.dedup_exact_sql(),
         "minhash_sigs": oosql.minhash_sigs_sql(),
         "minhash_dedup": oosql.minhash_dedup_sql(),
+        "near_dup_groups": oosql.near_dup_groups_sql(0.8),
         "simhash": oosql.simhash_sql(),
         "simhash_pairs": oosql.simhash_pairs_sql(),
         "token_stats": oosql.token_stats_sql(),
@@ -722,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oosql.language_id_sql(),
         "doc_fingerprint": oosql.fingerprint_sql(),
         "ann_quantized": oosql.ann_quantized_sql(),
+        "ann_batch": oosql.ann_batch_sql([0, 1, 2], 5),
         "ann_float": oosql.ann_float_sql([1.0] * 64),
         "ann_lsh": oosql.ann_lsh_sql(query_id=0, k=10),
         "ann_ivf": oosql.ann_ivf_sql(query_id=0, k=10),
@@ -775,6 +805,8 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_meta_desc": osql.sort_by_meta_desc_sql("spark", "lang"),
         "grouped_topk": osql.grouped_topk_sql("hash", "source", 10, 3),
         "search_after": osql.search_after_sql("spark", page=2, k=10),
+        "stored_fields": osql.stored_fields_sql([0, 1, 2, 3, 4]),
+        "sort_search_after": osql.sort_search_after_sql("spark", page=2, k=10),
         "rescore": osql.rescore_sql("hash", "table", "hash", 1.0, 2.0, 50, 10),
         "hit_count": osql.hit_count_sql("hash", "dup"),
         "mlt_terms": osql.mlt_terms_sql(0, 25, 2, 5),

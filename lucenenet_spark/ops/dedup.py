@@ -225,6 +225,60 @@ def minhash_dedup_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, labeled by the smallest member id — the
+    keep-one-per-cluster step a curation pipeline actually applies
+    after pair finding. Output (id, canonical_id) for EVERY doc
+    (singletons are their own canonical).
+
+    Distributed shape: iterative min-label propagation (the standard
+    large-graph connected-components loop — each round is one join +
+    one hash aggregate; rounds needed = component diameter, and near-dup
+    components are shallow cliques, so it converges in 2-3 rounds).
+    The driver sees one changed-count scalar per round — never labels."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, n_hashes, bands, seed)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = ids.select("id", F.col("id").alias("lbl")).cache()
+    edges = edges.cache()
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor, "id", "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new")
+            .join(labels, "id")
+            .where(F.col("new") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("lbl").alias("canonical_id"))
+    edges.unpersist()
+    return out
+
+
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16

@@ -117,6 +117,65 @@ LEFT JOIN sizes sb ON sb.id = p.id_b"""
     )
 
 
+def near_dup_groups_sql(
+    threshold: float = 0.8,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+) -> str:
+    """Connected components over the verified MinHash pair graph via a
+    recursive CTE (min-label reachability) — the oracle for
+    ops/dedup.py::near_dup_groups."""
+    r = n_hashes // bands
+    return (
+        _minhash_prelude(n_hashes)
+        + f""",
+bands AS (
+  SELECT id, i // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+  FROM mh GROUP BY id, i // {r}
+),
+ok_buckets AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN ok_buckets o ON a.band = o.band AND a.key = o.key
+  JOIN bands b ON b.band = o.band AND b.key = o.key AND a.id < b.id
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand p
+  JOIN sh s1 ON s1.id = p.id_a
+  JOIN sh s2 ON s2.id = p.id_b AND s2.shingle = s1.shingle
+  GROUP BY p.id_a, p.id_b
+),
+verified AS (
+  SELECT p.id_a, p.id_b FROM cand p
+  JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.id = p.id_a
+  JOIN sizes sb ON sb.id = p.id_b
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+allids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+reach AS (
+  WITH RECURSIVE rr(id, lbl) AS (
+    SELECT id, id FROM allids
+    UNION
+    SELECT e.dst, rr.lbl FROM rr JOIN edges e ON e.src = rr.id
+  ) SELECT id, lbl FROM rr
+)
+SELECT id, min(lbl) AS canonical_id FROM reach GROUP BY id"""
+    )
+
+
 def _simhash_prelude() -> str:
     """64-bit simhash as two unsigned 32-bit halves (matches
     ops/dedup.py::simhash): per-half md5 hex slices, tf-weighted bit
@@ -511,6 +570,35 @@ probe AS (
 ),
 cand AS (SELECT id FROM a1 WHERE cluster IN (SELECT c FROM probe)),
 {_rerank_quantized("cand", query_id, k)}"""
+
+
+def ann_batch_sql(query_ids: list[int], k: int = 10) -> str:
+    """Mirror of ops/similarity.py::cosine_topk_quantized_batch."""
+    ids = ", ".join(str(int(x)) for x in query_ids)
+    return f"""
+WITH {_QFLAT},
+qf AS (SELECT id AS query_id, k, v FROM flat WHERE id IN ({ids})),
+nq AS (SELECT query_id, CAST(sum(v * v) AS BIGINT) AS n FROM qf GROUP BY query_id),
+bdots AS (
+  SELECT qf.query_id, f.id,
+         CAST(sum(f.v * qf.v) AS BIGINT) AS dot,
+         CAST(sum(f.v * f.v) AS BIGINT) AS nself
+  FROM flat f JOIN qf ON qf.k = f.k
+  WHERE f.id != qf.query_id
+  GROUP BY qf.query_id, f.id
+),
+bscored AS (
+  SELECT d.query_id, d.id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(d.nself AS DOUBLE)) * sqrt(CAST(nq.n AS DOUBLE))) AS sim
+  FROM bdots d JOIN nq ON nq.query_id = d.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC)
+            AS BIGINT) AS rank,
+       id, sim
+FROM bscored
+QUALIFY rank <= {k}"""
 
 
 def ann_float_sql(query_vec: list[float], k: int = 10) -> str:

@@ -434,6 +434,54 @@ def _topk_quantized_pre(
     )
 
 
+def cosine_topk_quantized_batch(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH exact ANN: top-k for MANY stored query vectors in ONE
+    Spark job — (query_id, rank, id, sim). The query block broadcasts
+    and every corpus partition scores its rows against all queries
+    locally (exact int64 dots via zip_with, JVM-side); per-query top-k
+    is a window PARTITIONED by query_id (parallel across queries, never
+    a global sort). This is the serving shape at scale: the per-job
+    fixed cost is paid once for the whole batch instead of per query."""
+    q = quantize(df, id_col, vec_col)
+    qs = (
+        q.where(F.col("id").isin([int(x) for x in query_ids]))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("qvec").alias("qq"),
+            _dot(F.col("qvec"), F.col("qvec")).alias("nq"),
+        )
+    )
+    scored = (
+        q.crossJoin(F.broadcast(qs))
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "id",
+            (
+                _dot(F.col("qvec"), F.col("qq")).cast("double")
+                / (
+                    F.sqrt(_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                )
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "sim")
+    )
+
+
 def ann_recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """|approx ∩ exact| / |exact| over the id columns — the standard
     ANN quality metric against the (oracle-checked) exact top-k."""

@@ -450,6 +450,32 @@ FROM joined ORDER BY {meta_col} DESC, s DESC, docid ASC LIMIT {k}"""
     )
 
 
+def stored_fields_sql(docids: list[int]) -> str:
+    """IndexSearcher.Doc bulk retrieval mirror."""
+    ids = ", ".join(str(int(d)) for d in docids)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docid, lang, source
+FROM documents WHERE doc_id IN ({ids})"""
+
+
+def sort_search_after_sql(term: str, page: int = 2, k: int = 10) -> str:
+    """Field-sorted pagination: the k hits after rank (page-1)*k in
+    (field_length asc, docid asc) order."""
+    lo, hi = (page - 1) * k, page * k
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+r AS (
+  SELECT s.docid, s.s, n.fl,
+         row_number() OVER (ORDER BY n.fl ASC, s.docid ASC) AS rk
+  FROM t0 s JOIN norms n ON n.docid = s.docid
+)
+SELECT docid, CAST(fl AS BIGINT) AS field_length, CAST(s AS DOUBLE) AS score
+FROM r WHERE rk > {lo} AND rk <= {hi}"""
+    )
+
+
 def search_after_sql(term: str, page: int = 2, k: int = 10) -> str:
     """Cursor pagination = the k hits after rank (page-1)*k."""
     lo, hi = (page - 1) * k, page * k

@@ -215,6 +215,38 @@ def field_value_filter(
     return filtered_topk(searcher, query, F.col(col_name).isNotNull(), k)
 
 
+def sort_search_after(
+    searcher: IndexSearcher,
+    query: Query,
+    sort: SortField,
+    after_value,
+    after_docid: int,
+    k: int = 10,
+) -> DataFrame:
+    """Cursor pagination under a field Sort (the SearchAfter overload
+    taking a FieldDoc): the next k hits strictly after
+    (after_value, after_docid) in the sort order, docid as tie-break.
+    Single sort key (compound cursors compose the same WHERE)."""
+    scored = searcher.scored_docs(query)
+    joined = scored.join(
+        searcher.index.docs.select("docid", sort.field), "docid"
+    )
+    col = F.col(sort.field)
+    descending = sort.reverse
+    if descending:
+        cursor = (col < after_value) | ((col == after_value) & (F.col("docid") > after_docid))
+        order = [col.desc_nulls_last(), F.col("docid").asc()]
+    else:
+        cursor = (col > after_value) | ((col == after_value) & (F.col("docid") > after_docid))
+        order = [col.asc_nulls_last(), F.col("docid").asc()]
+    return (
+        joined.where(cursor)
+        .orderBy(*order)
+        .limit(k)
+        .select("docid", sort.field, F.col("score").cast("double").alias("score"))
+    )
+
+
 def search_after(
     searcher: IndexSearcher,
     query: Query,

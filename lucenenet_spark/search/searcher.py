@@ -161,6 +161,21 @@ class IndexSearcher:
         """TotalHitCountCollector analog."""
         return self.scored_docs(query).count()
 
+    def doc(self, docid: int) -> dict | None:
+        """Stored-field retrieval — ``IndexSearcher.Doc(docid)``: the
+        document's stored columns (meta, field_length, norm, sha) as a
+        dict, or None. One docs-table point lookup (parquet min/max
+        row-group pruning on the docid column)."""
+        rows = self.index.docs.where(F.col("docid") == int(docid)).collect()
+        return rows[0].asDict() if rows else None
+
+    def docs_df(self, docids: list[int]) -> DataFrame:
+        """Bulk stored-field retrieval for a hit page (the render step
+        after top-k): one semi-joined scan, never per-doc lookups."""
+        spark = self.index.docs.sparkSession
+        want = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+        return self.index.docs.join(F.broadcast(want), "docid", "left_semi")
+
     def scored_docs(self, query: Query) -> DataFrame:
         """Every matching doc with its score — the un-truncated scored
         set (collector input for faceting/grouping/pagination)."""

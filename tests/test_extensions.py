@@ -188,6 +188,26 @@ def test_join_query_modes(searcher_ext, spark_index):
         join_query(searcher_ext, Q, "repo", "repo", "bogus")
 
 
+def test_doc_retrieval_and_sorted_pagination(searcher_ext, spark_index):
+    d = searcher_ext.doc(0)
+    assert d is not None and d["docid"] == 0 and "repo" in d
+    assert searcher_ext.doc(10**9) is None
+    bulk = {r["docid"] for r in searcher_ext.docs_df([0, 1, 2]).collect()}
+    assert bulk == {0, 1, 2}
+    # sorted pagination: page1 + page2 under (field_length asc, docid)
+    # must equal the top-20 of the same sort with no overlap
+    page1 = coll.sort_topk(searcher_ext, Q, [coll.SortField("field_length")], 10).collect()
+    last = page1[-1]
+    page2 = coll.sort_search_after(
+        searcher_ext, Q, coll.SortField("field_length"),
+        last["field_length"], last["docid"], 10,
+    ).collect()
+    top20 = coll.sort_topk(searcher_ext, Q, [coll.SortField("field_length")], 20).collect()
+    assert [r["docid"] for r in page1] + [r["docid"] for r in page2] == [
+        r["docid"] for r in top20
+    ]
+
+
 def test_to_parent_block_join(searcher_ext, spark_index):
     from pyspark.sql import functions as F
 

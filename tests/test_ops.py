@@ -121,6 +121,27 @@ def _py_simhash(text_):
     )
 
 
+def test_near_dup_groups_connected_components(docs_df):
+    got = {r["id"]: r["canonical_id"] for r in dedup.near_dup_groups(docs_df, threshold=0.5).collect()}
+    assert len(got) == docs_df.count()  # every doc labeled
+    # docs 0 and 3 are exact duplicates in the fixture -> same cluster,
+    # canonical = smallest member id
+    assert got[3] == got[0] == 0
+    # labels are cluster-minimal: canonical of the canonical is itself
+    for i, c in got.items():
+        assert got[c] == c and c <= i
+
+
+def test_cosine_topk_quantized_batch_matches_single(emb_df):
+    batch = similarity.cosine_topk_quantized_batch(emb_df, [0, 3], k=4).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["sim"]))
+    for qid in (0, 3):
+        single = similarity.cosine_topk_quantized(emb_df, query_id=qid, k=4).collect()
+        assert sorted(by_q[qid]) == [(r["rank"], r["id"], r["sim"]) for r in single]
+
+
 def test_simhash_matches_python(docs_df):
     got = {r["id"]: (r["simhash_hi"], r["simhash_lo"]) for r in dedup.simhash(docs_df).collect()}
     for i in (0, 1, 2, 4):
