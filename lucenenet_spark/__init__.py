@@ -12,3 +12,7 @@ TakeOrderedAndProject top-k), with float32 BM25 scoring bit-faithful to
 __version__ = "0.1.0"
 
 from lucenenet_spark.session import get_spark  # noqa: F401
+from lucenenet_spark.functions.similarity import (  # noqa: F401
+    BM25Similarity,
+    ClassicSimilarity,
+)
