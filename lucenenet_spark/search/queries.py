@@ -200,16 +200,25 @@ class WildcardQuery(MultiTermQuery):
     pattern: str = ""
 
     def _regex(self) -> str:
+        """``*`` any run, ``?`` one char, ``\\`` escapes the next char
+        (``WildcardQuery.cs`` WILDCARD_ESCAPE)."""
         import re as _re
 
         out = []
-        for ch in self.pattern:
+        i, n = 0, len(self.pattern)
+        while i < n:
+            ch = self.pattern[i]
+            if ch == "\\" and i + 1 < n:
+                out.append(_re.escape(self.pattern[i + 1]))
+                i += 2
+                continue
             if ch == "*":
                 out.append(".*")
             elif ch == "?":
                 out.append(".")
             else:
                 out.append(_re.escape(ch))
+            i += 1
         return "^" + "".join(out) + "$"
 
     def dict_predicate(self):
