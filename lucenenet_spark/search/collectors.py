@@ -281,15 +281,31 @@ def highlight(
     Divergence (documented): the reference scores char-offset fragments
     by summed term weights; positions are what the index stores, so the
     fragment is a token window (apps map token->char at render time)
-    and the fragment score is the hit count. Physical shape: positions
-    of the query's terms for ONLY the k hit docs (packed scan with term
-    pushdown + broadcast semi-join), then a bounded per-doc self-join —
+    and the fragment score is the hit count. Physical shape: the packed
+    scan prunes to the query terms AND the hit docids' buckets before
+    any decode, then a bounded per-doc self-join scores windows —
     never a full positions scan."""
-    top = searcher.search_df(query, k).select("docid")
+    from lucenenet_spark.index.builder import BUCKET_DOCS, unpack_postings
+
+    # k hit docids collected driver-side (bounded by k): a docid filter
+    # above the unpack barrier cannot push into the parquet scan, so
+    # without pruning the scan to the hits' docid BUCKETS a df=10^8
+    # query term would decode its whole posting list to highlight k docs
+    top_ids = [
+        r["docid"] for r in searcher.search_df(query, k).select("docid").collect()
+    ]
+    if not top_ids:
+        return searcher.index.docs.sparkSession.createDataFrame(
+            [], "docid long, frag_start long, frag_end long, n_hits long"
+        )
     terms = sorted(set(query.terms()))
+    buckets = sorted({int(d) // BUCKET_DOCS for d in top_ids})
+    blocks = searcher.index.packed.where(
+        F.col("term").isin(terms) & F.col("bucket").isin(buckets)
+    )
     hits = (
-        searcher.index.postings.where(F.col("term").isin(terms))
-        .join(F.broadcast(top), "docid", "left_semi")
+        unpack_postings(blocks)
+        .where(F.col("docid").isin([int(d) for d in top_ids]))
         .select("docid", F.explode("positions").alias("p"))
     )
     a = hits.select("docid", F.col("p").alias("start"))
