@@ -32,7 +32,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
       (?P<lparen>\()
     | (?P<rparen>\))
-    | (?P<quoted>"[^"]*")
+    | (?P<quoted>(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*")
     | (?P<range>[\[{]\s*\S+\s+TO\s+\S+\s*[\]}])
     | (?P<and>AND\b)
     | (?P<or>OR\b)
@@ -104,7 +104,11 @@ class _Parser:
                 k2, _ = self.next()  # consume ')'
                 q = _boosted(q, self.maybe_boost())
             elif kind == "quoted":
-                text = m.group("quoted")[1:-1]
+                raw = m.group("quoted")
+                qfield = None
+                if not raw.startswith('"'):  # field:"..." prefix
+                    qfield, raw = raw.split(":", 1)
+                text = raw[1:-1]
                 pairs = self.analyze(text)
                 boost = self.maybe_boost()
                 slop = 0
@@ -115,7 +119,7 @@ class _Parser:
                 if not pairs:
                     q = None
                 elif len(pairs) == 1:
-                    q = TermQuery(boost=boost, term=pairs[0][0])
+                    q = TermQuery(boost=boost, term=pairs[0][0], field=qfield)
                 else:
                     base = pairs[0][1]
                     q = PhraseQuery(
@@ -123,6 +127,7 @@ class _Parser:
                         phrase_terms=tuple(t for t, _ in pairs),
                         term_positions=tuple(p - base for _, p in pairs),
                         slop=slop,
+                        field=qfield,
                     )
             elif kind == "range":
                 body = m.group("range")

@@ -110,6 +110,15 @@ def test_parser_routes_fields(mf):
     ]
 
 
+def test_parser_fielded_phrase(mf):
+    mfs, _ = mf
+    q = parse_query('title:"merge planner"')
+    hits = mfs.search_df(q, 5).collect()
+    assert [r["docid"] for r in hits] and len(hits) == 1
+    # same phrase in the default (body) field matches nothing
+    assert mfs.search_df(parse_query('"merge planner"'), 5).collect() == []
+
+
 def test_save_load_roundtrip(mf, tmp_path):
     mfs, idx = mf
     path = str(tmp_path / "mfidx")
