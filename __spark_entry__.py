@@ -371,6 +371,13 @@ def _q_highlight(spark, sf_dir):
     return coll.highlight(s, q, window=10, k=10)
 
 
+def _q_drill_sideways(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.drill_sideways(
+        s, TermQuery(term="spark"), {"lang": "en", "source": "src1"}
+    )
+
+
 def _q_facet_ranges(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.facet_ranges(
@@ -703,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_term_query": _q_classic_term,
         "highlight": _q_highlight,
         "facet_ranges": _q_facet_ranges,
+        "drill_sideways": _q_drill_sideways,
         "group_distinct": _q_group_distinct,
         "suggest": _q_suggest,
         "prefix_suggest": _q_prefix_suggest,
@@ -792,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
             "spark", [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)]
         ),
         "group_distinct": osql.group_distinct_sql("spark", "lang", "source"),
+        "drill_sideways": osql.drill_sideways_sql(
+            "spark", {"lang": "en", "source": "src1"}
+        ),
         "suggest": osql.suggest_sql("sparc", 5, 2, 1),
         "prefix_suggest": osql.prefix_suggest_sql("s", 5),
         "function_query": osql.boost_by_value_sql("spark"),

@@ -772,6 +772,36 @@ GROUP BY r.label"""
     )
 
 
+def drill_sideways_sql(term: str, drill_downs: dict[str, str]) -> str:
+    """DrillSideways mirror over two docs-table dims."""
+    dims = sorted(drill_downs)
+    selects = []
+    for dim in dims:
+        conds = " AND ".join(
+            f"m.{o} = '{v}'" for o, v in drill_downs.items() if o != dim
+        ) or "TRUE"
+        selects.append(
+            f"""SELECT '{dim}' AS dim, CAST(m.{dim} AS VARCHAR) AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m WHERE {conds} GROUP BY m.{dim}"""
+        )
+    fully = " AND ".join(f"m.{o} = '{v}'" for o, v in drill_downs.items())
+    selects.append(
+        f"""SELECT '__hits__' AS dim, '' AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m WHERE {fully}"""
+    )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        bm25_prelude()
+        + f""",
+matched AS (
+  SELECT d.* FROM documents d
+  WHERE CAST(d.doc_id AS BIGINT) IN (SELECT docid FROM postings WHERE term = '{term}')
+)
+{body}"""
+    )
+
+
 def group_distinct_sql(term: str, group_col: str, value_col: str) -> str:
     """Distinct (group, value) pairs among a term query's matches."""
     return (

@@ -358,6 +358,46 @@ def facet_ranges(
     )
 
 
+def drill_sideways(
+    searcher: IndexSearcher, query: Query, drill_downs: dict[str, object]
+) -> DataFrame:
+    """DrillSideways (``Facet/DrillSideways.cs``): given a base query
+    plus per-dimension drill-down constraints, return for EACH dim the
+    facet counts computed with all the OTHER dims' constraints applied
+    — what the UI shows so a user can see how switching a selection
+    would change the result — plus the fully-drilled hit count as the
+    ``__hits__`` row. Output (dim, value, n_docs).
+
+    One matched-docs semi-join feeds every dimension's aggregate;
+    per-dim passes differ only in cheap docs-table predicates."""
+    matched = searcher.matching_docids(query)
+    base = searcher.index.docs.join(matched, "docid", "left_semi")
+    parts = []
+    for dim in sorted(drill_downs):
+        others = F.lit(True)
+        for other, val in drill_downs.items():
+            if other != dim:
+                others = others & (F.col(other) == F.lit(val))
+        parts.append(
+            base.where(others)
+            .groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(F.lit(dim).alias("dim"), "value", "n_docs")
+        )
+    fully = F.lit(True)
+    for other, val in drill_downs.items():
+        fully = fully & (F.col(other) == F.lit(val))
+    spark = base.sparkSession
+    hits = base.where(fully).count()
+    parts.append(
+        spark.createDataFrame([("__hits__", "", int(hits))], "dim string, value string, n_docs long")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def group_distinct(
     searcher: IndexSearcher, query: Query, group_col: str, value_col: str
 ) -> DataFrame:

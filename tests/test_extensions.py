@@ -90,6 +90,27 @@ def test_facet_ranges_counts(searcher_ext, spark_index):
     assert got["overlap"] == got["short"] + got["long"]  # overlap allowed
 
 
+def test_drill_sideways_counts(searcher_ext, spark_index):
+    docs = {
+        r["docid"]: (r["repo"], r["lang"])
+        for r in spark_index.docs.select("docid", "repo", "lang").collect()
+    }
+    matched = {r["docid"] for r in searcher_ext.matching_docids(Q).collect()}
+    repo0 = docs[next(iter(matched))][0]
+    lang0 = docs[next(iter(matched))][1]
+    rows = coll.drill_sideways(searcher_ext, Q, {"repo": repo0, "lang": lang0}).collect()
+    got = {(r["dim"], r["value"]): r["n_docs"] for r in rows}
+    # repo dim: counts under the OTHER constraint (lang == lang0)
+    for (dim, val), n in got.items():
+        if dim == "repo":
+            assert n == sum(1 for d in matched if docs[d][1] == lang0 and docs[d][0] == val)
+        elif dim == "lang":
+            assert n == sum(1 for d in matched if docs[d][0] == repo0 and docs[d][1] == val)
+    assert got[("__hits__", "")] == sum(
+        1 for d in matched if docs[d] == (repo0, lang0)
+    )
+
+
 def test_group_distinct_pairs(searcher_ext, spark_index):
     got = {(r["grp"], r["val"]) for r in coll.group_distinct(searcher_ext, Q, "repo", "lang").collect()}
     docs = {
