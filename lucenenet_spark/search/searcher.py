@@ -103,6 +103,12 @@ class IndexSearcher:
         # below ~64 blocks the θ job costs as much as just decoding, so
         # only high-df terms prune (tests lower this to force the path)
         self.prune_min_df = prune_min_df
+        # phrase conjunction pre-pass engages only when the phrase
+        # terms' summed df exceeds this — below it the extra docid
+        # decode job costs more than the (small) positions shuffle it
+        # avoids; at 100 TB scale the pre-pass is the difference
+        # between shuffling 10^8 wide rows and 10^5
+        self.phrase_prefilter_min_postings = 1_000_000
         # liveDocs: deleted docids anti-joined out of every result
         # (streaming/ingest.py delete model; reference BufferedUpdates)
         self.tombstones = tombstones
@@ -698,6 +704,46 @@ class IndexSearcher:
         return combine_dismax_frames(pos, q.tie_breaker, q.boost)
 
     # ----------------------------------------------------- phrase
+    def _phrase_candidates(
+        self, term_slots: dict[str, list[int]], n_slots: int
+    ) -> DataFrame:
+        """Conjunction pre-pass for phrase scorers: docids containing
+        >= 1 term of EVERY slot, decoded from docs_enc ONLY (narrow
+        rows — no positions payload). At scale this converts the
+        phrase scorer's positions shuffle over every posting of every
+        phrase term into (a) a narrow docid shuffle here and (b) a
+        positions shuffle over just the conjunction: for a 2x df=10^8
+        phrase with 10^5 co-occurrences, ~10^8 wide rows shrink to
+        ~10^5. Emits one row per (docid, slot) membership so a term
+        shared by two slots certifies both (the candidate set must be
+        a SUPERSET of true matches)."""
+        t2s = {t: [int(s) for s in slots] for t, slots in term_slots.items()}
+        blocks = self.index.packed.where(F.col("term").isin(list(t2s))).select(
+            "term", "docs_enc"
+        )
+
+        def decode(iterator):
+            for pdf in iterator:
+                outs = []
+                for term, de in zip(pdf["term"], pdf["docs_enc"]):
+                    d = delta_decode_docids(bytes(de))
+                    for s in t2s[term]:
+                        outs.append(
+                            pd.DataFrame({"docid": d, "slot": np.int32(s)})
+                        )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {"docid": pd.array([], dtype="int64"),
+                     "slot": pd.array([], dtype="int32")}
+                )
+
+        pairs = blocks.mapInPandas(decode, schema="docid long, slot int")
+        return (
+            pairs.groupBy("docid")
+            .agg(F.count_distinct("slot").alias("ns"))
+            .where(F.col("ns") == n_slots)
+            .select("docid")
+        )
+
     def _phrase(self, q: PhraseQuery, stats) -> DataFrame | None:
         terms = list(q.phrase_terms)
         rels = list(q.positions())
@@ -723,6 +769,14 @@ class IndexSearcher:
             from lucenenet_spark.index.builder import unpack_postings
 
             src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
+            total_df = sum(stats[t][0] for t in uniq)
+            if len(uniq) > 1 and total_df > self.phrase_prefilter_min_postings:
+                # conjunction pre-pass (docid-only decode) so the wide
+                # positions shuffle below carries only co-occurring docs
+                cand_ids = self._phrase_candidates(
+                    {t: [i] for i, t in enumerate(uniq)}, len(uniq)
+                )
+                src = src.join(cand_ids, "docid", "left_semi")
         else:
             src = self.index.postings.where(F.col("term").isin(uniq))
         cand = (
@@ -807,6 +861,14 @@ class IndexSearcher:
             from lucenenet_spark.index.builder import unpack_postings
 
             src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
+            total_df = sum(stats.get(t, (0, 0))[0] for t in uniq)
+            if len(slots_l) > 1 and total_df > self.phrase_prefilter_min_postings:
+                term_slots: dict[str, list[int]] = {}
+                for si, slot in enumerate(slots_l):
+                    for t in slot:
+                        term_slots.setdefault(t, []).append(si)
+                cand_ids = self._phrase_candidates(term_slots, len(slots_l))
+                src = src.join(cand_ids, "docid", "left_semi")
         else:
             src = self.index.postings.where(F.col("term").isin(uniq))
         cand = src.groupBy("docid").agg(

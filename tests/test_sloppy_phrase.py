@@ -121,6 +121,26 @@ def test_infinite_freq_regressions_are_finite():
     assert np.isfinite(val) and 0.0 <= val < 10.0
 
 
+def test_phrase_prefilter_forced_is_identity(spark_index, oracle_index):
+    """The conjunction pre-pass (docid-only decode + semi-join) must be
+    a semantic no-op — force it on at test scale and compare exact,
+    sloppy, and multi-phrase results against the default searcher."""
+    from lucenenet_spark.search.queries import MultiPhraseQuery
+
+    plain = IndexSearcher(spark_index)
+    forced = IndexSearcher(spark_index)
+    forced.phrase_prefilter_min_postings = 0
+    queries = [
+        PhraseQuery(phrase_terms=("return", "value")),
+        PhraseQuery(phrase_terms=("return", "value"), slop=2),
+        MultiPhraseQuery(slots=(("return",), ("value", "self"))),
+    ]
+    for q in queries:
+        a = [(h.docid, h.score) for h in plain.search(q, 10)]
+        b = [(h.docid, h.score) for h in forced.search(q, 10)]
+        assert a == b and a, q
+
+
 def test_sloppy_rank_and_score_identical_to_oracle(spark_index, oracle_index):
     spark_s = IndexSearcher(spark_index)
     oracle_s = OracleSearcher(oracle_index)
