@@ -93,9 +93,13 @@ def _q_tokenize(spark, sf_dir):
 
 
 def _q_positions(spark, sf_dir):
+    from lucenenet_spark.index.builder import unpack_postings
+
     idx, _ = _searcher(spark, sf_dir)
+    # filter the PACKED table, then unpack: a term filter above the
+    # unpack barrier would decode the whole index
     return (
-        idx.postings.where(F.col("term") == "dup")
+        unpack_postings(idx.packed.where(F.col("term") == "dup"))
         .select("docid", "term", F.explode("positions").alias("pos"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
@@ -188,6 +192,53 @@ def _q_prefix_docs(spark, sf_dir):
 def _q_span_near_ordered(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.span_near(s, "table", "hash", slop=3, in_order=True)
+
+
+def _q_span_near3(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    q = sp.SpanNearQuery(
+        (sp.SpanTermQuery("table"), sp.SpanTermQuery("hash"), sp.SpanTermQuery("scan")),
+        slop=12,
+        in_order=True,
+    )
+    return sp.span_query(s, q)
+
+
+def _q_span_first(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    return sp.span_query(s, sp.SpanFirstQuery(sp.SpanTermQuery("table"), end=15))
+
+
+def _q_span_not(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    q = sp.SpanNotQuery(
+        sp.SpanNearQuery(
+            (sp.SpanTermQuery("table"), sp.SpanTermQuery("hash")), slop=6, in_order=True
+        ),
+        sp.SpanTermQuery("scan"),
+    )
+    return sp.span_query(s, q)
+
+
+def _q_span_or_near(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    q = sp.SpanNearQuery(
+        (
+            sp.SpanOrQuery((sp.SpanTermQuery("table"), sp.SpanTermQuery("merge"))),
+            sp.SpanTermQuery("hash"),
+        ),
+        slop=8,
+        in_order=True,
+    )
+    return sp.span_query(s, q)
 
 
 def _q_span_near_unordered(spark, sf_dir):
@@ -663,7 +714,49 @@ def _q_media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entry ORDER is part of the driver contract: the r02 correctness
+    run recorded exactly the first 50 dict entries, so entries that
+    have never had a driver row run FIRST, then entries last verified
+    in r01, then new round-3 surfaces, then the r02-green tail —
+    maximizing fresh coverage under any entry-count or time budget."""
     return {
+        # -- never driver-verified (no row in r01 or r02) ------------
+        "function_query": _q_function_query,
+        "field_term_query": _q_field_term_query,
+        "multi_field_dismax": _q_multi_field_dismax,
+        "multi_field_boolean": _q_multi_field_boolean,
+        "sort_by_field": _q_sort_by_field,
+        "sort_by_meta_desc": _q_sort_by_meta_desc,
+        "stored_fields": _q_stored_fields,
+        "sort_search_after": _q_sort_search_after,
+        "span_near_ordered": _q_span_near_ordered,
+        "span_near_unordered": _q_span_near_unordered,
+        "sloppy_phrase": _q_sloppy_phrase,
+        "multi_phrase": _q_multi_phrase,
+        "regexp_terms": _q_regexp_terms,
+        "match_all_docs": _q_match_all,
+        "field_value_filter": _q_field_value_filter,
+        # -- green in r01 but absent from the r02 run ----------------
+        "facet_counts": _q_facet,
+        "filtered_query": _q_filtered,
+        "numeric_range_query": _q_numeric_range,
+        "grouped_topk": _q_grouped_topk,
+        "search_after": _q_search_after,
+        "rescore": _q_rescore,
+        "hit_count": _q_hit_count,
+        "mlt_terms": _q_mlt_terms,
+        "mlt_topk": _q_mlt_topk,
+        "common_terms_split": _q_common_terms_split,
+        "prefix_docs": _q_prefix_docs,
+        "wildcard_terms": _q_wildcard_terms,
+        "fuzzy_terms": _q_fuzzy_terms,
+        "term_range": _q_term_range,
+        # -- new round-3 surfaces ------------------------------------
+        "span_near3_ordered": _q_span_near3,
+        "span_first": _q_span_first,
+        "span_not": _q_span_not,
+        "span_or_near": _q_span_or_near,
+        # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "minhash_dedup": _q_minhash_dedup,
@@ -714,35 +807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct": _q_group_distinct,
         "suggest": _q_suggest,
         "prefix_suggest": _q_prefix_suggest,
-        "function_query": _q_function_query,
-        "facet_counts": _q_facet,
-        "filtered_query": _q_filtered,
-        "numeric_range_query": _q_numeric_range,
-        "field_term_query": _q_field_term_query,
-        "multi_field_dismax": _q_multi_field_dismax,
-        "multi_field_boolean": _q_multi_field_boolean,
-        "sort_by_field": _q_sort_by_field,
-        "sort_by_meta_desc": _q_sort_by_meta_desc,
-        "grouped_topk": _q_grouped_topk,
-        "search_after": _q_search_after,
-        "stored_fields": _q_stored_fields,
-        "sort_search_after": _q_sort_search_after,
-        "rescore": _q_rescore,
-        "hit_count": _q_hit_count,
-        "mlt_terms": _q_mlt_terms,
-        "mlt_topk": _q_mlt_topk,
-        "common_terms_split": _q_common_terms_split,
-        "span_near_ordered": _q_span_near_ordered,
-        "span_near_unordered": _q_span_near_unordered,
-        "sloppy_phrase": _q_sloppy_phrase,
-        "multi_phrase": _q_multi_phrase,
-        "regexp_terms": _q_regexp_terms,
-        "match_all_docs": _q_match_all,
-        "field_value_filter": _q_field_value_filter,
-        "prefix_docs": _q_prefix_docs,
-        "wildcard_terms": _q_wildcard_terms,
-        "fuzzy_terms": _q_fuzzy_terms,
-        "term_range": _q_term_range,
     }
 
 
@@ -827,6 +891,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_near_ordered": osql.span_near_sql("table", "hash", 3, True),
         "span_near_unordered": osql.span_near_sql("table", "hash", 3, False),
+        "span_near3_ordered": osql.span_near3_sql("table", "hash", "scan", 12),
+        "span_first": osql.span_first_sql("table", 15),
+        "span_not": osql.span_not_sql("table", "hash", 6, "scan"),
+        "span_or_near": osql.span_or_near_sql("table", "merge", "hash", 8),
         "sloppy_phrase": osql.sloppy_phrase_hits_sql("table", "hash", 2),
         "multi_phrase": osql.multi_phrase_sql(["table"], ["hash", "scan"]),
         "regexp_terms": osql.regexp_terms_sql("s.+a.*"),

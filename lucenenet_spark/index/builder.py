@@ -499,11 +499,16 @@ POSTINGS_UNPACKED_SCHEMA = T.StructType(
 
 def unpack_postings(packed: DataFrame) -> DataFrame:
     """Lazy flat view over the packed blocks: decode delta+varbyte back
-    to per-(docid, term) rows with positions and the norm byte. Filters
-    on ``term`` placed above this view still push down to the packed
-    parquet scan (the mapInPandas is per-block, so Catalyst prunes
-    blocks first when the caller filters ``packed`` before unpacking —
-    callers that can, should filter the packed DF and unpack the rest).
+    to per-(docid, term) rows with positions and the norm byte.
+
+    WARNING — the mapInPandas here is an optimization BARRIER: a filter
+    placed ABOVE this view does NOT push down into the packed parquet
+    scan, so ``unpack_postings(packed).where(term == t)`` decodes the
+    ENTIRE index and then drops most of it. Callers must filter the
+    packed DataFrame FIRST and unpack only the surviving blocks:
+    ``unpack_postings(packed.where(F.col("term").isin(terms)))`` —
+    that is what gives the parquet term-IN pushdown + row-group
+    min/max pruning (the BlockTree dictionary seek analog).
     """
 
     def unpack(iterator):

@@ -868,6 +868,82 @@ GROUP BY a.docid"""
     )
 
 
+def span_near3_sql(t0: str, t1: str, t2: str, slop: int) -> str:
+    """3-clause ordered SpanNear (spans.py pinned spec): for each t0
+    position the GREEDY chain p1 = min t1-pos > p0, p2 = min t2-pos >
+    p1; a start counts iff p2 - p0 - 2 <= slop (greedy minimizes p2,
+    so greedy-fits == some-chain-fits)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM (
+  SELECT s.docid, s.p0, s.p1,
+         (SELECT min(c.pos) FROM tok c
+          WHERE c.docid = s.docid AND c.term = '{t2}' AND c.pos > s.p1) AS p2
+  FROM (
+    SELECT a.docid, a.pos AS p0,
+           (SELECT min(b.pos) FROM tok b
+            WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+    FROM tok a WHERE a.term = '{t0}'
+  ) s
+  WHERE s.p1 IS NOT NULL
+)
+WHERE p2 IS NOT NULL AND p2 - p0 - 2 <= {slop}
+GROUP BY docid"""
+    )
+
+
+def span_first_sql(t: str, end: int) -> str:
+    """SpanFirstQuery over a term: unit spans with pos + 1 <= end."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans
+FROM tok WHERE term = '{t}' AND pos + 1 <= {end}
+GROUP BY docid"""
+    )
+
+
+def span_not_sql(t0: str, t1: str, slop: int, exclude: str) -> str:
+    """SpanNot(include = ordered near(t0, t1, slop), exclude = term):
+    greedy-minimal include spans [p0, p1+1) that contain NO exclude
+    position (overlap: p0 <= px <= p1)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM (
+  SELECT a.docid, a.pos AS p0,
+         (SELECT min(b.pos) FROM tok b
+          WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+  FROM tok a WHERE a.term = '{t0}'
+) s
+WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= {slop}
+  AND NOT EXISTS (
+    SELECT 1 FROM tok x
+    WHERE x.docid = s.docid AND x.term = '{exclude}'
+      AND x.pos >= s.p0 AND x.pos <= s.p1
+  )
+GROUP BY docid"""
+    )
+
+
+def span_or_near_sql(t0a: str, t0b: str, t1: str, slop: int) -> str:
+    """SpanNear(SpanOr(t0a, t0b), t1, slop, ordered): OR-clause unit
+    spans each chain greedily to the next t1 position."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM (
+  SELECT a.docid, a.pos AS p0,
+         (SELECT min(b.pos) FROM tok b
+          WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+  FROM tok a WHERE a.term IN ('{t0a}', '{t0b}')
+) s
+WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= {slop}
+GROUP BY docid"""
+    )
+
+
 def sloppy_phrase_hits_sql(t0: str, t1: str, slop: int) -> str:
     """Match SET of a 2-term sloppy phrase. For two DISTINCT terms the
     PQ repositioning algorithm matches a doc iff some position pair has

@@ -461,9 +461,16 @@ def span_near(
     NearSpansUnordered's queue walk (match set agrees; span
     multiplicity may differ around shared positions — documented).
     Physical shape = the phrase positions join (one packed scan with
-    term IN pushdown, one groupBy(docid) shuffle)."""
+    term IN pushdown, one groupBy(docid) shuffle). The term filter is
+    applied to the PACKED table BEFORE unpacking — a filter above the
+    unpack mapInPandas cannot push through the barrier and would
+    decode the entire index per query."""
+    from lucenenet_spark.index.builder import unpack_postings
+
     pos = (
-        searcher.index.postings.where(F.col("term").isin([first, second]))
+        unpack_postings(
+            searcher.index.packed.where(F.col("term").isin([first, second]))
+        )
         .select("docid", "term", F.explode("positions").alias("p"))
     )
     a = pos.where(F.col("term") == first).select("docid", F.col("p").alias("pa"))

@@ -133,6 +133,7 @@ class IndexSearcher:
         # 2M terms the dict is ~100 MB of driver RAM, far below what a
         # driver ships as a broadcast join anyway.
         self._stats_map_cache: dict[str, tuple[int, int]] | None | bool = None
+        self._term_series_cache = None  # sorted pd.Series of dict terms
 
     def _stats_map(self) -> dict[str, tuple[int, int]] | bool:
         if self._stats_map_cache is None:
@@ -144,6 +145,16 @@ class IndexSearcher:
                     r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows
                 }
         return self._stats_map_cache
+
+    def _term_series(self) -> "pd.Series":
+        """Sorted term dictionary as a pandas Series — the vectorized
+        expansion substrate (C-level str.match/fullmatch/startswith
+        instead of a driver Python loop per term)."""
+        if self._term_series_cache is None:
+            m = self._stats_map()
+            assert m is not False
+            self._term_series_cache = pd.Series(sorted(m))
+        return self._term_series_cache
 
     # ------------------------------------------------------------- API
     def search(self, query: Query, k: int = 10) -> list[Hit]:
@@ -294,7 +305,9 @@ class IndexSearcher:
         if isinstance(q, MultiTermQuery):
             m = self._stats_map()
             if m is not False:
-                terms = sorted(t for t in m if q.python_predicate(t))[:MAX_CLAUSE_COUNT]
+                ts = self._term_series()
+                mask = q.vector_predicate(ts)
+                terms = ts[mask].tolist()[:MAX_CLAUSE_COUNT]
             else:
                 rows = (
                     self.index.term_stats.where(q.dict_predicate())
@@ -485,19 +498,26 @@ class IndexSearcher:
         mf = F.col("max_freq").cast("double")
         ub = F.lit(wf) * mf / (mf + F.element_at(cache_arr, F.col("max_norm") + 1))
         lb = F.lit(wf) * mf / (mf + F.element_at(cache_arr, F.col("min_norm") + 1))
-        krow = (
-            blocks.select(lb.alias("lb"))
-            .orderBy(F.col("lb").desc())
+        # θ stays IN the plan: the k-th best lb aggregates to one row
+        # broadcast-cross-joined back onto the block scan, so the whole
+        # prune executes inside the query's own action — no eager
+        # .collect() round-trip per query (r02 paid an extra serial
+        # Spark job + scheduler latency here on every pruned term)
+        theta_df = (
+            blocks.select(lb.alias("__lb"))
+            .orderBy(F.col("__lb").desc())
             .limit(k)
-            .agg(F.min("lb").alias("theta"), F.count("*").alias("n"))
-            .collect()[0]
+            .agg(F.min("__lb").alias("__theta"), F.count("*").alias("__n"))
         )
-        if krow["n"] < k:  # fewer blocks than k: nothing prunable
-            return blocks
         # one-sided margin covers double-vs-float32 evaluation skew on
-        # both bounds (relative error ~1e-7 each side)
-        theta = float(krow["theta"]) * (1.0 - 1e-5)
-        return blocks.where(ub >= theta)
+        # both bounds (relative error ~1e-7 each side); n < k ⇒ fewer
+        # blocks than k, nothing certifiably prunable
+        keep = (F.col("__n") < k) | (ub >= F.col("__theta") * (1.0 - 1e-5))
+        return (
+            blocks.crossJoin(F.broadcast(theta_df))
+            .where(keep)
+            .drop("__theta", "__n")
+        )
 
     # ------------------------------------------- multi-term single scan
     def _docids_for_terms(self, terms: list[str]) -> DataFrame:
@@ -952,20 +972,17 @@ def combine_boolean_frames(
     )
     agg = agg.where(cond)
 
+    # JVM-side float32 fold: Spark Add/Multiply on FloatType stays in
+    # Java float arithmetic, bit-identical to the numpy f32 ordered
+    # accumulation (probed over randomized clause lists) — keeps the
+    # whole combine inside whole-stage codegen, no Python stage
     boost_f = float(np.float32(boost))
-
-    @F.pandas_udf("float")
-    def fold(cs: pd.Series) -> pd.Series:
-        b = np.float32(boost_f)
-        out = np.empty(len(cs), dtype=np.float32)
-        for i, lst in enumerate(cs):
-            acc = np.float32(0.0)
-            for item in lst:
-                acc = np.float32(acc + np.float32(item["score"]))
-            out[i] = np.float32(acc * b)
-        return pd.Series(out)
-
-    return agg.select("docid", fold(F.col("cs")).alias("score"))
+    acc = F.aggregate(
+        F.col("cs"), F.lit(0.0).cast("float"), lambda a, x: a + x["score"]
+    )
+    return agg.select(
+        "docid", (acc * F.lit(boost_f).cast("float")).alias("score")
+    )
 
 
 def combine_dismax_frames(pos: DataFrame, tie_breaker: float, boost: float) -> DataFrame:
@@ -974,25 +991,21 @@ def combine_dismax_frames(pos: DataFrame, tie_breaker: float, boost: float) -> D
     scores visited in cidx order (``DisjunctionMaxQuery.cs:69-77``)."""
     tie = float(np.float32(tie_breaker))
     boost_f = float(np.float32(boost))
-
-    @F.pandas_udf("float")
-    def fold(cs: pd.Series) -> pd.Series:
-        t, b = np.float32(tie), np.float32(boost_f)
-        out = np.empty(len(cs), dtype=np.float32)
-        for i, lst in enumerate(cs):
-            mx, acc = np.float32(0.0), np.float32(0.0)
-            for item in lst:
-                s = np.float32(item["score"])
-                acc = np.float32(acc + s)
-                if s > mx:
-                    mx = s
-            out[i] = np.float32((mx + np.float32(acc - mx) * t) * b)
-        return pd.Series(out)
-
     agg = pos.groupBy("docid").agg(
         F.sort_array(F.collect_list(F.struct("cidx", "score"))).alias("cs")
     )
-    return agg.select("docid", fold(F.col("cs")).alias("score"))
+    # JVM float32 fold (see combine_boolean_frames): sum in cidx order,
+    # max is order-free; greatest(·, 0f) preserves the scorer's
+    # zero-initialized running max for (theoretical) all-negative scores
+    acc = F.aggregate(
+        F.col("cs"), F.lit(0.0).cast("float"), lambda a, x: a + x["score"]
+    )
+    mx = F.greatest(
+        F.array_max(F.transform(F.col("cs"), lambda x: x["score"])),
+        F.lit(0.0).cast("float"),
+    )
+    score = (mx + (acc - mx) * F.lit(tie).cast("float")) * F.lit(boost_f).cast("float")
+    return agg.select("docid", score.alias("score"))
 
 
 def _pure_term_disjunction(q: Query) -> list[str] | None:

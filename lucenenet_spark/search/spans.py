@@ -1,0 +1,308 @@
+"""Span query family (SURVEY.md §2.9; reference ``Search/Spans/``).
+
+Mirrors the *semantics* of SpanTermQuery (``SpanTermQuery.cs``),
+N-clause ordered SpanNearQuery (``SpanNearQuery.cs:40``,
+``NearSpansOrdered.cs``), SpanOrQuery (``SpanOrQuery.cs:37``),
+SpanNotQuery (``SpanNotQuery.cs``), SpanFirstQuery
+(``SpanFirstQuery.cs``) and SpanMultiTermQueryWrapper
+(``SpanMultiTermQueryWrapper.cs``) — with a *pinned deterministic
+span-count spec* (documented per node below) instead of the
+reference's lazy iterator enumeration, so the result is
+SQL-oracle-mirrorable.
+
+Physical shape — the phrase scorer's: ONE packed scan filtered to all
+involved terms (parquet ``term IN`` pushdown BEFORE the unpack
+barrier), one ``groupBy(docid)`` positions shuffle, then a vectorized
+per-doc span enumeration inside a pandas UDF. A doc's span math is
+tiny (its own positions only); the distribution-heavy part — which
+docs hold which terms — stays declarative. Output: ``(docid,
+n_spans)`` for docs with >= 1 surviving span.
+
+Pinned span spec (what ``n_spans`` counts):
+
+- **SpanTerm t** — one unit span ``[p, p+1)`` per position.
+- **SpanOr** — the multiset union of clause spans (sorted).
+- **SpanNear ordered** — for each span of clause 1, the GREEDY chain:
+  each next clause takes its minimal span starting at/after the
+  previous clause's end. A chain with total gap
+  ``(end_N - start_1) - Σ len_i <= slop`` yields ONE span
+  ``[start_1, end_N)``. Greedy minimizes ``end_N`` over all in-order
+  chains from that start, so "greedy chain fits" ⇔ "some chain fits"
+  — each start is counted iff any valid chain exists (the per-start
+  counting matches the two-term case shipped in round 2).
+- **SpanNear unordered** — pinned to 2 clauses (the reference's
+  NearSpansUnordered queue walk generalizes, but its span
+  multiplicity around shared positions is iterator-order-defined;
+  the 2-clause match set is exact): one span per left-clause span
+  paired with any right span within slop either side.
+- **SpanNot(include, exclude)** — include spans overlapping NO
+  exclude span (overlap = ``e.start < s.end and e.end > s.start``).
+- **SpanFirst(match, end)** — match spans with ``span.end <= end``.
+- **SpanMulti(wrapped)** — SpanOr over the dictionary expansion of a
+  MultiTermQuery (prefix/wildcard/fuzzy/regexp/range).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucenenet_spark.search.queries import MultiTermQuery
+
+
+@dataclass(frozen=True)
+class SpanQuery:
+    def terms(self) -> list[str]:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(SpanQuery):
+    term: str = ""
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(SpanQuery):
+    clauses: tuple[SpanQuery, ...] = ()
+    slop: int = 0
+    in_order: bool = True
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(SpanQuery):
+    clauses: tuple[SpanQuery, ...] = ()
+
+    def terms(self) -> list[str]:
+        return [t for c in self.clauses for t in c.terms()]
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    include: SpanQuery = None  # type: ignore[assignment]
+    exclude: SpanQuery = None  # type: ignore[assignment]
+
+    def terms(self) -> list[str]:
+        return self.include.terms() + self.exclude.terms()
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(SpanQuery):
+    match: SpanQuery = None  # type: ignore[assignment]
+    end: int = 0
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class SpanMultiTermQuery(SpanQuery):
+    """SpanMultiTermQueryWrapper: expanded against the dictionary in
+    :func:`span_query` (driver-side, like IndexSearcher._expand)."""
+
+    wrapped: MultiTermQuery = None  # type: ignore[assignment]
+
+    def terms(self) -> list[str]:  # unknown until expansion
+        return []
+
+
+# ------------------------------------------------------- enumeration
+
+def _enumerate(q: SpanQuery, posmap: dict[str, np.ndarray]) -> np.ndarray:
+    """Spans of ``q`` in one document -> int64 array [[start, end)...],
+    sorted by (start, end). Positions arrays in ``posmap`` are sorted."""
+    if isinstance(q, SpanTermQuery):
+        p = posmap.get(q.term)
+        if p is None or p.size == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        return np.stack([p, p + 1], axis=1)
+    if isinstance(q, SpanOrQuery):
+        parts = [_enumerate(c, posmap) for c in q.clauses]
+        parts = [s for s in parts if s.size]
+        if not parts:
+            return np.empty((0, 2), dtype=np.int64)
+        allspans = np.concatenate(parts)
+        order = np.lexsort((allspans[:, 1], allspans[:, 0]))
+        return allspans[order]
+    if isinstance(q, SpanNearQuery):
+        subs = [_enumerate(c, posmap) for c in q.clauses]
+        if any(s.size == 0 for s in subs):
+            return np.empty((0, 2), dtype=np.int64)
+        if not q.in_order:
+            if len(subs) != 2:
+                raise NotImplementedError(
+                    "unordered span_near is pinned to 2 clauses"
+                )
+            a, b = subs
+            out = []
+            for s0, e0 in a:
+                # any b-span within slop on either side, not identical
+                gap_after = b[:, 0] - e0  # b after a
+                gap_before = s0 - b[:, 1]  # b before a
+                ok = (
+                    ((gap_after >= 0) & (gap_after <= q.slop))
+                    | ((gap_before >= 0) & (gap_before <= q.slop))
+                ) & ~((b[:, 0] == s0) & (b[:, 1] == e0))
+                if ok.any():
+                    bs, be = b[ok][0]
+                    out.append((min(s0, bs), max(e0, be)))
+            return _sorted_spans(out)
+        # ordered: greedy minimal-END chain per first-clause span (for
+        # unit-span clauses min-end == min-start, so this is exactly
+        # the two-term per-start spec; for composite clauses min-end
+        # maximizes feasibility of the remaining chain and is the
+        # pinned deterministic choice)
+        out = []
+        for s0, e0 in subs[0]:
+            cur_end = e0
+            lens = e0 - s0
+            ok = True
+            for sub in subs[1:]:
+                cand = sub[sub[:, 0] >= cur_end]
+                if cand.size == 0:
+                    ok = False
+                    break
+                j = int(np.argmin(cand[:, 1]))
+                ns, ne = cand[j]
+                lens += ne - ns
+                cur_end = ne
+            if ok and (cur_end - s0) - lens <= q.slop:
+                out.append((s0, cur_end))
+        return _sorted_spans(out)
+    if isinstance(q, SpanNotQuery):
+        inc = _enumerate(q.include, posmap)
+        if inc.size == 0:
+            return inc
+        exc = _enumerate(q.exclude, posmap)
+        if exc.size == 0:
+            return inc
+        keep = []
+        for s, e in inc:
+            if not np.any((exc[:, 0] < e) & (exc[:, 1] > s)):
+                keep.append((s, e))
+        return _sorted_spans(keep)
+    if isinstance(q, SpanFirstQuery):
+        sub = _enumerate(q.match, posmap)
+        if sub.size == 0:
+            return sub
+        return sub[sub[:, 1] <= q.end]
+    raise NotImplementedError(type(q).__name__)
+
+
+def _sorted_spans(pairs: list[tuple[int, int]]) -> np.ndarray:
+    if not pairs:
+        return np.empty((0, 2), dtype=np.int64)
+    arr = np.asarray(pairs, dtype=np.int64)
+    order = np.lexsort((arr[:, 1], arr[:, 0]))
+    return arr[order]
+
+
+def _expand_multi(q: SpanQuery, searcher) -> SpanQuery:
+    """Resolve SpanMultiTermQuery nodes against the term dictionary
+    (the SpanMultiTermQueryWrapper rewrite)."""
+    if isinstance(q, SpanMultiTermQuery):
+        expanded = searcher._expand(q.wrapped.rewrite())
+        from lucenenet_spark.search.queries import (
+            BooleanQuery,
+            ConstantScoreQuery,
+            TermQuery,
+        )
+
+        inner = expanded.query if isinstance(expanded, ConstantScoreQuery) else expanded
+        terms: list[str] = []
+        if isinstance(inner, TermQuery):
+            terms = [inner.term]
+        elif isinstance(inner, BooleanQuery):
+            terms = [
+                c.query.term for c in inner.clauses if isinstance(c.query, TermQuery)
+            ]
+        return SpanOrQuery(tuple(SpanTermQuery(t) for t in sorted(set(terms))))
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(
+            tuple(_expand_multi(c, searcher) for c in q.clauses), q.slop, q.in_order
+        )
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(tuple(_expand_multi(c, searcher) for c in q.clauses))
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(
+            _expand_multi(q.include, searcher), _expand_multi(q.exclude, searcher)
+        )
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(_expand_multi(q.match, searcher), q.end)
+    return q
+
+
+def span_query(searcher, q: SpanQuery) -> DataFrame:
+    """Evaluate a span query -> (docid, n_spans), n_spans >= 1.
+
+    One packed scan filtered to the query's terms (pushdown before the
+    unpack barrier), one groupBy(docid) shuffle carrying only those
+    terms' positions, per-doc numpy enumeration. For a SpanNearQuery
+    whose top-level clauses must ALL be present (ordered or 2-clause
+    unordered), the phrase conjunction pre-pass applies when the
+    summed df is large — the positions shuffle then carries only
+    co-occurring docs (searcher._phrase_candidates)."""
+    from lucenenet_spark.index.builder import unpack_postings
+
+    q = _expand_multi(q, searcher)
+    terms = sorted(set(q.terms()))
+    if not terms:
+        return _empty(searcher)
+    m = searcher._stats_map()
+    if m is False:
+        rows = searcher.index.term_stats.where(F.col("term").isin(terms)).collect()
+        stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+    else:
+        stats = {t: m[t] for t in terms if t in m}
+    src = unpack_postings(
+        searcher.index.packed.where(F.col("term").isin(terms))
+    ).select("docid", "term", "positions")
+
+    if isinstance(q, SpanNearQuery) and len(q.clauses) > 1:
+        # every clause contributes a required slot: slot i = the terms
+        # of clause i (any-of within the slot is still a superset
+        # certificate for SpanOr clauses)
+        term_slots: dict[str, list[int]] = {}
+        for i, c in enumerate(q.clauses):
+            for t in set(c.terms()):
+                term_slots.setdefault(t, []).append(i)
+        total_df = sum(stats.get(t, (0, 0))[0] for t in terms)
+        if total_df > searcher.phrase_prefilter_min_postings:
+            cand = searcher._phrase_candidates(term_slots, len(q.clauses))
+            src = src.join(cand, "docid", "left_semi")
+
+    grouped = src.groupBy("docid").agg(
+        F.collect_list(F.struct("term", "positions")).alias("tp")
+    )
+    qq = q
+
+    @F.pandas_udf("long")
+    def count_spans(tp: pd.Series) -> pd.Series:
+        out = np.zeros(len(tp), dtype=np.int64)
+        for i, lst in enumerate(tp):
+            posmap = {
+                item["term"]: np.asarray(item["positions"], dtype=np.int64)
+                for item in lst
+            }
+            out[i] = len(_enumerate(qq, posmap))
+        return pd.Series(out)
+
+    return (
+        grouped.select("docid", count_spans(F.col("tp")).alias("n_spans"))
+        .where(F.col("n_spans") > 0)
+    )
+
+
+def _empty(searcher) -> DataFrame:
+    return searcher.index.docs.sparkSession.createDataFrame(
+        [], "docid long, n_spans long"
+    )

@@ -1,0 +1,177 @@
+"""Span family vs brute-force oracles (reference scenarios:
+``Tests/Search/Spans/TestSpans.cs``, ``TestSpansAdvanced.cs``)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.search import spans as sp
+from lucenenet_spark.search.queries import PrefixQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+
+
+# ---------------------------------------------------- pure enumeration
+
+def _brute_ordered_starts(pos_lists: list[list[int]], slop: int) -> list[int]:
+    """Starts p1 for which SOME strictly-chained p1<p2<...<pN exists
+    with pN - p1 - (N-1) <= slop (exists == greedy for unit spans)."""
+    out = []
+    for p1 in pos_lists[0]:
+        cur = p1
+        ok = True
+        for sub in pos_lists[1:]:
+            nxt = [p for p in sub if p > cur]
+            if not nxt:
+                ok = False
+                break
+            cur = min(nxt)
+        if ok and cur - p1 - (len(pos_lists) - 1) <= slop:
+            out.append(p1)
+    return out
+
+
+def test_ordered_near_matches_bruteforce_random():
+    rng = random.Random(7)
+    for trial in range(300):
+        n_cl = rng.randint(2, 4)
+        posmap = {}
+        qterms = []
+        for i in range(n_cl):
+            t = f"t{i}"
+            qterms.append(t)
+            posmap[t] = np.array(
+                sorted(rng.sample(range(40), rng.randint(0, 8))), dtype=np.int64
+            )
+        slop = rng.randint(0, 6)
+        q = sp.SpanNearQuery(
+            tuple(sp.SpanTermQuery(t) for t in qterms), slop=slop, in_order=True
+        )
+        got = sp._enumerate(q, posmap)
+        want = _brute_ordered_starts([posmap[t].tolist() for t in qterms], slop)
+        assert got[:, 0].tolist() == sorted(want), (trial, posmap, slop)
+
+
+def test_unordered_near_two_clause():
+    posmap = {
+        "a": np.array([0, 10, 20], dtype=np.int64),
+        "b": np.array([12, 40], dtype=np.int64),
+    }
+    q = sp.SpanNearQuery(
+        (sp.SpanTermQuery("a"), sp.SpanTermQuery("b")), slop=1, in_order=False
+    )
+    # a@10 pairs with b@12 (gap 1); a@20 vs b before: 20-13=7 > slop
+    got = sp._enumerate(q, posmap)
+    assert got.tolist() == [[10, 13]]
+    with pytest.raises(NotImplementedError):
+        sp._enumerate(
+            sp.SpanNearQuery(
+                (sp.SpanTermQuery("a"), sp.SpanTermQuery("a"), sp.SpanTermQuery("a")),
+                slop=0,
+                in_order=False,
+            ),
+            posmap,
+        )
+
+
+def test_span_or_not_first_compose():
+    posmap = {
+        "a": np.array([1, 5], dtype=np.int64),
+        "b": np.array([3], dtype=np.int64),
+        "x": np.array([2], dtype=np.int64),
+    }
+    union = sp._enumerate(
+        sp.SpanOrQuery((sp.SpanTermQuery("a"), sp.SpanTermQuery("b"))), posmap
+    )
+    assert union.tolist() == [[1, 2], [3, 4], [5, 6]]
+    # near(a, b, slop=1 ordered): a@1 -> b@3 gap 1 ok => span [1,4)
+    near = sp.SpanNearQuery((sp.SpanTermQuery("a"), sp.SpanTermQuery("b")), 1, True)
+    assert sp._enumerate(near, posmap).tolist() == [[1, 4]]
+    # not: exclude x@2 overlaps [1,4) -> dropped
+    assert sp._enumerate(sp.SpanNotQuery(near, sp.SpanTermQuery("x")), posmap).size == 0
+    # exclude b: b@3 overlaps too
+    assert (
+        sp._enumerate(sp.SpanNotQuery(near, sp.SpanTermQuery("b")), posmap).size == 0
+    )
+    # first: unit spans of a with end <= 2 -> only a@1
+    first = sp.SpanFirstQuery(sp.SpanTermQuery("a"), end=2)
+    assert sp._enumerate(first, posmap).tolist() == [[1, 2]]
+
+
+# ------------------------------------------------------- spark vs oracle
+
+@pytest.fixture(scope="module")
+def searcher(spark_index):
+    return IndexSearcher(spark_index)
+
+
+def _oracle_posmap(oracle_index, docid):
+    return {
+        t: np.array(pl[docid][1], dtype=np.int64)
+        for t, pl in oracle_index.postings.items()
+        if docid in pl
+    }
+
+
+def _oracle_counts(oracle_index, q: sp.SpanQuery) -> dict[int, int]:
+    docids = set()
+    for t in set(q.terms()):
+        docids |= set(oracle_index.postings.get(t, {}))
+    out = {}
+    for d in docids:
+        n = len(sp._enumerate(q, _oracle_posmap(oracle_index, d)))
+        if n:
+            out[d] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        sp.SpanNearQuery(
+            (
+                sp.SpanTermQuery("return"),
+                sp.SpanTermQuery("value"),
+                sp.SpanTermQuery("x"),
+            ),
+            slop=12,
+            in_order=True,
+        ),
+        sp.SpanNearQuery(
+            (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")),
+            slop=5,
+            in_order=False,
+        ),
+        sp.SpanNotQuery(
+            sp.SpanNearQuery(
+                (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")), 6, True
+            ),
+            sp.SpanTermQuery("if"),
+        ),
+        sp.SpanFirstQuery(sp.SpanTermQuery("return"), end=12),
+        sp.SpanNearQuery(
+            (
+                sp.SpanOrQuery((sp.SpanTermQuery("return"), sp.SpanTermQuery("if"))),
+                sp.SpanTermQuery("value"),
+            ),
+            slop=8,
+            in_order=True,
+        ),
+    ],
+    ids=["near3", "unordered2", "not", "first", "or_near"],
+)
+def test_span_query_matches_oracle(searcher, oracle_index, q):
+    got = {r["docid"]: r["n_spans"] for r in sp.span_query(searcher, q).collect()}
+    assert got == _oracle_counts(oracle_index, q)
+
+
+def test_span_multi_term_wrapper(searcher, oracle_index):
+    q = sp.SpanFirstQuery(sp.SpanMultiTermQuery(PrefixQuery(prefix="return")), end=20)
+    got = {r["docid"]: r["n_spans"] for r in sp.span_query(searcher, q).collect()}
+    terms = sorted(t for t in oracle_index.postings if t.startswith("return"))
+    expanded = sp.SpanFirstQuery(
+        sp.SpanOrQuery(tuple(sp.SpanTermQuery(t) for t in terms)), end=20
+    )
+    assert got == _oracle_counts(oracle_index, expanded)
