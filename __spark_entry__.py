@@ -378,6 +378,14 @@ def _q_block_join(spark, sf_dir):
     return _ranked(to_parent_join(s, TermQuery(term="hash"), parent, "avg", 10))
 
 
+def _q_block_join_children(spark, sf_dir):
+    from lucenenet_spark.search.join import to_child_join
+
+    _, s = _searcher(spark, sf_dir)
+    parent = F.col("docid") - F.pmod(F.col("docid"), 10)
+    return _ranked(to_child_join(s, TermQuery(term="hash"), parent, 10))
+
+
 def _q_join_query_max(spark, sf_dir):
     from lucenenet_spark.search.join import join_query
 
@@ -412,6 +420,14 @@ def _q_classic_term(spark, sf_dir):
     idx, _ = _searcher(spark, sf_dir)
     s = IndexSearcher(idx, similarity=ClassicSimilarity())
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_classic_phrase(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx, similarity=ClassicSimilarity())
+    return _ranked(s.search_df(PhraseQuery(phrase_terms=("table", "hash")), 10))
 
 
 def _q_highlight(spark, sf_dir):
@@ -756,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": _q_span_first,
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
+        "block_join_children": _q_block_join_children,
+        "classic_phrase_query": _q_classic_phrase,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -854,11 +872,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_taxonomy": osql.facet_taxonomy_sql("spark", ["lang", "source"]),
         "block_join_avg": osql.block_join_sql("hash", 10, "avg"),
+        "block_join_children": osql.block_join_children_sql("hash", 10),
         "join_query_max": osql.join_query_sql("dup", "source", "max"),
         "join_query_total": osql.join_query_sql("dup", "source", "total"),
         "sort_rescore": osql.sort_rescore_sql("spark", 50, 10),
         "term_vector": osql.term_vector_sql(0),
         "classic_term_query": osql.classic_term_query_sql("spark"),
+        "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(
             "spark", [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)]

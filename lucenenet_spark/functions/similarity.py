@@ -41,6 +41,13 @@ class BM25Similarity:
     def weight(self, df: int, max_doc: int, boost: float) -> np.float32:
         return bm25.term_weight(bm25.idf(df, max_doc), boost)
 
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        """Phrase weight: float32-ordered sum of the terms' idfs, then
+        the scorer's (k1+1) fold — ``BM25Similarity.IdfExplain(
+        collectionStats, termStats[])`` (BM25Similarity.cs:190-205)."""
+        idfs = np.array([bm25.idf(df, max_doc) for df in dfs])
+        return bm25.term_weight(bm25.float32_ordered_sum(idfs), boost)
+
     def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
         c = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
         f = np.asarray(f, dtype=np.float32)
@@ -62,6 +69,18 @@ class ClassicSimilarity:
     def weight(self, df: int, max_doc: int, boost: float) -> np.float32:
         idf = np.float32(np.log(max_doc / (float(df) + 1.0)) + 1.0)
         return np.float32(np.float32(idf * idf) * np.float32(boost))
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        """Phrase weight: summed classic idf, squared
+        (``TFIDFSimilarity.IdfExplain(collectionStats, termStats[])``
+        sums per-term idfs; the doc scorer multiplies queryWeight *
+        idf = idf² * boost)."""
+        acc = np.float32(0.0)
+        for df in dfs:
+            acc = np.float32(
+                acc + np.float32(np.log(max_doc / (float(df) + 1.0)) + 1.0)
+            )
+        return np.float32(np.float32(acc * acc) * np.float32(boost))
 
     def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
         tf = np.sqrt(np.asarray(f, dtype=np.float64)).astype(np.float32)

@@ -664,6 +664,23 @@ joined AS (
     )
 
 
+def block_join_children_sql(term: str, block: int = 10, k: int = K) -> str:
+    """to_child_join mirror: children of decade-block parents matching
+    the term query, each scoring its parent's BM25 score."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+joined AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS docid, p.s AS s
+  FROM documents d
+  JOIN t0 p ON p.docid = d.doc_id - (d.doc_id % {block})
+  WHERE d.doc_id % {block} != 0
+)"""
+        + _topk("joined", k)
+    )
+
+
 def sort_rescore_sql(term: str, k_first: int = 50, k_final: int = K) -> str:
     """SortRescorer mirror: relevance top-k_first re-ordered by
     (field_length asc, docid asc)."""
@@ -712,6 +729,40 @@ scored AS (
   FROM postings p JOIN norms n ON p.docid = n.docid
   JOIN norm_decode d ON d.b = n.norm
   WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )
+
+
+def classic_phrase_sql(t0: str, t1: str, k: int = K) -> str:
+    """ClassicSimilarity exact 2-term phrase: weight = float32(
+    (Σf32 classic-idf)² * boost), score = (w * f32(sqrt(freq))) *
+    byte315 norm — mirrors similarity.py::ClassicSimilarity.
+    weight_multi + score with the phrase freq of searcher._phrase."""
+    idf0 = (
+        f"CAST(ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE)"
+        f" / ((SELECT df FROM term_stats WHERE term = '{t0}') + 1)) + 1.0 AS REAL)"
+    )
+    idf1 = (
+        f"CAST(ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE)"
+        f" / ((SELECT df FROM term_stats WHERE term = '{t1}') + 1)) + 1.0 AS REAL)"
+    )
+    return (
+        bm25_prelude(with_positions=True)
+        + f""",
+wsum AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) AS v),
+w AS (SELECT ((SELECT v FROM wsum) * (SELECT v FROM wsum)) * {_f32_lit(1.0)} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         ((SELECT w FROM w) * CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL)) * d.val AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
 )"""
         + _topk("scored", k)
     )

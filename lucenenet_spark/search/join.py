@@ -87,6 +87,41 @@ def to_parent_join(
     return out.limit(k) if k is not None else out
 
 
+def to_child_join(
+    searcher: IndexSearcher,
+    parent_query: Query,
+    parent_col,
+    k: int | None = 10,
+) -> DataFrame:
+    """Child-ward block join — ToChildBlockJoinQuery semantics
+    (reference ``src/Lucene.Net.Join/ToChildBlockJoinQuery.cs:36``):
+    match every CHILD document whose parent matches ``parent_query``,
+    each child carrying its parent's score (doScores=true). The
+    inverse of :func:`to_parent_join`, sharing its columnar
+    parent-relation model: ``parent_col`` maps each child row to its
+    parent docid (self-parented rows are the parents themselves and
+    are excluded from the child set).
+
+    Spark shape: parent scored set (already deduped by docid) joins
+    the docs table's child->parent edges — Catalyst broadcasts the
+    scored side when small (top-level parent queries usually are
+    after filtering); no fold needed, scores pass through unchanged.
+    """
+    docs = searcher.index.docs
+    parents = searcher.scored_docs(parent_query).select(
+        F.col("docid").alias("__p"), "score"
+    )
+    children = docs.select(
+        "docid", parent_col.cast("long").alias("__p")
+    ).where(F.col("__p").isNotNull() & (F.col("__p") != F.col("docid")))
+    out = (
+        children.join(parents, "__p")
+        .select("docid", "score")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+    )
+    return out.limit(k) if k is not None else out
+
+
 def join_query(
     searcher: IndexSearcher,
     from_query: Query,

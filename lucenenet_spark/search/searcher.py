@@ -115,10 +115,10 @@ class IndexSearcher:
         self.stats_cache_max_terms = stats_cache_max_terms
         self._avgdl = bm25.avg_field_length(index.sum_total_term_freq, index.max_doc)
         self._cache = bm25.norm_cache(self._avgdl)
-        # pluggable similarity (§2.11): term/boolean/dismax scoring
-        # routes through sim.weight/sim.score; phrase scoring and
-        # explain stay BM25 (the reference's phrase scorer is also
-        # similarity-generic, ours is pinned — documented limitation)
+        # pluggable similarity (§2.11): term/boolean/dismax/phrase/
+        # multi-phrase scoring and explain all route through
+        # sim.weight/sim.weight_multi/sim.score — similarity-generic
+        # like the reference scorers (SimilarityBase.cs)
         if similarity is None:
             from lucenenet_spark.functions.similarity import BM25Similarity
 
@@ -240,35 +240,144 @@ class IndexSearcher:
 
     def explain(self, query: Query, docid: int) -> dict:
         """Score breakdown for one document — the
-        ``IndexSearcher.Explain`` / ``BM25Similarity.Explain`` surface
+        ``IndexSearcher.Explain`` / ``Similarity.Explain`` surface
         (``Search/IndexSearcher.cs``; ``BM25Similarity.cs:266-328``):
-        a nested dict with the float32 value at each node plus the
-        idf/freq/norm components for term leaves. The root value is
-        bit-identical to the doc's score in ``search``."""
-        from lucenenet_spark.search.mlt import doc_term_freqs
+        a nested dict with the float32 value at each node. The root
+        value is bit-identical to the doc's score in ``search`` for
+        EVERY query type the compiler supports (term, boolean, phrase,
+        multi-phrase, dismax, constant-score, match-all, multi-term
+        rewrites), under whichever Similarity is installed — the
+        reference's Explain covers the same surface
+        (``Tests/Search/TestExplanations.cs``)."""
+        from lucenenet_spark.search.mlt import term_vector
 
         q = self._expand(query.rewrite())
         stats = self._collect_stats(q)
-        tfs = {r["term"]: int(r["freq"]) for r in doc_term_freqs(self, docid).collect()}
+        # one bucket-pruned decode gives freqs AND positions
+        tv = term_vector(self, docid).collect()
+        tfs: dict[str, int] = {}
+        posmap: dict[str, list[int]] = {}
+        for r in tv:
+            posmap.setdefault(r["term"], []).append(int(r["pos"]))
+        tfs = {t: len(ps) for t, ps in posmap.items()}
         norm_row = self.index.docs.where(F.col("docid") == docid).select("norm").collect()
         norm = int(norm_row[0]["norm"]) if norm_row else 255
+        sim = self.sim
+        max_doc = self.index.max_doc
+
+        def leaf_value(freq: float, w) -> float:
+            return float(
+                sim.score(
+                    np.array([freq], dtype=np.float32),
+                    np.array([norm], dtype=np.uint8),
+                    np.float32(float(w)),
+                )[0]
+            )
+
+        def phrase_freq(sub) -> float:
+            from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
+            if isinstance(sub, PhraseQuery):
+                terms_l = list(sub.phrase_terms)
+                if any(t not in posmap for t in terms_l):
+                    return 0.0
+                arrs = [np.asarray(posmap[t], dtype=np.int64) for t in terms_l]
+                keys = terms_l
+            else:  # MultiPhraseQuery
+                arrs, keys = [], []
+                for slot in sub.slots:
+                    present = [t for t in slot if t in posmap]
+                    if not present:
+                        return 0.0
+                    arrs.append(
+                        np.unique(
+                            np.concatenate(
+                                [np.asarray(posmap[t], dtype=np.int64) for t in present]
+                            )
+                        )
+                    )
+                    keys.append(tuple(slot))
+            rels = list(sub.positions())
+            if sub.slop == 0:
+                acc = arrs[0] - rels[0]
+                for a, r in zip(arrs[1:], rels[1:]):
+                    acc = np.intersect1d(acc, a - r)
+                    if acc.size == 0:
+                        break
+                return float(np.count_nonzero(acc >= 0))
+            return float(
+                sloppy_phrase_freq(arrs, sub.slop, offsets=rels, term_keys=keys)
+            )
 
         def node(sub: Query) -> dict:
             if isinstance(sub, TermQuery):
                 if sub.term not in stats or sub.term not in tfs:
                     return {"type": "term", "term": sub.term, "match": False, "value": 0.0}
                 df_, _ = stats[sub.term]
-                idf = bm25.idf(df_, self.index.max_doc)
-                w = bm25.term_weight(idf, sub.boost)
-                f = np.float32(tfs[sub.term])
-                c = self._cache[norm]
-                val = np.float32(w * f / (f + c))
-                return {
+                w = sim.weight(df_, max_doc, sub.boost)
+                val = leaf_value(float(tfs[sub.term]), w)
+                out = {
                     "type": "term", "term": sub.term, "match": True,
-                    "value": float(val), "freq": float(f), "idf": float(idf),
+                    "value": val, "freq": float(tfs[sub.term]),
                     "boost": sub.boost, "doc_freq": df_, "norm_byte": norm,
-                    "norm_cache": float(c), "k1": 1.2, "b": 0.75,
+                    "similarity": getattr(sim, "name", "custom"),
                 }
+                if getattr(sim, "name", "") == "bm25":
+                    idf = bm25.idf(df_, max_doc)
+                    out.update(
+                        idf=float(idf), norm_cache=float(self._cache[norm]),
+                        k1=1.2, b=0.75,
+                    )
+                return out
+            if isinstance(sub, (PhraseQuery, MultiPhraseQuery)):
+                terms_src = (
+                    list(sub.phrase_terms)
+                    if isinstance(sub, PhraseQuery)
+                    else [t for slot in sub.slots for t in slot]
+                )
+                if isinstance(sub, PhraseQuery) and any(
+                    t not in stats for t in terms_src
+                ):
+                    return {"type": "phrase", "match": False, "value": 0.0}
+                dfs = [stats.get(t, (0, 0))[0] for t in terms_src]
+                w = sim.weight_multi(dfs, max_doc, sub.boost)
+                f = phrase_freq(sub)
+                if f == 0:
+                    return {"type": "phrase", "match": False, "value": 0.0}
+                return {
+                    "type": "phrase", "match": True, "value": leaf_value(f, w),
+                    "freq": f, "slop": sub.slop, "terms": terms_src,
+                }
+            if isinstance(sub, MatchAllDocsQuery):
+                return {
+                    "type": "match_all", "match": True,
+                    "value": float(np.float32(sub.boost)),
+                }
+            if isinstance(sub, ConstantScoreQuery):
+                kn = node(sub.query)
+                return {
+                    "type": "constant_score", "match": kn["match"],
+                    "value": float(np.float32(sub.boost)) if kn["match"] else 0.0,
+                    "inner": kn,
+                }
+            if isinstance(sub, DisjunctionMaxQuery):
+                kids = [node(d) for d in sub.disjuncts]
+                matched = [k for k in kids if k["match"]]
+                if not matched:
+                    return {"type": "dismax", "match": False, "value": 0.0,
+                            "clauses": kids}
+                mx, acc = np.float32(0.0), np.float32(0.0)
+                for k in matched:  # disjunct order == cidx order
+                    s = np.float32(k["value"])
+                    acc = np.float32(acc + s)
+                    if s > mx:
+                        mx = s
+                val = np.float32(
+                    (mx + np.float32(acc - mx) * np.float32(sub.tie_breaker))
+                    * np.float32(sub.boost)
+                )
+                return {"type": "dismax", "match": True, "value": float(val),
+                        "tie_breaker": sub.tie_breaker, "clauses": kids}
             if isinstance(sub, BooleanQuery):
                 kids, acc = [], np.float32(0.0)
                 ok, n_should = True, 0
@@ -772,11 +881,13 @@ class IndexSearcher:
         if any(t not in stats for t in terms):
             return None
         uniq = sorted(set(terms))
-        # weight: summed idf over phrase terms (BM25Similarity
-        # IdfExplain over TermStatistics[]), float32 accumulation
-        idfs = [bm25.idf(stats[t][0], self.index.max_doc) for t in terms]
-        w = bm25.term_weight(bm25.float32_ordered_sum(np.array(idfs)), q.boost)
-        cache = self._cache
+        # weight: the pluggable similarity's multi-term form (BM25:
+        # float32-ordered idf sum; Classic: summed idf squared) —
+        # Similarity.ComputeWeight(TermStatistics[]) made concrete
+        sim = self.sim
+        w = sim.weight_multi(
+            [stats[t][0] for t in terms], self.index.max_doc, q.boost
+        )
         wf = float(w)
         rels_l = list(rels)
         terms_l = list(terms)
@@ -816,7 +927,7 @@ class IndexSearcher:
             from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
 
             w32 = np.float32(wf)
-            out = np.empty(len(tp), dtype=np.float32)
+            freqs = np.zeros(len(tp), dtype=np.float32)
             for i, lst in enumerate(tp):
                 posmap = {item["term"]: np.asarray(item["positions"], dtype=np.int64) for item in lst}
                 if slop == 0:
@@ -828,18 +939,16 @@ class IndexSearcher:
                     # ExactPhraseScorer.cs:292 posIndex >= 0: a phrase
                     # cannot start before the document (matters only
                     # for term_positions not starting at 0)
-                    freq = np.float32(np.count_nonzero(acc >= 0))
+                    freqs[i] = np.float32(np.count_nonzero(acc >= 0))
                 else:
-                    freq = sloppy_phrase_freq(
+                    freqs[i] = sloppy_phrase_freq(
                         [posmap[t] for t in terms_l], slop,
                         offsets=rels_l, term_keys=terms_l,
                     )
-                if freq == 0:
-                    out[i] = np.nan
-                else:
-                    c = cache[int(norm.iloc[i])]
-                    out[i] = np.float32(w32 * freq / (freq + c))
-            return pd.Series(out)
+            # vectorized batch scoring through the similarity plug
+            # (BM25 path bit-identical to the inlined w*f/(f+c))
+            s = sim.score(freqs, norm.to_numpy(dtype=np.uint8), w32)
+            return pd.Series(np.where(freqs > 0, s, np.nan).astype(np.float32))
 
         scored = cand.select(
             "docid", phrase_score(F.col("tp"), F.col("norm")).alias("score")
@@ -863,14 +972,13 @@ class IndexSearcher:
             return None  # a slot with no indexed alternative matches nothing
         # weight: idf summed over EVERY term of every slot in order,
         # absent terms contributing df=0 idf (reference sums the full
-        # termArrays' TermStatistics)
-        idfs = [
-            bm25.idf(stats.get(t, (0, 0))[0], self.index.max_doc)
-            for slot in slots
-            for t in slot
-        ]
-        w = bm25.term_weight(bm25.float32_ordered_sum(np.array(idfs)), q.boost)
-        cache = self._cache
+        # termArrays' TermStatistics), via the similarity plug
+        sim = self.sim
+        w = sim.weight_multi(
+            [stats.get(t, (0, 0))[0] for slot in slots for t in slot],
+            self.index.max_doc,
+            q.boost,
+        )
         wf = float(w)
         uniq = sorted({t for p in present for t in p})
         slots_l = [list(p) for p in present]
@@ -901,7 +1009,7 @@ class IndexSearcher:
             from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
 
             w32 = np.float32(wf)
-            out = np.empty(len(tp), dtype=np.float32)
+            freqs = np.zeros(len(tp), dtype=np.float32)
             for i, lst in enumerate(tp):
                 posmap = {
                     item["term"]: np.asarray(item["positions"], dtype=np.int64)
@@ -916,7 +1024,6 @@ class IndexSearcher:
                         break
                     unions.append(np.unique(np.concatenate(arrs)))
                 if not ok:
-                    out[i] = np.nan
                     continue
                 if slop == 0:
                     acc = unions[0] - rels_l[0]
@@ -924,20 +1031,16 @@ class IndexSearcher:
                         acc = np.intersect1d(acc, u - r, assume_unique=True)
                         if acc.size == 0:
                             break
-                    freq = np.float32(np.count_nonzero(acc >= 0))
+                    freqs[i] = np.float32(np.count_nonzero(acc >= 0))
                 else:
                     # slot identity as the repeat key: identical slots
                     # (same alternative set) form a repeat group
                     keys = [tuple(s) for s in slots_l]
-                    freq = sloppy_phrase_freq(
+                    freqs[i] = sloppy_phrase_freq(
                         unions, slop, offsets=rels_l, term_keys=keys
                     )
-                if freq == 0:
-                    out[i] = np.nan
-                else:
-                    c = cache[int(norm.iloc[i])]
-                    out[i] = np.float32(w32 * freq / (freq + c))
-            return pd.Series(out)
+            s = sim.score(freqs, norm.to_numpy(dtype=np.uint8), w32)
+            return pd.Series(np.where(freqs > 0, s, np.nan).astype(np.float32))
 
         return cand.select(
             "docid", mp_score(F.col("tp"), F.col("norm")).alias("score")

@@ -48,6 +48,59 @@ def test_explain_non_match(searcher):
         assert not e["match"] and e["value"] == 0.0
 
 
+def test_explain_every_query_type_matches_search_score(searcher):
+    """TestExplanations analog: the explain root value is bit-identical
+    to the search score for every supported query type."""
+    from lucenenet_spark.search.queries import (
+        DisjunctionMaxQuery,
+        FuzzyQuery,
+        MatchAllDocsQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        PrefixQuery,
+    )
+
+    qs = {
+        "phrase": PhraseQuery(phrase_terms=("return", "value")),
+        "sloppy": PhraseQuery(phrase_terms=("return", "value"), slop=3),
+        "multi_phrase": MultiPhraseQuery(slots=(("return",), ("value", "x"))),
+        "dismax": DisjunctionMaxQuery(
+            disjuncts=(TermQuery(term="return"), TermQuery(term="value")),
+            tie_breaker=0.3,
+        ),
+        "prefix_cs": PrefixQuery(prefix="ret"),
+        "fuzzy": FuzzyQuery(term="retorn", max_edits=2),
+        "match_all": MatchAllDocsQuery(boost=2.0),
+        "bool_phrase": BooleanQuery.of(
+            (PhraseQuery(phrase_terms=("return", "value")), Occur.MUST),
+            (TermQuery(term="x"), Occur.SHOULD),
+        ),
+    }
+    for name, q in qs.items():
+        hits = searcher.search(q, 3)
+        assert hits, name
+        for h in hits:
+            e = searcher.explain(q, h.docid)
+            assert e["match"], (name, h)
+            assert e["value"] == h.score, (name, h, e["value"])
+
+
+def test_explain_classic_similarity(spark_index):
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+    from lucenenet_spark.search.queries import PhraseQuery
+
+    s = IndexSearcher(spark_index, similarity=ClassicSimilarity())
+    for q in (
+        TermQuery(term="return"),
+        PhraseQuery(phrase_terms=("return", "value")),
+    ):
+        hits = s.search(q, 3)
+        assert hits
+        for h in hits:
+            e = s.explain(q, h.docid)
+            assert e["match"] and e["value"] == h.score
+
+
 def test_search_many_matches_individual(searcher):
     queries = {
         "a": TermQuery(term="return"),

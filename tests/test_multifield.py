@@ -128,3 +128,34 @@ def test_save_load_roundtrip(mf, tmp_path):
     a = mfs.dismax_all_fields(TermQuery(term="spark"), 0.5, k=5).collect()
     b = mfs2.dismax_all_fields(TermQuery(term="spark"), 0.5, k=5).collect()
     assert [(r["docid"], r["score"]) for r in a] == [(r["docid"], r["score"]) for r in b]
+
+
+def test_multifield_explain_matches_search(mf):
+    """Cross-field Explain root value == search_df score, per field
+    stats (title vs body df/norms differ)."""
+    from pyspark.sql import functions as F
+
+    mfs, _ = mf
+    q = BooleanQuery.of(
+        (TermQuery(term="spark", field="title"), Occur.MUST),
+        (TermQuery(term="merge", field="body"), Occur.SHOULD),
+    )
+    rows = mfs.search_df(q, 5).collect()
+    assert rows
+    for r in rows:
+        e = mfs.explain(q, r["docid"])
+        assert e["match"] and e["value"] == r["score"]
+        assert {c.get("field") for c in e["clauses"]} == {"title", "body"}
+    # dismax across fields
+    dq = mfs.dismax_all_fields(TermQuery(term="spark"), 0.4, k=5)
+    import dataclasses
+    from lucenenet_spark.search.queries import DisjunctionMaxQuery
+
+    disjuncts = tuple(
+        dataclasses.replace(TermQuery(term="spark"), field=n)
+        for n in mfs.index.field_order
+    )
+    q2 = DisjunctionMaxQuery(disjuncts=disjuncts, tie_breaker=0.4)
+    for r in dq.collect():
+        e = mfs.explain(q2, r["docid"])
+        assert e["match"] and e["value"] == r["score"]
