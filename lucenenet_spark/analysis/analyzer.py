@@ -73,7 +73,16 @@ def analyze_stemmed(text: str) -> list[tuple[str, int]]:
 
 # CJK ranges: Han, Hiragana, Katakana, Hangul
 _CJK = r"一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯"
-_MIXED_RE = re.compile(rf"([{_CJK}]+)|({TOKEN_PATTERN})", re.UNICODE)
+# The non-CJK alternative must keep the BASE analyzer's ASCII word
+# semantics even though this regex needs Unicode mode for the CJK
+# ranges — spelled-out [0-9A-Za-z_] classes, because \w/\d under
+# re.UNICODE would admit accented Latin/Cyrillic/etc. as tokens and
+# break the "non-CJK runs tokenize exactly like analyze()" contract
+# (round-2 ADVICE: 'café' tokenized as 'café' instead of 'caf').
+_ASCII_TOKEN_PATTERN = (
+    r"[0-9]+(?:\.[0-9]+)+|[0-9A-Za-z_]+(?:'[0-9A-Za-z_]+)*"
+)
+_MIXED_RE = re.compile(rf"([{_CJK}]+)|({_ASCII_TOKEN_PATTERN})")
 
 
 def analyze_cjk(text: str) -> list[tuple[str, int]]:

@@ -196,21 +196,34 @@ def compact_shards(
         for rec in (manifest[s] for s in old_shards)
     )
     counters["doc_max"] = max(counters["doc_max"], old_hi)
+    # TRANSITIVE dead set: a crash between a prior compaction's commit
+    # and its input retirement leaves stale manifests on disk that are
+    # hidden only while the superseding record lives. When THIS record
+    # retires that record, the stale inputs would resurrect (their
+    # docs already folded into the inputs we merged — double-count) —
+    # so the new record's supersedes carries each input's own
+    # supersedes forward in addition to the direct inputs.
+    inherited_dead = {
+        int(d) for s in old_shards for d in manifest[s].get("supersedes", [])
+    }
     rec = {
         "shard": new_shard,
         "fingerprint": f"compaction:{'+'.join(map(str, old_shards))}",
         # recovery metadata: any shard listed here is dead the instant
         # this manifest commits — read_manifest drops them, so a crash
         # before the removal loop below cannot double-count documents
-        "supersedes": [int(s) for s in old_shards],
+        "supersedes": sorted({int(s) for s in old_shards} | inherited_dead),
         "status": "done",
         "wall_sec": round(time.perf_counter() - t0, 3),
         **counters,
     }
-    # two-phase commit: new manifest first, then retire the inputs
+    # two-phase commit: new manifest first, then retire the inputs —
+    # including any inherited-dead leftovers a previous crash stranded
     _write_manifest_atomic(path, new_shard, rec)
-    for s in old_shards:
-        os.remove(os.path.join(path, "manifest", f"shard_{s}.json"))
+    for s in rec["supersedes"]:
+        mp = os.path.join(path, "manifest", f"shard_{s}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
         shutil.rmtree(os.path.join(path, "shards", str(s)), ignore_errors=True)
     # tombstones are consumed only by a FULL merge: after a tiered
     # (partial) merge a deleted docid may still live in an unmerged

@@ -241,11 +241,16 @@ def near_dup_groups(
     after pair finding. Output (id, canonical_id) for EVERY doc
     (singletons are their own canonical).
 
-    Distributed shape: iterative min-label propagation (the standard
-    large-graph connected-components loop — each round is one join +
-    one hash aggregate; rounds needed = component diameter, and near-dup
-    components are shallow cliques, so it converges in 2-3 rounds).
-    The driver sees one changed-count scalar per round — never labels."""
+    Distributed shape: iterative min-label propagation with POINTER
+    DOUBLING (label-of-label compression) each round — the standard
+    large-graph connected-components loop, but converging in
+    O(log diameter) rounds instead of O(diameter), so chain-shaped
+    components (the max_iters trap flagged in round-2 ADVICE) close in
+    a handful of rounds. The loop runs to CONVERGENCE (changed == 0) —
+    never exits with wrong labels; ``max_iters`` is a safety ceiling
+    that raises instead of silently diverging from the true components
+    the recursive-CTE oracle computes. The driver sees one
+    changed-count scalar per round — never labels."""
     ids = df.select(F.col(id_col).cast("long").alias("id"))
     pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, n_hashes, bands, seed)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
@@ -253,15 +258,29 @@ def near_dup_groups(
     )
     labels = ids.select("id", F.col("id").alias("lbl")).cache()
     edges = edges.cache()
+    converged = False
     for _ in range(max_iters):
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(neighbor, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer doubling: lbl <- label(lbl). Labels only decrease and
+        # label(x) <= x, so this is a pure compression step that halves
+        # chain depth per round.
         new_labels = (
-            labels.join(neighbor, "id", "left")
-            .select("id", F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"))
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ),
+                "lbl",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
             .cache()
         )
         changed = (
@@ -273,7 +292,13 @@ def near_dup_groups(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iters} rounds — "
+            "component diameter exceeds 2^max_iters; raise max_iters"
+        )
     out = labels.select("id", F.col("lbl").alias("canonical_id"))
     edges.unpersist()
     return out

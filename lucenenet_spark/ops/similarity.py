@@ -141,14 +141,34 @@ def embedding_dup_pairs_lsh(
     """Scale path: candidates share >= 1 LSH BAND (AND-within-band /
     OR-across-bands, the MinHash banding scheme — near-identical
     vectors almost surely agree on a whole band), verified with exact
-    quantized cosine. 32 planes in 4 bands of 8 bits give 256 buckets
-    PER BAND over a much finer 2^32 signature space than a flat 8-bit
-    signature; ``max_bucket`` drops degenerate buckets so the in-bucket
-    self-join stays bounded."""
-    keys = lsh_band_keys(df, id_col, vec_col, n_planes or N_PLANES, LSH_BANDS, seed)
-    sizes = keys.groupBy("band", "key").agg(F.count("*").alias("n"))
+    quantized cosine. ``n_planes`` defaults to
+    :func:`derive_n_planes`: bits per band grow with the corpus so
+    expected bucket size stays <= max_bucket/8 — a FIXED band width
+    plus the bucket cap would silently zero recall at scale.
+    ``max_bucket`` drops (and logs) degenerate buckets so the
+    in-bucket self-join stays bounded."""
+    if n_planes is None:
+        n_planes = derive_n_planes(df.count(), max_bucket)
+    keys = lsh_band_keys(df, id_col, vec_col, n_planes, LSH_BANDS, seed)
+    sizes = keys.groupBy("band", "key").agg(F.count("*").alias("n")).persist()
     ok = sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "key")
+    # no silent caps: report what the bucket cap drops (over-cap
+    # buckets mean the band keys are too coarse for this corpus —
+    # derive_n_planes prevents that when n_planes is left default)
+    drop = sizes.where(F.col("n") > max_bucket).agg(
+        F.count("*").alias("buckets"), F.coalesce(F.sum("n"), F.lit(0)).alias("rows")
+    ).collect()[0]
+    if drop["buckets"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_dup_pairs_lsh: dropping %d over-cap buckets "
+            "(%d row-memberships > max_bucket=%d) — recall is reduced; "
+            "increase n_planes (have %d) or max_bucket",
+            drop["buckets"], drop["rows"], max_bucket, n_planes,
+        )
     keys = keys.join(F.broadcast(ok), ["band", "key"], "left_semi")
+    sizes.unpersist()
     q = quantize(df, id_col, vec_col).select(
         "id", "qvec", _dot(F.col("qvec"), F.col("qvec")).alias("n2")
     )
@@ -180,6 +200,23 @@ N_PLANES = 32
 LSH_BANDS = 4
 PLANE_MOD = 2001
 PLANE_OFF = 1000
+
+
+def derive_n_planes(
+    n_rows: int, max_bucket: int, bands: int = LSH_BANDS
+) -> int:
+    """Band width scaled to the corpus (round-2 VERDICT scale-cliff
+    fix): with r bits per band a uniform corpus puts ~n/2^r rows in a
+    bucket, so a FIXED r=8 (256 buckets/band) sends every bucket over
+    ``max_bucket`` once n >= 2.56M×cap — and the cap then drops ALL
+    buckets, silently zeroing recall. Choose the smallest r >= 8 with
+    expected bucket size <= max_bucket/8 (headroom for skew), capped
+    at 30 bits; n_planes = r * bands."""
+    import math
+
+    target = max(1, max_bucket // 8)
+    r = max(8, math.ceil(math.log2(max(1, n_rows) / target))) if n_rows > target else 8
+    return min(r, 30) * bands
 
 
 def int_hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarray:
@@ -245,16 +282,19 @@ def cosine_topk_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
     seed: int = 42,
     max_bucket: int = 100_000,
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing >= 1 of the query's band
-    keys (4 probes of ~n/256 each ≈ 1.6% of a uniform corpus — versus
-    the 14% a hamming-2 multi-probe over one flat 8-bit signature
-    scans), re-ranked by exact quantized cosine. Over-cap probe buckets
-    are skipped (cost bound; recall documented best-effort like any
-    ANN). Same output shape as the exact form."""
+    keys (4 probes of ~n/2^r each — at the derived band width that is
+    <= max_bucket/8 rows per probe), re-ranked by exact quantized
+    cosine. ``n_planes`` defaults to :func:`derive_n_planes` so band
+    keys stay fine enough for the corpus. Over-cap probe buckets are
+    skipped with a logged warning (cost bound; recall documented
+    best-effort like any ANN). Same output shape as the exact form."""
+    if n_planes is None:
+        n_planes = derive_n_planes(df.count(), max_bucket)
     keys = lsh_band_keys(df, id_col, vec_col, n_planes, LSH_BANDS, seed)
     qrows = keys.where(F.col("id") == query_id).collect()
     if not qrows:
@@ -272,6 +312,14 @@ def cosine_topk_lsh(
         .collect()
     }
     kept = [bk for bk in probes if sizes.get(bk, 0) <= max_bucket]
+    if len(kept) < len(probes):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cosine_topk_lsh: skipping %d over-cap probe buckets "
+            "(max_bucket=%d, n_planes=%d) — recall is reduced",
+            len(probes) - len(kept), max_bucket, n_planes,
+        )
     if not kept:
         kept = [min(probes, key=lambda bk: sizes.get(bk, 0))]
     keep_cond = None

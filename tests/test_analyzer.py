@@ -56,3 +56,27 @@ def test_duckdb_parity():
         got.setdefault(docid, []).append((term, pos))
     for i, (text, expected) in enumerate(GOLDEN):
         assert got.get(i, []) == expected, f"doc {i}: {text[:40]!r}"
+
+
+def test_cjk_non_cjk_runs_match_base_analyzer():
+    """ADVICE r2 regression: the mixed regex must tokenize non-CJK
+    text with the SAME ASCII semantics as analyze() — accented Latin,
+    Cyrillic, and other non-ASCII word chars are separators, not token
+    chars."""
+    from lucenenet_spark.analysis.analyzer import analyze, analyze_cjk
+
+    for text in (
+        "café naïve Ĳsselmeer москва tokyo42 don't 3.14",
+        "café résumé ｶﾀ plain_ascii",
+    ):
+        non_cjk = [t for t, _ in analyze_cjk(text)]
+        base = [t for t, _ in analyze(text)]
+        # CJK text absent here -> token STREAMS must be identical
+        assert non_cjk == base, text
+
+
+def test_cjk_bigrams_with_ascii_mix():
+    from lucenenet_spark.analysis.analyzer import analyze_cjk
+
+    toks = [t for t, _ in analyze_cjk("spark引擎构建 fast")]
+    assert toks == ["spark", "引擎", "擎构", "构建", "fast"]

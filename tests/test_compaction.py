@@ -198,3 +198,40 @@ def test_compaction_without_tombstones_is_pure_merge(spark, fragmented):
     idx2, _ = load_live(spark, path)
     after = [(h.docid, h.score) for h in IndexSearcher(idx2).search(q, 10)]
     assert before == after  # pure merge: identical docids AND score bits
+
+
+def test_supersedes_is_transitive_across_chained_compactions(spark, fragmented):
+    """ADVICE r2 regression: compaction A commits (supersedes [1,2])
+    but crashes before retiring the stale inputs; compaction B then
+    retires A's record. Without carrying A's dead set forward, the
+    stale manifests of 1,2 resurrect and documents double-count."""
+    import shutil
+
+    path = fragmented
+    n_docs = load_live(spark, path)[0].max_doc
+    old = read_manifest(path)
+    snap = {}
+    for shard in old:
+        with open(os.path.join(path, "manifest", f"shard_{shard}.json")) as f:
+            snap[shard] = f.read()
+        shutil.copytree(
+            os.path.join(path, "shards", str(shard)),
+            os.path.join(path, "_snap2", str(shard)),
+        )
+    rec_a = compact_shards(spark, path)
+    # simulate crash-before-retire: restore stale inputs of A
+    for shard, txt in snap.items():
+        with open(os.path.join(path, "manifest", f"shard_{shard}.json"), "w") as f:
+            f.write(txt)
+        shutil.copytree(
+            os.path.join(path, "_snap2", str(shard)),
+            os.path.join(path, "shards", str(shard)),
+        )
+    # compaction B over the live set (= just A's shard)
+    rec_b = compact_shards(spark, path)
+    # B's record must carry A's dead set forward...
+    assert set(rec_a["supersedes"]) <= set(rec_b["supersedes"])
+    # ...so the stale shards stay invisible even though A's record is
+    # gone, and the doc count stays exact
+    assert sorted(read_manifest(path)) == [rec_b["shard"]]
+    assert load_live(spark, path)[0].max_doc == n_docs

@@ -419,3 +419,38 @@ def test_sample_frames(docs_df):
         n = mid % 100 + 1
         expect = sorted({int(np.floor(i * n / 4)) for i in range(4)})
         assert sorted(idxs) == expect
+
+
+def test_lsh_band_width_scales_with_corpus(spark):
+    """Round-2 VERDICT scale-cliff regression: at 200k vectors with
+    max_bucket=500 the OLD fixed 8-bit bands put ~780 rows in every
+    bucket — the cap then dropped ALL buckets and recall went to zero
+    silently. derive_n_planes widens the band keys so planted
+    near-duplicate pairs survive with default parameters."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n, dim = 200_000, 16
+    # deterministic pseudo-random base vectors, JVM-side
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), 2000) - 1000) / 1000.0
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    # plant exact duplicates of ids 0..4 at ids n..n+4 (cosine 1.0)
+    dup = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(dup)
+
+    derived = similarity.derive_n_planes(n + 5, 500)
+    assert derived > 32  # wider than the old fixed default
+    got = similarity.embedding_dup_pairs_lsh(
+        emb, threshold=0.999, max_bucket=500
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(i, i + n) for i in range(5)} <= found
