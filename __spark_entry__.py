@@ -438,6 +438,16 @@ def _q_highlight(spark, sf_dir):
     return coll.highlight(s, q, window=10, k=10)
 
 
+def _q_highlight_snippets(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="table"), Occur.SHOULD), (TermQuery(term="hash"), Occur.SHOULD)
+    )
+    return coll.highlight_snippets(
+        s, q, _docs(spark, sf_dir), text_col="text", id_col="doc_id", window=10, k=10
+    )
+
+
 def _q_drill_sideways(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.drill_sideways(
@@ -774,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_near": _q_span_or_near,
         "block_join_children": _q_block_join_children,
         "classic_phrase_query": _q_classic_phrase,
+        "highlight_snippets": _q_highlight_snippets,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -880,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_term_query": osql.classic_term_query_sql("spark"),
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
+        "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(
             "spark", [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)]
         ),

@@ -112,6 +112,31 @@ def analyze_cjk(text: str) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(toks) if t not in ENGLISH_STOP_WORDS]
 
 
+def analyze_offsets(text: str) -> list[tuple[str, int, int, int]]:
+    """Tokenize one string -> [(term, position, start_char, end_char)]
+    over the LOWERCASED text (lowercasing is length-preserving for the
+    ASCII chars the tokenizer admits, and using the lowered string on
+    both engine and oracle sides makes offsets bit-comparable).
+    Position numbering matches :func:`analyze` exactly: the length
+    filter applies before position assignment, stopwords keep their
+    positions (gaps) and ARE emitted here — the highlighter needs
+    every position's char span to map a token window to char offsets
+    (the ``OffsetAttribute`` the reference's TokenStream carries,
+    ``Analysis/TokenAttributes/OffsetAttribute.cs``)."""
+    if not text:
+        return []
+    lt = text.lower()
+    out = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(lt):
+        t = m.group(0)
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        out.append((t, pos, m.start(), m.end()))
+        pos += 1
+    return out
+
+
 def analyze_series(texts: Iterable[str]) -> list[list[tuple[str, int]]]:
     """Batch analyze (used inside mapInPandas); plain loop over the
     batch but regex+filters are C-level per string."""

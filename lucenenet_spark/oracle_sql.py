@@ -806,6 +806,80 @@ FROM best"""
     )
 
 
+def highlight_snippets_sql(t0: str, t1: str, window: int = 10, k: int = K) -> str:
+    """Char-offset snippet mirror of collectors.highlight_snippets:
+    top-k of OR(t0, t1), then per-doc char offsets reconstructed from
+    cumulative separator/token lengths over the lowercased text (the
+    regex-split complement of regexp_extract_all), length filter
+    before position numbering, stopword positions kept as emitted
+    tokens — exactly the analyze_offsets contract."""
+    from lucenenet_spark.analysis.analyzer import (
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+        _sql_quote_regex,
+    )
+
+    pat = _sql_quote_regex(TOKEN_PATTERN)
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         ({_f32_lit(0.0)} + coalesce(c0.s, {_f32_lit(0.0)}))
+           + coalesce(c1.s, {_f32_lit(0.0)}) AS s
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+top AS (SELECT docid FROM merged ORDER BY s DESC, docid ASC LIMIT {k}),
+raw AS (
+  SELECT d.doc_id AS docid, lower(d.text) AS lt,
+         regexp_extract_all(lower(d.text), '{pat}') AS rtoks,
+         regexp_split_to_array(lower(d.text), '{pat}') AS seps
+  FROM documents d JOIN top ON top.docid = d.doc_id
+),
+rt AS (
+  SELECT docid, lt, z[1] AS tok, CAST(z[2] AS INT) AS i,
+         CAST(coalesce(list_sum(list_transform(seps[1:CAST(z[2] AS INT)],
+                                               x -> length(x))), 0)
+              + coalesce(list_sum(list_transform(rtoks[1:CAST(z[2] AS INT) - 1],
+                                                 x -> length(x))), 0)
+              AS BIGINT) AS s
+  FROM raw, UNNEST(list_zip(rtoks, range(1, len(rtoks) + 1))) AS u(z)
+),
+ft AS (
+  SELECT docid, lt, tok, s, s + length(tok) AS e,
+         row_number() OVER (PARTITION BY docid ORDER BY i) - 1 AS pos
+  FROM rt WHERE length(tok) <= {MAX_TOKEN_LENGTH}
+),
+hits AS (SELECT docid, pos FROM ft WHERE tok IN ('{t0}', '{t1}')),
+counts AS (
+  SELECT a.docid, a.pos AS start, count(*) AS n
+  FROM hits a JOIN hits b
+    ON b.docid = a.docid AND b.pos >= a.pos AND b.pos < a.pos + {window}
+  GROUP BY a.docid, a.pos
+),
+best AS (
+  SELECT docid, start, n FROM (
+    SELECT docid, start, n,
+           row_number() OVER (PARTITION BY docid ORDER BY n DESC, start ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+nmax AS (SELECT docid, max(pos) AS maxpos FROM ft GROUP BY docid)
+SELECT b.docid,
+       CAST(fs.s AS BIGINT) AS frag_start,
+       CAST(fe.e AS BIGINT) AS frag_end,
+       CAST(b.n AS BIGINT) AS n_hits,
+       substring(fs.lt, CAST(fs.s AS INT) + 1, CAST(fe.e - fs.s AS INT)) AS snippet
+FROM best b
+JOIN nmax m ON m.docid = b.docid
+JOIN ft fs ON fs.docid = b.docid AND fs.pos = b.start
+JOIN ft fe ON fe.docid = b.docid
+          AND fe.pos = least(b.start + {window} - 1, m.maxpos)"""
+    )
+
+
 def facet_ranges_sql(term: str, ranges: list[tuple[str, int, int]]) -> str:
     """Range facet counts over field_length for a term query's matches."""
     vals = ", ".join(f"('{la}', {lo}, {hi})" for la, lo, hi in ranges)

@@ -135,3 +135,28 @@ def test_total_hit_count(searcher, scored):
         (TermQuery(term="return"), Occur.SHOULD), (TermQuery(term="value"), Occur.SHOULD)
     )
     assert coll.total_hit_count(searcher, both) >= len(scored)
+
+
+def test_highlight_snippets_contain_query_terms(spark, searcher, corpus_rows):
+    """VERDICT r2 #6: highlight returns char ranges whose text contains
+    the query terms — verified against the source corpus text."""
+    # rebuild the id mapping the index used (order by repo/path/commit)
+    src = sorted(corpus_rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    ordered = spark.createDataFrame(
+        [{"doc_id": i, "text": r["content"]} for i, r in enumerate(src)]
+    )
+    q = BooleanQuery.of(
+        (TermQuery(term="return"), Occur.SHOULD),
+        (TermQuery(term="value"), Occur.SHOULD),
+    )
+    rows = coll.highlight_snippets(
+        searcher, q, ordered, text_col="text", id_col="doc_id", window=8, k=5
+    ).collect()
+    assert rows
+    texts = {i: r["content"].lower() for i, r in enumerate(src)}
+    for r in rows:
+        snip = r["snippet"]
+        assert r["n_hits"] >= 1
+        # snippet is the exact char range of the lowered source text
+        assert texts[r["docid"]][r["frag_start"]:r["frag_end"]] == snip
+        assert ("return" in snip) or ("value" in snip)
