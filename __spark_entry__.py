@@ -422,6 +422,14 @@ def _q_classic_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_lm_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import LMDirichletSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx, similarity=LMDirichletSimilarity())
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_classic_phrase(spark, sf_dir):
     from lucenenet_spark.functions.similarity import ClassicSimilarity
 
@@ -785,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_children": _q_block_join_children,
         "classic_phrase_query": _q_classic_phrase,
         "highlight_snippets": _q_highlight_snippets,
+        "lm_term_query": _q_lm_term,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -890,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vector": osql.term_vector_sql(0),
         "classic_term_query": osql.classic_term_query_sql("spark"),
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
+        "lm_term_query": osql.lm_term_query_sql("spark"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -38,7 +38,9 @@ class BM25Similarity:
     def __init__(self, avgdl: np.float32):
         self.cache = bm25.norm_cache(avgdl)
 
-    def weight(self, df: int, max_doc: int, boost: float) -> np.float32:
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
         return bm25.term_weight(bm25.idf(df, max_doc), boost)
 
     def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
@@ -66,7 +68,9 @@ class ClassicSimilarity:
     def __init__(self, avgdl: np.float32 | None = None):  # avgdl unused
         pass
 
-    def weight(self, df: int, max_doc: int, boost: float) -> np.float32:
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
         idf = np.float32(np.log(max_doc / (float(df) + 1.0)) + 1.0)
         return np.float32(np.float32(idf * idf) * np.float32(boost))
 
@@ -86,3 +90,57 @@ class ClassicSimilarity:
         tf = np.sqrt(np.asarray(f, dtype=np.float64)).astype(np.float32)
         nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
         return (np.float32(w) * tf * nd).astype(np.float32)
+
+
+class LMDirichletSimilarity:
+    """Language-model similarity with Dirichlet smoothing (reference
+    ``Search/Similarities/LMDirichletSimilarity.cs:43`` over
+    ``SimilarityBase.cs`` / ``LMSimilarity.cs``):
+
+        p(t|C)  = (ttf + 1) / (sttf + 1)          (float division)
+        docLen  = 1 / decode(norm)^2              (SimilarityBase
+                                                   DecodeNormValue)
+        score   = boost * float32( ln(1 + freq/(mu * p))
+                                   + ln(mu / (docLen + mu)) )
+        clamped to 0 when negative (LMDirichletSimilarity.Score).
+
+    The per-term weight scalar carries p(t|C); mu and boost are
+    similarity-level constants because the engine bakes ONE float per
+    (clause, term) into its scan plan — per-clause boosts other than
+    1.0 raise. Logs run in double (numpy log == libm == DuckDB ln on
+    this platform) and truncate to float32, the same double-then-cast
+    the C# does with Math.Log."""
+
+    name = "lm_dirichlet"
+
+    def __init__(self, avgdl=None, mu: float = 2000.0):  # avgdl unused
+        self.mu = np.float32(mu)
+
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
+        if float(boost) != 1.0:
+            raise NotImplementedError(
+                "LMDirichletSimilarity packs p(t|C) into the weight "
+                "scalar; per-term boosts are not supported"
+            )
+        return np.float32(np.float32(ttf + 1.0) / np.float32(sttf + 1.0))
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        raise NotImplementedError(
+            "LM-Dirichlet phrase scoring needs the phrase pseudo-term's "
+            "collection frequency, which the index does not store"
+        )
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        p = np.float64(np.float32(w))
+        mu = np.float64(self.mu)
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        # SimilarityBase.DecodeNormValue: docLen = 1/decode^2 (float32)
+        dl = (np.float32(1.0) / (nd * nd)).astype(np.float32)
+        freq = np.asarray(f, dtype=np.float64)
+        inner = np.log(1.0 + freq / (mu * p)) + np.log(
+            mu / (dl.astype(np.float64) + mu)
+        )
+        s = (np.float32(1.0) * inner.astype(np.float32)).astype(np.float32)
+        return np.where(s > 0, s, np.float32(0.0)).astype(np.float32)

@@ -734,6 +734,39 @@ scored AS (
     )
 
 
+def lm_term_query_sql(term: str, mu: float = 2000.0, k: int = K) -> str:
+    """LMDirichletSimilarity term query mirror: p = f32(ttf+1)/f32(sttf+1),
+    docLen = f32(1/decode(norm)^2), score = f32(ln(1 + freq/(mu*p)) +
+    ln(mu/(docLen+mu))) clamped at 0 — double logs truncated to REAL,
+    op-for-op with functions/similarity.py::LMDirichletSimilarity."""
+    mu_d = float(np.float64(np.float32(mu)))
+    p = (
+        f"(CAST((SELECT ttf FROM term_stats WHERE term = '{term}') + 1.0 AS REAL)"
+        f" / CAST((SELECT sttf FROM cstats) + 1.0 AS REAL))"
+    )
+    return (
+        bm25_prelude()
+        + f""",
+pw AS (SELECT {p} AS p),
+scored0 AS (
+  SELECT p.docid,
+         CAST(ln(1.0 + CAST(p.freq AS DOUBLE)
+                       / ({mu_d!r} * CAST((SELECT p FROM pw) AS DOUBLE)))
+              + ln({mu_d!r} / (CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS DOUBLE)
+                               + {mu_d!r}))
+              AS REAL) * {_f32_lit(1.0)} AS s0
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+),
+scored AS (
+  SELECT docid, CASE WHEN s0 > 0 THEN s0 ELSE {_f32_lit(0.0)} END AS s
+  FROM scored0
+)"""
+        + _topk("scored", k)
+    )
+
+
 def classic_phrase_sql(t0: str, t1: str, k: int = K) -> str:
     """ClassicSimilarity exact 2-term phrase: weight = float32(
     (Σf32 classic-idf)² * boost), score = (w * f32(sqrt(freq))) *

@@ -323,8 +323,11 @@ class IndexSearcher:
             if isinstance(sub, TermQuery):
                 if sub.term not in stats or sub.term not in tfs:
                     return {"type": "term", "term": sub.term, "match": False, "value": 0.0}
-                df_, _ = stats[sub.term]
-                w = sim.weight(df_, max_doc, sub.boost)
+                df_, ttf_ = stats[sub.term]
+                w = sim.weight(
+                    df_, max_doc, sub.boost,
+                    ttf=ttf_, sttf=self.index.sum_total_term_freq,
+                )
                 val = leaf_value(float(tfs[sub.term]), w)
                 out = {
                     "type": "term", "term": sub.term, "match": True,
@@ -525,9 +528,12 @@ class IndexSearcher:
     ) -> DataFrame | None:
         if term not in stats:
             return None
-        df_, _ttf = stats[term]
+        df_, ttf_ = stats[term]
         sim = self.sim
-        weight = sim.weight(df_, self.index.max_doc, boost)
+        weight = sim.weight(
+            df_, self.index.max_doc, boost,
+            ttf=ttf_, sttf=self.index.sum_total_term_freq,
+        )
         cache = self._cache
         if not self.use_packed:
             return self._term_scores_flat(term, weight)
@@ -764,8 +770,11 @@ class IndexSearcher:
                     if kind:
                         return None  # unmatched MUST ⇒ empty result
                     continue
-                df_, _ = stats[c.query.term]
-                w = self.sim.weight(df_, self.index.max_doc, c.query.boost)
+                df_, ttf_ = stats[c.query.term]
+                w = self.sim.weight(
+                    df_, self.index.max_doc, c.query.boost,
+                    ttf=ttf_, sttf=self.index.sum_total_term_freq,
+                )
                 term_plan.setdefault(c.query.term, []).append((cidx, kind, float(w)))
                 continue
             sub = self._compile(c.query, stats, None)
@@ -824,8 +833,11 @@ class IndexSearcher:
             if isinstance(d, TermQuery):
                 if d.term not in stats:
                     continue
-                df_, _ = stats[d.term]
-                w = self.sim.weight(df_, self.index.max_doc, d.boost)
+                df_, ttf_ = stats[d.term]
+                w = self.sim.weight(
+                    df_, self.index.max_doc, d.boost,
+                    ttf=ttf_, sttf=self.index.sum_total_term_freq,
+                )
                 term_plan.setdefault(d.term, []).append((cidx, 0, float(w)))
                 continue
             sub = self._compile(d, stats, None)
