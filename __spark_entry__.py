@@ -492,6 +492,30 @@ def _q_prefix_suggest(spark, sf_dir):
     return complete_prefix(IndexSearcher(idx), "s", max_suggestions=5)
 
 
+_SUGGESTER_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _analyzing_suggester(spark, sf_dir):
+    from lucenenet_spark.search.suggest import AnalyzingSuggester
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _SUGGESTER_CACHE:
+        entries = _docs(spark, sf_dir).select(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias("surface"),
+            F.col("n_chars"),
+        )
+        _SUGGESTER_CACHE[key] = AnalyzingSuggester(entries, "surface", "n_chars")
+    return _SUGGESTER_CACHE[key]
+
+
+def _q_analyzing_suggest(spark, sf_dir):
+    return _analyzing_suggester(spark, sf_dir).lookup("merge", n=5)
+
+
+def _q_fuzzy_suggest(spark, sf_dir):
+    return _analyzing_suggester(spark, sf_dir).fuzzy_lookup("marge", n=5, max_edits=1)
+
+
 def _q_function_query(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return _ranked(coll.boost_by_value(s, TermQuery(term="spark"), "field_length", 10))
@@ -794,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_phrase_query": _q_classic_phrase,
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
+        "analyzing_suggest": _q_analyzing_suggest,
+        "fuzzy_suggest": _q_fuzzy_suggest,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -911,6 +937,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "suggest": osql.suggest_sql("sparc", 5, 2, 1),
         "prefix_suggest": osql.prefix_suggest_sql("s", 5),
+        "analyzing_suggest": osql.analyzing_suggest_sql("merge", 5),
+        "fuzzy_suggest": osql.fuzzy_suggest_sql("marge", 5, 1),
         "function_query": osql.boost_by_value_sql("spark"),
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),

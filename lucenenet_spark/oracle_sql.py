@@ -996,6 +996,54 @@ ORDER BY df DESC, term ASC LIMIT {max_suggestions}"""
     )
 
 
+def _analyzing_keys_cte(surface_chars: int = 40) -> str:
+    """CTE ``keys(surface, key, weight)``: surfaces = the documents'
+    leading chars, key = space-joined analyzed tokens (the
+    AnalyzingSuggester key function), weight = n_chars."""
+    tok = duckdb_token_sql(
+        "documents", "doc_id", f"substring(text, 1, {surface_chars})",
+        with_positions=True,
+    )
+    return f"""
+WITH tok AS ({tok}),
+keys AS (
+  SELECT substring(d.text, 1, {surface_chars}) AS surface,
+         coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.pos)
+                   FROM tok t WHERE t.docid = d.doc_id), '') AS key,
+         CAST(d.n_chars AS BIGINT) AS weight
+  FROM documents d
+)"""
+
+
+def analyzing_suggest_sql(prefix_key: str, n: int = 5) -> str:
+    """AnalyzingSuggester.lookup mirror (prefix_key = the ALREADY
+    analyzed prefix, which for a single lowercase token is itself)."""
+    return (
+        _analyzing_keys_cte()
+        + f"""
+SELECT surface, key, weight FROM keys
+WHERE key != '' AND starts_with(key, '{prefix_key}')
+ORDER BY weight DESC, surface ASC LIMIT {n}"""
+    )
+
+
+def fuzzy_suggest_sql(prefix_key: str, n: int = 5, max_edits: int = 1) -> str:
+    """FuzzySuggester mirror: edits measured between the analyzed
+    prefix and each key's same-length prefix."""
+    plen = len(prefix_key)
+    return (
+        _analyzing_keys_cte()
+        + f"""
+SELECT surface, key, weight,
+       CAST(levenshtein(substring(key, 1, {plen}), '{prefix_key}') AS BIGINT)
+         AS distance
+FROM keys
+WHERE key != ''
+  AND levenshtein(substring(key, 1, {plen}), '{prefix_key}') <= {max_edits}
+ORDER BY distance ASC, weight DESC, surface ASC LIMIT {n}"""
+    )
+
+
 def boost_by_value_sql(term: str, k: int = K) -> str:
     """FunctionQuery mirror: score' = score * float32(ln(1 + fl))."""
     return (
