@@ -1150,6 +1150,44 @@ GROUP BY docid"""
     )
 
 
+def span_near_scored_sql(t0: str, t1: str, slop: int, k: int = K) -> str:
+    """Scored 2-term ordered SpanNear (spans.py::span_query_scored):
+    greedy spans [p0, p1+1), freq = f32-ordered sum over p0 of
+    f32(1)/f32(1 + span width), weight = BM25 multi-term weight over
+    SORTED terms, score = w*f/(f+cache[norm])."""
+    ta, tb = sorted([t0, t1])
+    idfa = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{ta}')")
+    idfb = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{tb}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        bm25_prelude(with_positions=True)
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idfa}) + {idfb}) * {_f32_lit(1.0)} * {k1p1} AS w),
+sp AS (
+  SELECT a.docid, a.pos AS p0,
+         (SELECT min(b.pos) FROM tok b
+          WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+  FROM tok a WHERE a.term = '{t0}'
+),
+good AS (SELECT docid, p0, p1 FROM sp
+         WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= {slop}),
+freqs AS (
+  SELECT docid,
+         list_reduce(
+           list(CAST(1.0 AS REAL) / CAST(1 + (p1 + 1 - p0) AS REAL) ORDER BY p0),
+           (x, y) -> x + y
+         ) AS f
+  FROM good GROUP BY docid
+),
+scored AS (
+  SELECT fr.docid, (SELECT w FROM w) * fr.f / (fr.f + c.c) AS s
+  FROM freqs fr JOIN norms n ON fr.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("scored", k)
+    )
+
+
 def sloppy_phrase_hits_sql(t0: str, t1: str, slop: int) -> str:
     """Match SET of a 2-term sloppy phrase. For two DISTINCT terms the
     PQ repositioning algorithm matches a doc iff some position pair has

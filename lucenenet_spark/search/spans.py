@@ -302,6 +302,69 @@ def span_query(searcher, q: SpanQuery) -> DataFrame:
     )
 
 
+def span_query_scored(searcher, q: SpanQuery, k: int | None = 10) -> DataFrame:
+    """Scored span query — the SpanScorer/SpanWeight surface
+    (``Search/Spans/SpanScorer.cs:48-76``): per doc,
+    ``freq = Σ slopFactor(matchLength)`` over the enumerated spans
+    with BM25's ``slopFactor(d) = 1/(1+d)`` and ``matchLength =
+    end - start`` (SpanScorer.SetFreqCurrentDoc), accumulated in span
+    order as a float32 ordered sum; weight = the similarity's
+    multi-term form over the query's terms in sorted-unique order
+    (pinned; the reference iterates its termContexts map). Score =
+    ``sim.score(freq, norm, weight)`` — so a SpanNearQuery ranks like
+    a proximity-weighted phrase. Output (docid, score) top-k."""
+    from lucenenet_spark.index.builder import unpack_postings
+
+    q = _expand_multi(q, searcher)
+    terms = sorted(set(q.terms()))
+    if not terms:
+        return searcher._empty()
+    m = searcher._stats_map()
+    if m is False:
+        rows = searcher.index.term_stats.where(F.col("term").isin(terms)).collect()
+        stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+    else:
+        stats = {t: m[t] for t in terms if t in m}
+    sim = searcher.sim
+    w = sim.weight_multi(
+        [stats.get(t, (0, 0))[0] for t in terms], searcher.index.max_doc, 1.0
+    )
+    wf = float(w)
+    src = unpack_postings(
+        searcher.index.packed.where(F.col("term").isin(terms))
+    ).select("docid", "term", "positions", "norm")
+    grouped = src.groupBy("docid").agg(
+        F.collect_list(F.struct("term", "positions")).alias("tp"),
+        F.first("norm").alias("norm"),
+    )
+    qq = q
+
+    @F.pandas_udf("float")
+    def score_spans(tp: pd.Series, norm: pd.Series) -> pd.Series:
+        w32 = np.float32(wf)
+        freqs = np.zeros(len(tp), dtype=np.float32)
+        for i, lst in enumerate(tp):
+            posmap = {
+                item["term"]: np.asarray(item["positions"], dtype=np.int64)
+                for item in lst
+            }
+            spans = _enumerate(qq, posmap)
+            acc = np.float32(0.0)
+            for s, e in spans:
+                acc = np.float32(
+                    acc + np.float32(1.0) / np.float32(1 + (e - s))
+                )
+            freqs[i] = acc
+        s = sim.score(freqs, norm.to_numpy(dtype=np.uint8), w32)
+        return pd.Series(np.where(freqs > 0, s, np.nan).astype(np.float32))
+
+    scored = grouped.select(
+        "docid", score_spans(F.col("tp"), F.col("norm")).alias("score")
+    ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+    out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return out.limit(k) if k is not None else out
+
+
 def _empty(searcher) -> DataFrame:
     return searcher.index.docs.sparkSession.createDataFrame(
         [], "docid long, n_spans long"
