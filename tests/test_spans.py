@@ -175,3 +175,44 @@ def test_span_multi_term_wrapper(searcher, oracle_index):
         sp.SpanOrQuery(tuple(sp.SpanTermQuery(t) for t in terms)), end=20
     )
     assert got == _oracle_counts(oracle_index, expanded)
+
+
+def test_span_query_scored_matches_bruteforce(searcher, oracle_index):
+    """SpanScorer analog: freq = f32-ordered sum of 1/(1+width) over
+    spans, BM25-scored — bit-compared against a pure-python
+    recomputation from the oracle index."""
+    import numpy as np
+    from lucenenet_spark.functions import bm25
+
+    q = sp.SpanNearQuery(
+        (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")), slop=4, in_order=True
+    )
+    got = [
+        (r["docid"], np.float32(r["score"]))
+        for r in sp.span_query_scored(searcher, q, 10).collect()
+    ]
+    # brute force
+    terms = sorted(set(q.terms()))
+    idfs = np.array(
+        [bm25.idf(oracle_index.df(t), oracle_index.max_doc) for t in terms]
+    )
+    w = bm25.term_weight(bm25.float32_ordered_sum(idfs), 1.0)
+    cache = bm25.norm_cache(
+        bm25.avg_field_length(
+            oracle_index.sum_total_term_freq, oracle_index.max_doc
+        )
+    )
+    expect = []
+    for d in set(oracle_index.postings.get("return", {})) | set(
+        oracle_index.postings.get("value", {})
+    ):
+        posmap = _oracle_posmap(oracle_index, d)
+        spans = sp._enumerate(q, posmap)
+        acc = np.float32(0.0)
+        for s_, e_ in spans:
+            acc = np.float32(acc + np.float32(1.0) / np.float32(1 + (e_ - s_)))
+        if acc > 0:
+            c = cache[int(oracle_index.norms[d])]
+            expect.append((d, np.float32(w * acc / (acc + c))))
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    assert got == expect[:10]
