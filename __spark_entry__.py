@@ -226,6 +226,18 @@ def _q_span_not(spark, sf_dir):
     return sp.span_query(s, q)
 
 
+def _q_span_near3_unordered(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    q = sp.SpanNearQuery(
+        (sp.SpanTermQuery("table"), sp.SpanTermQuery("hash"), sp.SpanTermQuery("scan")),
+        slop=10,
+        in_order=False,
+    )
+    return sp.span_query(s, q)
+
+
 def _q_span_near_scored(spark, sf_dir):
     from lucenenet_spark.search import spans as sp
 
@@ -824,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": _q_span_first,
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
+        "span_near3_unordered": _q_span_near3_unordered,
         "span_near_scored": _q_span_near_scored,
         "block_join_children": _q_block_join_children,
         "classic_phrase_query": _q_classic_phrase,
@@ -977,6 +990,9 @@ def oracle_sql() -> dict[str, str]:
         "span_not": osql.span_not_sql("table", "hash", 6, "scan"),
         "span_or_near": osql.span_or_near_sql("table", "merge", "hash", 8),
         "span_near_scored": osql.span_near_scored_sql("table", "hash", 4),
+        "span_near3_unordered": osql.span_near3_unordered_sql(
+            "table", "hash", "scan", 10
+        ),
         "sloppy_phrase": osql.sloppy_phrase_hits_sql("table", "hash", 2),
         "multi_phrase": osql.multi_phrase_sql(["table"], ["hash", "scan"]),
         "regexp_terms": osql.regexp_terms_sql("s.+a.*"),

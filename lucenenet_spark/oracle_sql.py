@@ -1099,6 +1099,26 @@ GROUP BY docid"""
     )
 
 
+def span_near3_unordered_sql(t0: str, t1: str, t2: str, slop: int) -> str:
+    """3-clause UNORDERED SpanNear (spans.py pinned EXISTS-window
+    spec): count t0 anchors p for which some (b, c) positions of
+    t1/t2 give greatest - least - 2 <= slop (unit spans of distinct
+    terms are automatically pairwise distinct)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT a.docid, CAST(count(*) AS BIGINT) AS n_spans
+FROM tok a
+WHERE a.term = '{t0}' AND EXISTS (
+  SELECT 1 FROM tok b, tok c
+  WHERE b.docid = a.docid AND c.docid = a.docid
+    AND b.term = '{t1}' AND c.term = '{t2}'
+    AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) - 2 <= {slop}
+)
+GROUP BY a.docid"""
+    )
+
+
 def span_first_sql(t: str, end: int) -> str:
     """SpanFirstQuery over a term: unit spans with pos + 1 <= end."""
     return (

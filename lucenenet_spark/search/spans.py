@@ -30,11 +30,15 @@ Pinned span spec (what ``n_spans`` counts):
   chains from that start, so "greedy chain fits" ⇔ "some chain fits"
   — each start is counted iff any valid chain exists (the per-start
   counting matches the two-term case shipped in round 2).
-- **SpanNear unordered** — pinned to 2 clauses (the reference's
-  NearSpansUnordered queue walk generalizes, but its span
-  multiplicity around shared positions is iterator-order-defined;
-  the 2-clause match set is exact): one span per left-clause span
-  paired with any right span within slop either side.
+- **SpanNear unordered** — 2 clauses: one span per left-clause span
+  paired with any right span within slop either side (exact match
+  set). N clauses: the pinned EXISTS-window spec — one span per
+  first-clause anchor for which some choice of one span per remaining
+  clause (pairwise distinct) has total gap <= slop; emitted span =
+  the feasible combination minimizing (width, lo, hi). The
+  reference's NearSpansUnordered queue walk agrees on the match SET;
+  span multiplicity around shared positions is iterator-order-defined
+  there and per-anchor here (documented divergence).
 - **SpanNot(include, exclude)** — include spans overlapping NO
   exclude span (overlap = ``e.start < s.end and e.end > s.start``).
 - **SpanFirst(match, end)** — match spans with ``span.end <= end``.
@@ -138,23 +142,53 @@ def _enumerate(q: SpanQuery, posmap: dict[str, np.ndarray]) -> np.ndarray:
         if any(s.size == 0 for s in subs):
             return np.empty((0, 2), dtype=np.int64)
         if not q.in_order:
-            if len(subs) != 2:
-                raise NotImplementedError(
-                    "unordered span_near is pinned to 2 clauses"
-                )
-            a, b = subs
+            if len(subs) == 2:
+                a, b = subs
+                out = []
+                for s0, e0 in a:
+                    # any b-span within slop on either side, not identical
+                    gap_after = b[:, 0] - e0  # b after a
+                    gap_before = s0 - b[:, 1]  # b before a
+                    ok = (
+                        ((gap_after >= 0) & (gap_after <= q.slop))
+                        | ((gap_before >= 0) & (gap_before <= q.slop))
+                    ) & ~((b[:, 0] == s0) & (b[:, 1] == e0))
+                    if ok.any():
+                        bs, be = b[ok][0]
+                        out.append((min(s0, bs), max(e0, be)))
+                return _sorted_spans(out)
+            # N-clause unordered, pinned EXISTS-window spec: one span
+            # per FIRST-clause anchor span for which SOME choice of
+            # one span per remaining clause (all pairwise distinct)
+            # gives total gap (window width - Σ clause lengths)
+            # <= slop — for unit spans: max(p) - min(p) - (N-1)
+            # <= slop, the natural unordered-near membership test and
+            # a direct EXISTS in the SQL oracle. The emitted span is
+            # the feasible combination minimizing (width, lo, hi) —
+            # deterministic. Exact search over the cartesian product
+            # of the remaining clauses' spans: per-doc span counts
+            # are document-local, so the product is tiny.
+            from itertools import product
+
+            first, rest = subs[0], subs[1:]
             out = []
-            for s0, e0 in a:
-                # any b-span within slop on either side, not identical
-                gap_after = b[:, 0] - e0  # b after a
-                gap_before = s0 - b[:, 1]  # b before a
-                ok = (
-                    ((gap_after >= 0) & (gap_after <= q.slop))
-                    | ((gap_before >= 0) & (gap_before <= q.slop))
-                ) & ~((b[:, 0] == s0) & (b[:, 1] == e0))
-                if ok.any():
-                    bs, be = b[ok][0]
-                    out.append((min(s0, bs), max(e0, be)))
+            rest_lists = [list(map(tuple, sub)) for sub in rest]
+            for s0, e0 in first:
+                anchor = (int(s0), int(e0))
+                best = None
+                for combo in product(*rest_lists):
+                    chosen = (anchor,) + combo
+                    if len(set(chosen)) != len(chosen):
+                        continue  # clauses must match distinct spans
+                    lo = min(c[0] for c in chosen)
+                    hi = max(c[1] for c in chosen)
+                    lens = sum(c[1] - c[0] for c in chosen)
+                    if (hi - lo) - lens <= q.slop:
+                        key = (hi - lo, lo, hi)
+                        if best is None or key < best:
+                            best = key
+                if best is not None:
+                    out.append((best[1], best[2]))
             return _sorted_spans(out)
         # ordered: greedy minimal-END chain per first-clause span (for
         # unit-span clauses min-end == min-start, so this is exactly

@@ -65,15 +65,34 @@ def test_unordered_near_two_clause():
     # a@10 pairs with b@12 (gap 1); a@20 vs b before: 20-13=7 > slop
     got = sp._enumerate(q, posmap)
     assert got.tolist() == [[10, 13]]
-    with pytest.raises(NotImplementedError):
-        sp._enumerate(
-            sp.SpanNearQuery(
-                (sp.SpanTermQuery("a"), sp.SpanTermQuery("a"), sp.SpanTermQuery("a")),
-                slop=0,
-                in_order=False,
-            ),
-            posmap,
-        )
+
+
+def test_unordered_near_n_clause():
+    posmap = {
+        "a": np.array([0, 50], dtype=np.int64),
+        "b": np.array([3, 40], dtype=np.int64),
+        "c": np.array([5], dtype=np.int64),
+    }
+    q3 = sp.SpanNearQuery(
+        (sp.SpanTermQuery("a"), sp.SpanTermQuery("b"), sp.SpanTermQuery("c")),
+        slop=3,
+        in_order=False,
+    )
+    # anchor a@0: window {0,3,5} width 6, gap 6-3=3 <= 3 -> span [0,6)
+    # anchor a@50: best window {50,40,5} gap way over -> none
+    assert sp._enumerate(q3, posmap).tolist() == [[0, 6]]
+    # same-clause repeats need DISTINCT spans: three 'a' clauses over
+    # positions {0,1,2} within slop 0 -> gap (3-3)=0, matches at each
+    # anchor; over {0,10} no triple of distinct spans exists
+    rep = sp.SpanNearQuery(
+        (sp.SpanTermQuery("a"),) * 3, slop=0, in_order=False
+    )
+    assert (
+        sp._enumerate(rep, {"a": np.array([0, 1, 2], dtype=np.int64)}).shape[0] == 3
+    )
+    assert (
+        sp._enumerate(rep, {"a": np.array([0, 10], dtype=np.int64)}).size == 0
+    )
 
 
 def test_span_or_not_first_compose():
