@@ -452,6 +452,15 @@ def _q_lm_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_dfr_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import DFRInL2Similarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(idx, similarity=DFRInL2Similarity(s._avgdl))
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_classic_phrase(spark, sf_dir):
     from lucenenet_spark.functions.similarity import ClassicSimilarity
 
@@ -842,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_phrase_query": _q_classic_phrase,
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
+        "dfr_term_query": _q_dfr_term,
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
@@ -950,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_term_query": osql.classic_term_query_sql("spark"),
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "lm_term_query": osql.lm_term_query_sql("spark"),
+        "dfr_term_query": osql.dfr_term_query_sql("spark"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

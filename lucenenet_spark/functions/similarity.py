@@ -144,3 +144,51 @@ class LMDirichletSimilarity:
         )
         s = (np.float32(1.0) * inner.astype(np.float32)).astype(np.float32)
         return np.where(s > 0, s, np.float32(0.0)).astype(np.float32)
+
+
+class DFRInL2Similarity:
+    """Divergence-from-randomness I(n)L2 (reference
+    ``Search/Similarities/DFRSimilarity.cs:63`` composing
+    ``BasicModelIn.cs`` + ``AfterEffectL.cs`` + ``NormalizationH2.cs``
+    over SimilarityBase):
+
+        dl    = 1 / decode(norm)^2                  (SimilarityBase)
+        tfn   = freq * log2(1 + c * avgdl / dl)     (H2, c = 1)
+        score = boost * log2((N+1)/(df+0.5))        (I(n))
+                      * tfn / (1 + tfn)             (L)
+
+    The per-term constant boost*log2((N+1)/(df+0.5)) packs into the
+    weight scalar (score is linear in it, so boosts work). All math
+    in double with one float32 truncation at the end, log2 spelled
+    ln(x)/ln(2) in BOTH engines (the reference's SimilarityBase.Log2
+    is Math.Log(x)/Math.Log(2)) so the doubles agree bit-for-bit."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, avgdl: np.float32, c: float = 1.0):
+        self.avgdl = np.float32(avgdl)
+        self.c = float(c)
+
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
+        ln2 = np.log(2.0)
+        return np.float32(
+            float(boost) * (np.log((max_doc + 1.0) / (df + 0.5)) / ln2)
+        )
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        raise NotImplementedError(
+            "DFR phrase scoring needs pseudo-term stats the index "
+            "does not store"
+        )
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        ln2 = np.log(2.0)
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        dl = (np.float32(1.0) / (nd * nd)).astype(np.float32).astype(np.float64)
+        tfn = np.asarray(f, dtype=np.float64) * (
+            np.log(1.0 + self.c * np.float64(self.avgdl) / dl) / ln2
+        )
+        s = np.float64(np.float32(w)) * tfn / (1.0 + tfn)
+        return s.astype(np.float32)

@@ -767,6 +767,36 @@ scored AS (
     )
 
 
+def dfr_term_query_sql(term: str, k: int = K) -> str:
+    """DFR I(n)L2 term query mirror (similarity.py::DFRInL2Similarity):
+    w = f32(ln((N+1)/(df+0.5))/ln(2)), dl = f32(1/decode^2),
+    tfn = freq * ln(1 + avgdl/dl)/ln(2) in double,
+    score = f32(w * tfn/(1+tfn))."""
+    w = (
+        f"CAST(ln(CAST((SELECT max_doc FROM cstats) + 1.0 AS DOUBLE)"
+        f" / ((SELECT df FROM term_stats WHERE term = '{term}') + 0.5))"
+        f" / ln(2.0) AS REAL)"
+    )
+    dl = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS DOUBLE)"
+    tfn = (
+        f"(CAST(p.freq AS DOUBLE)"
+        f" * (ln(1.0 + CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl})"
+        f" / ln(2.0)))"
+    )
+    return (
+        bm25_prelude()
+        + f""",
+scored AS (
+  SELECT p.docid,
+         CAST(CAST({w} AS DOUBLE) * {tfn} / (1.0 + {tfn}) AS REAL) AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )
+
+
 def classic_phrase_sql(t0: str, t1: str, k: int = K) -> str:
     """ClassicSimilarity exact 2-term phrase: weight = float32(
     (Σf32 classic-idf)² * boost), score = (w * f32(sqrt(freq))) *
