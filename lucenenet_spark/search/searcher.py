@@ -329,6 +329,8 @@ class IndexSearcher:
                     ttf=ttf_, sttf=self.index.sum_total_term_freq,
                 )
                 val = leaf_value(float(tfs[sub.term]), w)
+                # (ttf/sttf reach the weight so LM/DFR explain agrees
+                # with their scorers bit-for-bit)
                 out = {
                     "type": "term", "term": sub.term, "match": True,
                     "value": val, "freq": float(tfs[sub.term]),

@@ -115,3 +115,20 @@ def test_search_many_matches_individual(searcher):
     for name, q in queries.items():
         expect = [(h.docid, h.score) for h in searcher.search(q, 5)]
         assert got[name] == expect, name
+
+
+def test_explain_lm_and_dfr_similarities(spark_index):
+    from lucenenet_spark.functions.similarity import (
+        DFRInL2Similarity,
+        LMDirichletSimilarity,
+    )
+
+    base = IndexSearcher(spark_index)
+    for sim in (LMDirichletSimilarity(), DFRInL2Similarity(base._avgdl)):
+        s = IndexSearcher(spark_index, similarity=sim)
+        q = TermQuery(term="return")
+        hits = s.search(q, 3)
+        assert hits
+        for h in hits:
+            e = s.explain(q, h.docid)
+            assert e["match"] and e["value"] == h.score, sim.name
