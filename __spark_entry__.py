@@ -768,6 +768,10 @@ def _q_ann_ivf(spark, sf_dir):
     return sim.cosine_topk_ivf(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def _q_ann_pq(spark, sf_dir):
+    return sim.cosine_topk_pq(_emb(spark, sf_dir), query_id=0, k=10)
+
+
 def _q_embedding_dups(spark, sf_dir):
     return sim.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.42)
 
@@ -870,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_float": _q_ann_float,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "event_window_counts": _q_event_windows,
@@ -925,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_float": oosql.ann_float_sql([1.0] * 64),
         "ann_lsh": oosql.ann_lsh_sql(query_id=0, k=10),
         "ann_ivf": oosql.ann_ivf_sql(query_id=0, k=10),
+        "ann_pq": oosql.ann_pq_sql(query_id=0, k=10),
         "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
         "embedding_dup_pairs_lsh": oosql.embedding_dup_pairs_lsh_sql(0.42),
         "event_window_counts": osql.event_window_counts_sql(),

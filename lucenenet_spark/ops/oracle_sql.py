@@ -687,3 +687,82 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS media_id,
          AS frame_idx
 FROM documents, UNNEST(range({n_samples})) AS u(i)
 WHERE doc_id % 3 = 2"""
+
+
+def ann_pq_sql(
+    query_id: int = 0, k: int = 10,
+    m: int = 4, n_centroids: int = 16, dim: int = 64,
+) -> str:
+    """Mirror of ops/similarity.py::cosine_topk_pq — product
+    quantization (Jegou et al. 2011 ADC) with the repo's integer
+    determinism: md5-ranked seed rows shared across subspaces, one
+    exact-int64-L2 Lloyd step (argmin ties -> lowest codeword,
+    truncating-division recenter), then asymmetric distance = sum of
+    the query's per-subspace exact distances to each stored code."""
+    dsub = dim // m
+
+    def assign(cent: str, d: str, a: str) -> str:
+        return f"""
+{d} AS (
+  SELECT f.id, f.j, c0.c,
+         CAST(sum((c0.w - f.v) * (c0.w - f.v)) AS BIGINT) AS dist
+  FROM fsub f JOIN {cent} c0 ON c0.j = f.j AND c0.dd = f.dd
+  GROUP BY f.id, f.j, c0.c
+),
+{a} AS (
+  SELECT id, j, c FROM (
+    SELECT id, j, c,
+           row_number() OVER (PARTITION BY id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM {d}
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH {_QFLAT},
+hk AS (
+  SELECT id, qv,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM q
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, qv
+  FROM hk ORDER BY h, id LIMIT {n_centroids}
+),
+cent0 AS (
+  SELECT CAST((kk - 1) // {dsub} AS INT) AS j, CAST(c AS INT) AS c,
+         CAST((kk - 1) % {dsub} AS INT) AS dd, qv[CAST(kk AS INT)] AS w
+  FROM seeds, UNNEST(range(1, len(qv) + 1)) AS u(kk)
+),
+fsub AS (
+  SELECT id, CAST((k - 1) // {dsub} AS INT) AS j,
+         CAST((k - 1) % {dsub} AS INT) AS dd, v
+  FROM flat
+),
+{assign("cent0", "d0", "a0")},
+sums AS (
+  SELECT a0.j, a0.c, f.dd, CAST(sum(f.v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a0 JOIN fsub f ON f.id = a0.id AND f.j = a0.j
+  GROUP BY a0.j, a0.c, f.dd
+),
+cent1 AS (
+  SELECT c0.j, c0.c, c0.dd, CAST(coalesce(s.s // s.n, c0.w) AS BIGINT) AS w
+  FROM cent0 c0 LEFT JOIN sums s
+    ON s.j = c0.j AND s.c = c0.c AND s.dd = c0.dd
+),
+{assign("cent1", "d1", "a1")},
+qsub AS (SELECT j, dd, v FROM fsub WHERE id = {query_id}),
+tbl AS (
+  SELECT c1.j, c1.c, CAST(sum((c1.w - qs.v) * (c1.w - qs.v)) AS BIGINT) AS dist
+  FROM cent1 c1 JOIN qsub qs ON qs.j = c1.j AND qs.dd = c1.dd
+  GROUP BY c1.j, c1.c
+),
+pqscored AS (
+  SELECT a1.id, CAST(sum(t.dist) AS BIGINT) AS approx_dist
+  FROM a1 JOIN tbl t ON t.j = a1.j AND t.c = a1.c
+  WHERE a1.id != {query_id}
+  GROUP BY a1.id
+)
+SELECT CAST(row_number() OVER (ORDER BY approx_dist ASC, id ASC) AS BIGINT) AS rank,
+       id, approx_dist
+FROM pqscored ORDER BY approx_dist ASC, id ASC LIMIT {k}"""

@@ -592,3 +592,143 @@ def cosine_topk_ivf_persisted(
     probes = _probe_clusters(qv, qcent, nprobe)
     cand = vecs.where(F.col("cluster").isin(probes))
     return cosine_topk_quantized(cand, query_id, k, id_col="id", vec_col=vec_col)
+
+
+# ----------------------------------------------------------- PQ
+
+def pq_model(
+    df: DataFrame,
+    m: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks, integer-deterministic (the PQ
+    of Jégou et al. 2011, built with the same reproducibility
+    discipline as :func:`ivf_model`): the quantized int64 vectors
+    split into ``m`` equal subspaces; per subspace, ``n_centroids``
+    codewords seeded from the md5-ranked sample rows (one bounded
+    TakeOrderedAndProject — the SAME ids seed every subspace) and
+    refined with ONE exact-int64-L2 Lloyd step (assignment ties to
+    the lowest centroid id, truncating-division recenter). Driver
+    state = the (m, n_centroids, d/m) int64 codebook — corpus-size
+    independent. Returns that array."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    q = quantize(df, id_col, vec_col)
+    seeds = (
+        q.withColumn("hk", md5_prefix_int_col(F.col("id").cast("string")))
+        .orderBy("hk", "id")
+        .limit(n_centroids)
+        .select("qvec")
+        .collect()
+    )
+    seed_mat = np.array([r["qvec"] for r in seeds], dtype=np.int64)
+    # (m, n_centroids, dsub)
+    cent0 = np.stack([seed_mat[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    codes = _pq_assign(q, cent0)
+    rows = (
+        codes.select("id", F.posexplode("codes").alias("sub", "cluster"))
+        .join(
+            q.select("id", F.posexplode("qvec").alias("dim", "v")).withColumn(
+                "sub", (F.col("dim") / dsub).cast("int")
+            ),
+            ["id", "sub"],
+        )
+        .groupBy("sub", "cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    cent1 = cent0.copy()
+    for r in rows:
+        cent1[r["sub"], r["cluster"], int(r["dim"]) % dsub] = _trunc_div(
+            int(r["s"]), int(r["n"])
+        )
+    return cent1
+
+
+def _pq_assign(q: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(id, codes array<int>): per subspace, the codeword minimizing
+    the EXACT int64 squared L2 distance (ties -> lowest id)."""
+    m, _nc, dsub = cents.shape
+    cc = cents.copy()
+
+    @F.pandas_udf("array<int>")
+    def assign(qvecs: pd.Series) -> pd.Series:
+        V = np.array([np.asarray(v, dtype=np.int64) for v in qvecs])
+        out = []
+        for row in V:
+            code = []
+            for j in range(m):
+                sub = row[j * dsub : (j + 1) * dsub]
+                diff = cc[j] - sub[None, :]
+                dist = (diff * diff).sum(axis=1)
+                code.append(int(np.argmin(dist)))  # ties -> lowest
+            out.append(code)
+        return pd.Series(out)
+
+    return q.select("id", assign(F.col("qvec")).alias("codes"))
+
+
+def cosine_topk_pq(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k by ASYMMETRIC distance (Jégou et al. ADC): the
+    query's exact quantized subvectors build an (m, n_centroids)
+    int64 distance table; each stored vector's approximate distance
+    is the table sum over its m codes — exact integer arithmetic end
+    to end, so ranking is bit-deterministic and SQL-mirrorable.
+    Output (rank, id, approx_dist). At scale the codes table is the
+    standing index (m bytes/vector); one scan + TakeOrdered serves a
+    query, and codebooks broadcast."""
+    cents = pq_model(df, m, n_centroids, id_col, vec_col)
+    q = quantize(df, id_col, vec_col)
+    codes = _pq_assign(q, cents)
+    qrow = q.where(F.col("id") == int(query_id)).select("qvec").collect()
+    if not qrow:
+        return df.sparkSession.createDataFrame(
+            [], "rank long, id long, approx_dist long"
+        )
+    dsub = cents.shape[2]
+    qv = np.asarray(qrow[0]["qvec"], dtype=np.int64)
+    table = np.stack(
+        [
+            ((cents[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            for j in range(cents.shape[0])
+        ]
+    )  # (m, n_centroids) int64
+
+    @F.pandas_udf("long")
+    def adist(codes_s: pd.Series) -> pd.Series:
+        out = np.empty(len(codes_s), dtype=np.int64)
+        for i, cs in enumerate(codes_s):
+            out[i] = int(sum(table[j, c] for j, c in enumerate(cs)))
+        return pd.Series(out)
+
+    from pyspark.sql import Window
+
+    scored = codes.where(F.col("id") != int(query_id)).select(
+        "id", adist(F.col("codes")).alias("approx_dist")
+    )
+    w = Window.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+    return (
+        scored.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "id",
+            F.col("approx_dist").cast("long").alias("approx_dist"),
+        )
+    )

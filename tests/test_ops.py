@@ -454,3 +454,71 @@ def test_lsh_band_width_scales_with_corpus(spark):
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in got}
     assert {(i, i + n) for i in range(5)} <= found
+
+
+def test_pq_topk_matches_pure_python_pipeline(emb_df):
+    """cosine_topk_pq vs a from-scratch numpy recomputation of the
+    whole PQ pipeline (md5-ranked seeds -> one exact-int64 Lloyd step
+    with trunc-div recenter -> ADC table scoring): bit-identical ids
+    and approx distances, so the DuckDB oracle mirror is trustworthy."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int
+    from lucenenet_spark.ops.similarity import QUANT_SCALE, _trunc_div
+
+    m, nc, k = 4, 8, 6
+    got = similarity.cosine_topk_pq(
+        emb_df, query_id=0, k=k, m=m, n_centroids=nc
+    ).collect()
+
+    rows = emb_df.collect()
+    qvecs = {
+        r["vec_id"]: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * QUANT_SCALE
+        ).astype(np.int64)
+        for r in rows
+    }
+    d = len(next(iter(qvecs.values())))
+    dsub = d // m
+    seed_ids = sorted(qvecs, key=lambda i: (md5_prefix_int(str(i)), i))[:nc]
+    cents = np.stack(
+        [
+            np.stack([qvecs[i][j * dsub : (j + 1) * dsub] for i in seed_ids])
+            for j in range(m)
+        ]
+    )  # (m, nc, dsub)
+
+    def assign(vec):
+        return [
+            int(np.argmin(((cents[j] - vec[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)))
+            for j in range(m)
+        ]
+
+    codes0 = {i: assign(v) for i, v in qvecs.items()}
+    cents1 = cents.copy()
+    for j in range(m):
+        for c in range(nc):
+            members = [i for i in qvecs if codes0[i][j] == c]
+            if members:
+                s = np.sum([qvecs[i][j * dsub : (j + 1) * dsub] for i in members], axis=0)
+                cents1[j, c] = [
+                    _trunc_div(int(x), len(members)) for x in s
+                ]
+    codes1 = {
+        i: [
+            int(np.argmin(((cents1[j] - v[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)))
+            for j in range(m)
+        ]
+        for i, v in qvecs.items()
+    }
+    qv = qvecs[0]
+    table = np.stack(
+        [((cents1[j] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    scored = sorted(
+        (
+            (int(sum(table[j, c] for j, c in enumerate(codes1[i]))), i)
+            for i in qvecs
+            if i != 0
+        ),
+    )[:k]
+    expect = [(r + 1, i, dist) for r, (dist, i) in enumerate(scored)]
+    assert [(r["rank"], r["id"], r["approx_dist"]) for r in got] == expect
