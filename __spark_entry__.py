@@ -461,6 +461,24 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_ib_ll_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import IBLLSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(idx, similarity=IBLLSimilarity(s._avgdl))
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_ib_spl_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import IBSPLSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(idx, similarity=IBSPLSimilarity(s._avgdl))
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_classic_phrase(spark, sf_dir):
     from lucenenet_spark.functions.similarity import ClassicSimilarity
 
@@ -856,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
         "dfr_term_query": _q_dfr_term,
+        "ib_ll_term_query": _q_ib_ll_term,
+        "ib_spl_term_query": _q_ib_spl_term,
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
@@ -967,6 +987,8 @@ def oracle_sql() -> dict[str, str]:
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "lm_term_query": osql.lm_term_query_sql("spark"),
         "dfr_term_query": osql.dfr_term_query_sql("spark"),
+        "ib_ll_term_query": osql.ib_term_query_sql("spark", dist="ll"),
+        "ib_spl_term_query": osql.ib_term_query_sql("spark", dist="spl"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -192,3 +192,82 @@ class DFRInL2Similarity:
         )
         s = np.float64(np.float32(w)) * tfn / (1.0 + tfn)
         return s.astype(np.float32)
+
+
+class IBLLSimilarity:
+    """Information-based similarity, log-logistic distribution
+    (reference ``Search/Similarities/IBSimilarity.cs:113`` composing
+    ``DistributionLL.cs:37`` + ``LambdaDF.cs:33`` +
+    ``NormalizationH2.cs:53``):
+
+        lambda = f32(df + 1) / f32(N + 1)           (LambdaDF — pure
+                                                     float32 division)
+        dl     = 1 / decode(norm)^2                 (SimilarityBase)
+        tfn    = f32(freq * log2(1 + c * avgdl/dl)) (H2, c = 1; the
+                                                     reference casts
+                                                     Tfn to float)
+        score  = f32(-ln(lambda / (tfn + lambda)))  (LL — the inner
+                                                     ratio is float32
+                                                     arithmetic, the
+                                                     log runs double)
+
+    lambda packs into the per-term weight scalar; score is not linear
+    in it, so per-term boosts other than 1.0 raise (same contract as
+    LM-Dirichlet)."""
+
+    name = "ib_ll"
+
+    def __init__(self, avgdl: np.float32, c: float = 1.0):
+        self.avgdl = np.float32(avgdl)
+        self.c = float(c)
+
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
+        if float(boost) != 1.0:
+            raise NotImplementedError(
+                "IBSimilarity packs lambda into the weight scalar; "
+                "per-term boosts are not supported"
+            )
+        return np.float32(np.float32(df + 1.0) / np.float32(max_doc + 1.0))
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        raise NotImplementedError(
+            "IB phrase scoring needs pseudo-term stats the index does "
+            "not store"
+        )
+
+    def _tfn(self, f: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        dl = (np.float32(1.0) / (nd * nd)).astype(np.float32).astype(np.float64)
+        return (
+            np.asarray(f, dtype=np.float64)
+            * (np.log(1.0 + self.c * np.float64(self.avgdl) / dl) / np.log(2.0))
+        ).astype(np.float32)
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        lam = np.float32(w)
+        tfn = self._tfn(f, norm_bytes)
+        ratio = lam / (tfn + lam)  # float32 ops, like the C# floats
+        return (-np.log(ratio.astype(np.float64))).astype(np.float32)
+
+
+class IBSPLSimilarity(IBLLSimilarity):
+    """IB with the smoothed power-law distribution
+    (``DistributionSPL.cs:38``): score = f32(-ln((lambda^(tfn/(tfn+1))
+    - lambda) / (1 - lambda))); the exponent tfn/(tfn+1) is float32
+    division, pow/ln run double (libm on both engines). lambda == 1
+    is clamped to 0.99 as the reference does (unreachable under
+    LambdaDF with df < N)."""
+
+    name = "ib_spl"
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        lam = np.float32(w)
+        if lam == np.float32(1.0):
+            lam = np.float32(0.99)
+        tfn = self._tfn(f, norm_bytes)
+        expo = (tfn / (tfn + np.float32(1.0))).astype(np.float32)
+        lam_d = np.float64(lam)
+        inner = (np.power(lam_d, expo.astype(np.float64)) - lam_d) / (1.0 - lam_d)
+        return (-np.log(inner)).astype(np.float32)

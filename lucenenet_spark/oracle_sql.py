@@ -1550,3 +1550,48 @@ def term_range_sql(lower: str, upper: str) -> str:
         bm25_prelude()
         + f"\nSELECT term, df, ttf FROM term_stats WHERE term >= '{lower}' AND term < '{upper}'"
     )
+
+
+def ib_term_query_sql(term: str, dist: str = "ll", k: int = K) -> str:
+    """IBSimilarity term query mirror (similarity.py::IBLLSimilarity /
+    IBSPLSimilarity): lambda = REAL(df+1)/REAL(N+1) (pure float32
+    division), tfn = f32(freq * log2(1 + avgdl/dl)), then
+    LL: s = f32(-ln(lambda/(tfn+lambda))) with the ratio in float32;
+    SPL: s = f32(-ln((lambda^f32(tfn/(tfn+1)) - lambda)/(1-lambda)))
+    with pow/ln in double — op-for-op with the numpy side."""
+    lam = (
+        f"(CAST((SELECT df FROM term_stats WHERE term = '{term}') + 1.0 AS REAL)"
+        f" / CAST((SELECT max_doc FROM cstats) + 1.0 AS REAL))"
+    )
+    dl = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS DOUBLE)"
+    tfn = (
+        f"CAST(CAST(p.freq AS DOUBLE)"
+        f" * (ln(1.0 + CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl})"
+        f" / ln(2.0)) AS REAL)"
+    )
+    if dist == "ll":
+        s = (
+            f"CAST(-ln(CAST((SELECT v FROM lam)"
+            f" / ({tfn} + (SELECT v FROM lam)) AS DOUBLE)) AS REAL)"
+        )
+    elif dist == "spl":
+        expo = f"CAST({tfn} / ({tfn} + CAST(1.0 AS REAL)) AS DOUBLE)"
+        lam_d = "CAST((SELECT v FROM lam) AS DOUBLE)"
+        s = (
+            f"CAST(-ln((pow({lam_d}, {expo}) - {lam_d})"
+            f" / (1.0 - {lam_d})) AS REAL)"
+        )
+    else:
+        raise ValueError(dist)
+    return (
+        bm25_prelude()
+        + f""",
+lam AS (SELECT {lam} AS v),
+scored AS (
+  SELECT p.docid, {s} AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )

@@ -120,11 +120,18 @@ def test_search_many_matches_individual(searcher):
 def test_explain_lm_and_dfr_similarities(spark_index):
     from lucenenet_spark.functions.similarity import (
         DFRInL2Similarity,
+        IBLLSimilarity,
+        IBSPLSimilarity,
         LMDirichletSimilarity,
     )
 
     base = IndexSearcher(spark_index)
-    for sim in (LMDirichletSimilarity(), DFRInL2Similarity(base._avgdl)):
+    for sim in (
+        LMDirichletSimilarity(),
+        DFRInL2Similarity(base._avgdl),
+        IBLLSimilarity(base._avgdl),
+        IBSPLSimilarity(base._avgdl),
+    ):
         s = IndexSearcher(spark_index, similarity=sim)
         q = TermQuery(term="return")
         hits = s.search(q, 3)
