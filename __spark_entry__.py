@@ -461,6 +461,14 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_lm_jm_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import LMJelinekMercerSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx, similarity=LMJelinekMercerSimilarity())
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_ib_ll_term(spark, sf_dir):
     from lucenenet_spark.functions.similarity import IBLLSimilarity
 
@@ -622,6 +630,19 @@ def _q_multi_field_boolean(spark, sf_dir):
         (TermQuery(term="merge", field="body"), Occur.MUST),
     )
     return _ranked(mfs.search_df(q, 10))
+
+
+def _q_per_field_sim_dismax(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+    from lucenenet_spark.search.multifield import MultiFieldSearcher
+
+    mfi = _mf_searcher(spark, sf_dir).index
+    mfs = MultiFieldSearcher(
+        mfi, similarity_by_field={"title": ClassicSimilarity()}
+    )
+    return _ranked(
+        mfs.dismax_all_fields(TermQuery(term="spark"), tie_breaker=0.3, k=10)
+    )
 
 
 def _q_grouped_topk(spark, sf_dir):
@@ -835,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_query": _q_function_query,
         "field_term_query": _q_field_term_query,
         "multi_field_dismax": _q_multi_field_dismax,
+        "per_field_sim_dismax": _q_per_field_sim_dismax,
         "multi_field_boolean": _q_multi_field_boolean,
         "sort_by_field": _q_sort_by_field,
         "sort_by_meta_desc": _q_sort_by_meta_desc,
@@ -874,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
         "dfr_term_query": _q_dfr_term,
+        "lm_jm_term_query": _q_lm_jm_term,
         "ib_ll_term_query": _q_ib_ll_term,
         "ib_spl_term_query": _q_ib_spl_term,
         "analyzing_suggest": _q_analyzing_suggest,
@@ -987,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "lm_term_query": osql.lm_term_query_sql("spark"),
         "dfr_term_query": osql.dfr_term_query_sql("spark"),
+        "lm_jm_term_query": osql.lm_jm_term_query_sql("spark"),
         "ib_ll_term_query": osql.ib_term_query_sql("spark", dist="ll"),
         "ib_spl_term_query": osql.ib_term_query_sql("spark", dist="spl"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
@@ -1008,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_range_query": osql.numeric_range_query_sql("spark", 20, 30),
         "field_term_query": osql.multifield_term_query_sql("merge", "t_"),
         "multi_field_dismax": osql.multifield_dismax_sql("spark", 0.3),
+        "per_field_sim_dismax": osql.per_field_sim_dismax_sql("spark", 0.3),
         "multi_field_boolean": osql.multifield_boolean_sql("spark", "merge"),
         "sort_by_field": osql.sort_by_field_sql("spark"),
         "sort_by_meta_desc": osql.sort_by_meta_desc_sql("spark", "lang"),

@@ -271,3 +271,50 @@ class IBSPLSimilarity(IBLLSimilarity):
         lam_d = np.float64(lam)
         inner = (np.power(lam_d, expo.astype(np.float64)) - lam_d) / (1.0 - lam_d)
         return (-np.log(inner)).astype(np.float32)
+
+
+class LMJelinekMercerSimilarity:
+    """Language-model similarity with Jelinek-Mercer smoothing
+    (reference ``Search/Similarities/LMJelinekMercerSimilarity.cs:57``):
+
+        p(t|C) = (ttf + 1) / (sttf + 1)     (LMSimilarity collection
+                                             model, packs into the
+                                             weight scalar)
+        docLen = 1 / decode(norm)^2
+        score  = f32(ln(1 + ((1-lambda) * freq / docLen)
+                            / (lambda * p)))
+
+    The inner ratio chain runs in float32 exactly as the C# does (all
+    operands are floats; only Math.Log promotes to double). Per-term
+    boosts other than 1.0 raise, same contract as LM-Dirichlet."""
+
+    name = "lm_jelinek_mercer"
+
+    def __init__(self, avgdl=None, lam: float = 0.1):  # avgdl unused
+        self.lam = np.float32(lam)
+
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
+        if float(boost) != 1.0:
+            raise NotImplementedError(
+                "LMJelinekMercerSimilarity packs p(t|C) into the weight "
+                "scalar; per-term boosts are not supported"
+            )
+        return np.float32(np.float32(ttf + 1.0) / np.float32(sttf + 1.0))
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        raise NotImplementedError(
+            "LM phrase scoring needs the phrase pseudo-term's "
+            "collection frequency, which the index does not store"
+        )
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        p = np.float32(w)
+        lam = self.lam
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        dl = (np.float32(1.0) / (nd * nd)).astype(np.float32)
+        ff = np.asarray(f, dtype=np.float32)
+        x = (np.float32(1.0) - lam) * ff / dl / (lam * p)
+        inner = np.float32(1.0) + x
+        return np.log(inner.astype(np.float64)).astype(np.float32)

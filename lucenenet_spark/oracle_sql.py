@@ -1595,3 +1595,76 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def lm_jm_term_query_sql(term: str, lam: float = 0.1, k: int = K) -> str:
+    """LMJelinekMercerSimilarity mirror (similarity.py::
+    LMJelinekMercerSimilarity): p = f32(ttf+1)/f32(sttf+1), the inner
+    (1-lambda)*freq/docLen/(lambda*p) chain entirely in REAL (the C#
+    runs it in float32), then ln in double truncated to REAL."""
+    lam_lit = _f32_lit(lam)
+    p = (
+        f"(CAST((SELECT ttf FROM term_stats WHERE term = '{term}') + 1.0 AS REAL)"
+        f" / CAST((SELECT sttf FROM cstats) + 1.0 AS REAL))"
+    )
+    dl = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS REAL)"
+    x = (
+        f"(({_f32_lit(1.0)} - {lam_lit}) * CAST(p.freq AS REAL) / {dl}"
+        f" / ({lam_lit} * (SELECT v FROM pw)))"
+    )
+    return (
+        bm25_prelude()
+        + f""",
+pw AS (SELECT {p} AS v),
+scored AS (
+  SELECT p.docid,
+         CAST(ln(CAST({_f32_lit(1.0)} + {x} AS DOUBLE)) AS REAL) AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )
+
+
+def _mf_classic_scores_cte(name: str, p: str, term: str, boost: float = 1.0) -> str:
+    """CTE ``{name}(docid, s)``: float32 ClassicSimilarity (TFIDF)
+    for one term in field ``{p}`` — idf = f32(ln(maxDoc/(df+1))+1),
+    s = (idf*idf*boost) * f32(sqrt(freq)) * byte315 norm."""
+    idf = (
+        f"CAST(ln(CAST((SELECT max_doc FROM {p}cstats) AS DOUBLE)"
+        f" / ((SELECT df FROM {p}term_stats WHERE term = '{term}') + 1)) + 1.0 AS REAL)"
+    )
+    return f"""{name}_w(w) AS (SELECT ({idf} * {idf}) * {_f32_lit(boost)}),
+{name} AS (
+  SELECT p.docid,
+         ((SELECT w FROM {name}_w) * CAST(sqrt(CAST(p.freq AS DOUBLE)) AS REAL))
+           * d.val AS s
+  FROM {p}postings p JOIN {p}norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+
+
+def per_field_sim_dismax_sql(term: str, tie: float, k: int = K) -> str:
+    """PerFieldSimilarityWrapper mirror: cross-field DisMax where the
+    title field scores with ClassicSimilarity and the body field with
+    BM25 — same float32 dismax fold as multifield_dismax_sql."""
+    z = _f32_lit(0.0)
+    return (
+        mf_prelude()
+        + ",\n" + _mf_classic_scores_cte("c0", "t_", term)
+        + ",\n" + _mf_term_scores_cte("c1", "b_", term)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         CAST(greatest(coalesce(c0.s, {z}), coalesce(c1.s, {z})) AS REAL) AS mx,
+         ({z} + coalesce(c0.s, {z})) + coalesce(c1.s, {z}) AS acc
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+scored AS (
+  SELECT docid, (mx + (acc - mx) * {_f32_lit(tie)}) * {_f32_lit(1.0)} AS s
+  FROM merged
+)"""
+        + _topk("scored", k)
+    )

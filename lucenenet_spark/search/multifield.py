@@ -35,12 +35,26 @@ class MultiFieldSearcher:
     """Routes fielded query nodes to per-field :class:`IndexSearcher`
     instances and combines across fields."""
 
-    def __init__(self, index: MultiFieldIndex, **searcher_kwargs):
+    def __init__(
+        self,
+        index: MultiFieldIndex,
+        similarity_by_field: dict | None = None,
+        **searcher_kwargs,
+    ):
+        """``similarity_by_field`` maps field name -> Similarity
+        instance, overriding the shared ``similarity=`` kwarg for
+        that field — the PerFieldSimilarityWrapper extension point
+        (reference ``Search/Similarities/PerFieldSimilarityWrapper.cs:30``:
+        ``Get(field)`` picks the per-field SimWeight/SimScorer; here
+        each field's IndexSearcher owns its Similarity, and the
+        cross-field float32 combiners are similarity-agnostic)."""
         self.index = index
-        self.searchers = {
-            name: IndexSearcher(idx, **searcher_kwargs)
-            for name, idx in index.fields.items()
-        }
+        self.searchers = {}
+        for name, idx in index.fields.items():
+            kw = dict(searcher_kwargs)
+            if similarity_by_field and name in similarity_by_field:
+                kw["similarity"] = similarity_by_field[name]
+            self.searchers[name] = IndexSearcher(idx, **kw)
 
     def _field_of(self, q: Query) -> str:
         f = getattr(q, "field", None) or self.index.default_field

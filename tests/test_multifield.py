@@ -159,3 +159,29 @@ def test_multifield_explain_matches_search(mf):
     for r in dq.collect():
         e = mfs.explain(q2, r["docid"])
         assert e["match"] and e["value"] == r["score"]
+
+
+def test_per_field_similarity_wrapper(mf):
+    """PerFieldSimilarityWrapper analog: a field override routes that
+    field's leaves through its own Similarity while other fields keep
+    the default — a fielded term query under the wrapper is
+    bit-identical to a plain searcher over that field's index with
+    the same Similarity installed."""
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+
+    _, idx = mf
+    mfs = MultiFieldSearcher(idx, similarity_by_field={"title": ClassicSimilarity()})
+    wrapped = [
+        (r["docid"], r["score"])
+        for r in mfs.search_df(TermQuery(term="spark", field="title"), 5).collect()
+    ]
+    direct = IndexSearcher(idx["title"], similarity=ClassicSimilarity())
+    expect = [(h.docid, h.score) for h in direct.search(TermQuery(term="spark"), 5)]
+    assert wrapped == expect
+    # the body field still scores BM25 (default)
+    body = [
+        (r["docid"], r["score"])
+        for r in mfs.search_df(TermQuery(term="spark", field="body"), 5).collect()
+    ]
+    bm25 = IndexSearcher(idx["body"])
+    assert body == [(h.docid, h.score) for h in bm25.search(TermQuery(term="spark"), 5)]
