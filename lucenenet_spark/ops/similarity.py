@@ -732,3 +732,95 @@ def cosine_topk_pq(
             F.col("approx_dist").cast("long").alias("approx_dist"),
         )
     )
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The standing-index form of PQ (the IVFADC storage layout of
+    Jégou et al. without the coarse stage): train the codebooks once,
+    write ONLY the per-vector codes (m small ints ≈ m bytes per
+    vector — at 10^10 vectors the codes table is ~40 GB vs ~2.5 TB of
+    float32 vectors) plus the (m * n_centroids * dsub) codebook table.
+    Query cost is then one scan of the codes table with a broadcast
+    ADC lookup — no vector reads at all. Also persists the query-able
+    vectors' quantized form for asymmetric queries by id. Returns the
+    codebook array."""
+    spark = df.sparkSession
+    cents = pq_model(df, m, n_centroids, id_col, vec_col)
+    q = quantize(df, id_col, vec_col)
+    _pq_assign(q, cents).write.mode("overwrite").parquet(f"{path}/codes")
+    q.write.mode("overwrite").parquet(f"{path}/qvecs")
+    mm, nc, dsub = cents.shape
+    spark.createDataFrame(
+        [
+            (j, c, [int(v) for v in cents[j, c]])
+            for j in range(mm)
+            for c in range(nc)
+        ],
+        "sub int, code int, centroid array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    return cents
+
+
+def cosine_topk_pq_persisted(
+    spark,
+    path: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Query a :func:`build_pq_index` warehouse: read the codebook
+    (tiny, driver-side), fetch the query's quantized vector by id
+    (parquet scan with an id pushdown), build the ADC table, and rank
+    the codes table by its broadcast lookup — bit-identical to the
+    inline :func:`cosine_topk_pq` on the same corpus."""
+    rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    nc = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    cents = np.zeros((m, nc, dsub), dtype=np.int64)
+    for r in rows:
+        cents[r["sub"], r["code"]] = r["centroid"]
+    qrow = (
+        spark.read.parquet(f"{path}/qvecs")
+        .where(F.col("id") == int(query_id))
+        .collect()
+    )
+    if not qrow:
+        return spark.createDataFrame([], "rank long, id long, approx_dist long")
+    qv = np.asarray(qrow[0]["qvec"], dtype=np.int64)
+    table = np.stack(
+        [
+            ((cents[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+
+    @F.pandas_udf("long")
+    def adist(codes_s: pd.Series) -> pd.Series:
+        out = np.empty(len(codes_s), dtype=np.int64)
+        for i, cs in enumerate(codes_s):
+            out[i] = int(sum(table[j, c] for j, c in enumerate(cs)))
+        return pd.Series(out)
+
+    from pyspark.sql import Window
+
+    codes = spark.read.parquet(f"{path}/codes")
+    scored = codes.where(F.col("id") != int(query_id)).select(
+        "id", adist(F.col("codes")).alias("approx_dist")
+    )
+    w = Window.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+    return (
+        scored.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "id",
+            F.col("approx_dist").cast("long").alias("approx_dist"),
+        )
+    )

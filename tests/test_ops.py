@@ -522,3 +522,17 @@ def test_pq_topk_matches_pure_python_pipeline(emb_df):
     )[:k]
     expect = [(r + 1, i, dist) for r, (dist, i) in enumerate(scored)]
     assert [(r["rank"], r["id"], r["approx_dist"]) for r in got] == expect
+
+
+def test_pq_persisted_index_matches_inline(emb_df, tmp_path):
+    """build_pq_index + cosine_topk_pq_persisted == inline
+    cosine_topk_pq bit-for-bit, and the standing index stores only
+    codes + codebook + quantized vectors (no floats)."""
+    spark = emb_df.sparkSession
+    path = str(tmp_path / "pq")
+    similarity.build_pq_index(emb_df, path, m=4, n_centroids=8)
+    inline = similarity.cosine_topk_pq(emb_df, query_id=3, k=5, m=4, n_centroids=8).collect()
+    persisted = similarity.cosine_topk_pq_persisted(spark, path, query_id=3, k=5).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in inline]
+    codes = spark.read.parquet(path + "/codes")
+    assert set(codes.columns) == {"id", "codes"}
