@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_term_query": _q_field_term_query,
         "multi_field_dismax": _q_multi_field_dismax,
         "per_field_sim_dismax": _q_per_field_sim_dismax,
+        "ann_pq": _q_ann_pq,
         "multi_field_boolean": _q_multi_field_boolean,
         "sort_by_field": _q_sort_by_field,
         "sort_by_meta_desc": _q_sort_by_meta_desc,
@@ -917,7 +918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_float": _q_ann_float,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_lsh": _q_embedding_dups_lsh,
         "event_window_counts": _q_event_windows,
