@@ -461,6 +461,34 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_dfr_ifb2_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import DFRSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(
+        idx,
+        similarity=DFRSimilarity(
+            s._avgdl, basic_model="if", after_effect="b", normalization="h2"
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_dfr_gl1_term(spark, sf_dir):
+    from lucenenet_spark.functions.similarity import DFRSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(
+        idx,
+        similarity=DFRSimilarity(
+            s._avgdl, basic_model="g", after_effect="l", normalization="h1"
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_lm_jm_term(spark, sf_dir):
     from lucenenet_spark.functions.similarity import LMJelinekMercerSimilarity
 
@@ -897,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
         "dfr_term_query": _q_dfr_term,
+        "dfr_ifb2_term_query": _q_dfr_ifb2_term,
+        "dfr_gl1_term_query": _q_dfr_gl1_term,
         "lm_jm_term_query": _q_lm_jm_term,
         "ib_ll_term_query": _q_ib_ll_term,
         "ib_spl_term_query": _q_ib_spl_term,
@@ -1010,6 +1040,12 @@ def oracle_sql() -> dict[str, str]:
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "lm_term_query": osql.lm_term_query_sql("spark"),
         "dfr_term_query": osql.dfr_term_query_sql("spark"),
+        "dfr_ifb2_term_query": osql.dfr_generic_term_query_sql(
+            "spark", basic_model="if", after_effect="b", normalization="h2"
+        ),
+        "dfr_gl1_term_query": osql.dfr_generic_term_query_sql(
+            "spark", basic_model="g", after_effect="l", normalization="h1"
+        ),
         "lm_jm_term_query": osql.lm_jm_term_query_sql("spark"),
         "ib_ll_term_query": osql.ib_term_query_sql("spark", dist="ll"),
         "ib_spl_term_query": osql.ib_term_query_sql("spark", dist="spl"),

@@ -318,3 +318,116 @@ class LMJelinekMercerSimilarity:
         x = (np.float32(1.0) - lam) * ff / dl / (lam * p)
         inner = np.float32(1.0) + x
         return np.log(inner.astype(np.float64)).astype(np.float32)
+
+
+class DFRSimilarity:
+    """Compositional divergence-from-randomness similarity (reference
+    ``Search/Similarities/DFRSimilarity.cs:121``: score = boost *
+    basicModel.Score(tfn) * afterEffect.Score(tfn)) — the generic
+    form of :class:`DFRInL2Similarity`, covering:
+
+    basic models (``BasicModel*.cs``) — per-term constant ``bm_c``:
+      - ``in``  (`BasicModelIn.cs:39`):  log2((N+1)/(df+0.5))
+      - ``if``  (`BasicModelIF.cs:39`):  log2(1+(N+1)/(ttf+0.5))
+      - ``ine`` (`BasicModelIne.cs:41`): log2((N+1)/(ne+0.5)),
+                ne = N*(1-((N-1)/N)^ttf)
+      - ``g``   (`BasicModelG.cs:44`):   NON-linear —
+                log2(1+lambda) + tfn*log2((1+lambda)/lambda),
+                lambda = (ttf+1)/(N+ttf+1)
+    after effects (``AfterEffect*.cs``):
+      - ``l`` (`AfterEffectL.cs`): 1/(1+tfn)
+      - ``b`` (`AfterEffectB.cs:37`): (ttf+2)/((df+1)*(tfn+1))
+    normalizations (``NormalizationH*.cs``):
+      - ``h1``: tfn = freq * avgdl/dl
+      - ``h2``: tfn = freq * log2(1 + c*avgdl/dl)
+
+    The engine bakes ONE float per (clause, term) into the scan plan,
+    so the per-term constants must fold into that scalar. Linear
+    basic models (in/if/ine) with either after-effect fold completely
+    (both effects share the 1/(1+tfn) shape; B contributes the extra
+    constant (ttf+2)/(df+1)): w = boost * bm_c [* b_c], score =
+    f32(w * tfn/(1+tfn)) — the same pinned double-math pipeline as
+    DFRInL2Similarity. The G model packs lambda as the scalar instead
+    (boost and after-effect B then have nowhere to ride: both raise).
+    All math runs double with one float32 truncation at the end, log2
+    spelled ln/ln2 in both engines — the discipline the InL2/IB/LM
+    mirrors pinned."""
+
+    def __init__(
+        self,
+        avgdl: np.float32,
+        basic_model: str = "in",
+        after_effect: str = "l",
+        normalization: str = "h2",
+        c: float = 1.0,
+    ):
+        if basic_model not in ("in", "if", "ine", "g"):
+            raise ValueError(basic_model)
+        if after_effect not in ("l", "b"):
+            raise ValueError(after_effect)
+        if normalization not in ("h1", "h2"):
+            raise ValueError(normalization)
+        if basic_model == "g" and after_effect == "b":
+            raise NotImplementedError(
+                "G x B needs two per-term constants; the engine's "
+                "weight slot carries one scalar"
+            )
+        self.avgdl = np.float32(avgdl)
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
+        self.c = float(c)
+        self.name = f"dfr_{basic_model}{after_effect}{normalization[-1]}"
+
+    def weight(
+        self, df: int, max_doc: int, boost: float, ttf: int = 0, sttf: int = 0
+    ) -> np.float32:
+        ln2 = np.log(2.0)
+        n = float(max_doc)
+        if self.basic_model == "g":
+            if float(boost) != 1.0:
+                raise NotImplementedError(
+                    "BasicModelG packs lambda into the weight scalar; "
+                    "per-term boosts are not supported"
+                )
+            return np.float32((ttf + 1.0) / (n + ttf + 1.0))
+        if self.basic_model == "in":
+            bm = np.log((n + 1.0) / (df + 0.5)) / ln2
+        elif self.basic_model == "if":
+            bm = np.log(1.0 + (n + 1.0) / (ttf + 0.5)) / ln2
+        else:  # ine
+            ne = n * (1.0 - ((n - 1.0) / n) ** float(ttf))
+            bm = np.log((n + 1.0) / (ne + 0.5)) / ln2
+        w = float(boost) * bm
+        if self.after_effect == "b":
+            w *= (ttf + 2.0) / (df + 1.0)
+        return np.float32(w)
+
+    def weight_multi(self, dfs, max_doc: int, boost: float) -> np.float32:
+        raise NotImplementedError(
+            "DFR phrase scoring needs pseudo-term stats the index "
+            "does not store"
+        )
+
+    def _tfn(self, f: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        dl = (np.float32(1.0) / (nd * nd)).astype(np.float32).astype(np.float64)
+        ff = np.asarray(f, dtype=np.float64)
+        if self.normalization == "h1":
+            return ff * (np.float64(self.avgdl) / dl)
+        return ff * (
+            np.log(1.0 + self.c * np.float64(self.avgdl) / dl) / np.log(2.0)
+        )
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        tfn = self._tfn(f, norm_bytes)
+        if self.basic_model == "g":
+            lam = np.float64(np.float32(w))
+            ln2 = np.log(2.0)
+            bm = (
+                np.log(1.0 + lam) / ln2
+                + tfn * (np.log((1.0 + lam) / lam) / ln2)
+            )
+            return (bm / (1.0 + tfn)).astype(np.float32)
+        s = np.float64(np.float32(w)) * tfn / (1.0 + tfn)
+        return s.astype(np.float32)

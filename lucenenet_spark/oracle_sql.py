@@ -1668,3 +1668,70 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def dfr_generic_term_query_sql(
+    term: str,
+    basic_model: str = "in",
+    after_effect: str = "l",
+    normalization: str = "h2",
+    k: int = K,
+) -> str:
+    """Compositional DFR mirror (similarity.py::DFRSimilarity).
+    Linear basic models fold with the after-effect constant into one
+    double weight truncated to REAL; tfn per normalization; G packs
+    lambda and rebuilds its nonlinear form in SQL — all op-for-op
+    with the numpy side."""
+    n = "CAST((SELECT max_doc FROM cstats) AS DOUBLE)"
+    df_ = f"(SELECT df FROM term_stats WHERE term = '{term}')"
+    ttf = f"(SELECT ttf FROM term_stats WHERE term = '{term}')"
+    dl = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS DOUBLE)"
+    if normalization == "h1":
+        tfn = f"(CAST(p.freq AS DOUBLE) * (CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl}))"
+    else:
+        tfn = (
+            f"(CAST(p.freq AS DOUBLE)"
+            f" * (ln(1.0 + CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl})"
+            f" / ln(2.0)))"
+        )
+    if basic_model == "g":
+        lam = f"CAST(CAST(({ttf} + 1.0) / ({n} + {ttf} + 1.0) AS REAL) AS DOUBLE)"
+        s = (
+            f"CAST((ln(1.0 + {lam}) / ln(2.0)"
+            f" + {tfn} * (ln((1.0 + {lam}) / {lam}) / ln(2.0)))"
+            f" / (1.0 + {tfn}) AS REAL)"
+        )
+        return (
+            bm25_prelude()
+            + f""",
+scored AS (
+  SELECT p.docid, {s} AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+            + _topk("scored", k)
+        )
+    if basic_model == "in":
+        bm = f"(ln(({n} + 1.0) / ({df_} + 0.5)) / ln(2.0))"
+    elif basic_model == "if":
+        bm = f"(ln(1.0 + ({n} + 1.0) / ({ttf} + 0.5)) / ln(2.0))"
+    else:  # ine
+        ne = f"({n} * (1.0 - pow(({n} - 1.0) / {n}, {ttf})))"
+        bm = f"(ln(({n} + 1.0) / ({ne} + 0.5)) / ln(2.0))"
+    w = bm
+    if after_effect == "b":
+        w = f"({bm} * (({ttf} + 2.0) / ({df_} + 1.0)))"
+    return (
+        bm25_prelude()
+        + f""",
+w AS (SELECT CAST({w} AS REAL) AS v),
+scored AS (
+  SELECT p.docid,
+         CAST(CAST((SELECT v FROM w) AS DOUBLE) * {tfn} / (1.0 + {tfn}) AS REAL) AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )

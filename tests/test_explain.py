@@ -139,3 +139,32 @@ def test_explain_lm_and_dfr_similarities(spark_index):
         for h in hits:
             e = s.explain(q, h.docid)
             assert e["match"] and e["value"] == h.score, sim.name
+
+
+def test_generic_dfr_configs_explain_and_inl2_parity(spark_index):
+    """DFRSimilarity('in','l','h2') is bit-identical to the pinned
+    DFRInL2Similarity, and explain's root value matches the search
+    score for a nonlinear (G) and a B-after-effect composition."""
+    from lucenenet_spark.functions.similarity import (
+        DFRInL2Similarity,
+        DFRSimilarity,
+    )
+
+    base = IndexSearcher(spark_index)
+    q = TermQuery(term="return")
+    pinned = IndexSearcher(
+        spark_index, similarity=DFRInL2Similarity(base._avgdl)
+    ).search(q, 5)
+    generic = IndexSearcher(
+        spark_index, similarity=DFRSimilarity(base._avgdl, "in", "l", "h2")
+    ).search(q, 5)
+    assert [(h.docid, h.score) for h in pinned] == [
+        (h.docid, h.score) for h in generic
+    ]
+    for cfg in (("if", "b", "h2"), ("g", "l", "h1"), ("ine", "b", "h1")):
+        s = IndexSearcher(spark_index, similarity=DFRSimilarity(base._avgdl, *cfg))
+        hits = s.search(q, 3)
+        assert hits, cfg
+        for h in hits:
+            e = s.explain(q, h.docid)
+            assert e["match"] and e["value"] == h.score, cfg
