@@ -461,6 +461,22 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_nb_classify(spark, sf_dir):
+    from lucenenet_spark.classification import naive_bayes_classify
+
+    docs = _docs(spark, sf_dir)
+    return naive_bayes_classify(
+        docs, docs.where(F.col("doc_id") < 50), class_col="source"
+    )
+
+
+def _q_knn_classify(spark, sf_dir):
+    from lucenenet_spark.classification import knn_classify
+
+    _, s = _searcher(spark, sf_dir)
+    return knn_classify(s, _docs(spark, sf_dir), docid=0, k=10, class_col="source")
+
+
 def _q_dfr_ifb2_term(spark, sf_dir):
     from lucenenet_spark.functions.similarity import DFRSimilarity
 
@@ -925,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_snippets": _q_highlight_snippets,
         "lm_term_query": _q_lm_term,
         "dfr_term_query": _q_dfr_term,
+        "nb_classify": _q_nb_classify,
+        "knn_classify": _q_knn_classify,
         "dfr_ifb2_term_query": _q_dfr_ifb2_term,
         "dfr_gl1_term_query": _q_dfr_gl1_term,
         "lm_jm_term_query": _q_lm_jm_term,
@@ -1040,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "classic_phrase_query": osql.classic_phrase_sql("table", "hash"),
         "lm_term_query": osql.lm_term_query_sql("spark"),
         "dfr_term_query": osql.dfr_term_query_sql("spark"),
+        "nb_classify": osql.nb_classify_sql(50, "source"),
+        "knn_classify": osql.knn_classify_sql(0, 10),
         "dfr_ifb2_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="if", after_effect="b", normalization="h2"
         ),

@@ -1735,3 +1735,86 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def nb_classify_sql(
+    max_input_doc: int = 50, class_col: str = "source"
+) -> str:
+    """Mirror of classification.py::naive_bayes_classify over the
+    documents table (train = all docs, inputs = doc_id < max_input_doc):
+    same fixed-point floor(ln(p)*1e6) arithmetic, add-1 smoothing,
+    den = (sumDocFreq/docCount)*ndocs_c + total, argmax with
+    class-ascending tie-break — integer sums, so hash-exact."""
+    tok = duckdb_token_sql("documents", "doc_id", "text")
+    fp = "1000000"
+    return f"""
+WITH rawtok AS ({tok}),
+ttok AS (SELECT docid, term, CAST(count(*) AS BIGINT) AS tf
+         FROM rawtok GROUP BY docid, term),
+labeled AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid, {class_col} AS cls
+  FROM documents WHERE {class_col} IS NOT NULL
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM ttok) AS DOUBLE)
+         / CAST((SELECT count(*) FROM documents WHERE text IS NOT NULL) AS DOUBLE)
+         AS avg_unique,
+         (SELECT count(*) FROM labeled) AS total
+),
+classes AS (
+  SELECT cls, CAST(count(*) AS BIGINT) AS ndocs FROM labeled GROUP BY cls
+),
+cdim AS (
+  SELECT c.cls,
+         ((SELECT avg_unique FROM consts) * c.ndocs)
+           + (SELECT total FROM consts) AS den,
+         CAST(floor(ln(CAST(c.ndocs AS DOUBLE)) * {fp}) AS BIGINT)
+           - CAST(floor(ln(CAST((SELECT total FROM consts) AS DOUBLE)) * {fp}) AS BIGINT)
+           AS prior_fp
+  FROM classes c
+),
+wf AS (
+  SELECT t.term, l.cls, CAST(count(*) AS BIGINT) AS wf
+  FROM ttok t JOIN labeled l ON l.docid = t.docid
+  GROUP BY t.term, l.cls
+),
+itok AS (SELECT docid, term, tf FROM ttok WHERE docid < {max_input_doc}),
+grid AS (
+  SELECT i.docid, c.cls, c.prior_fp,
+         i.tf * CAST(floor(ln((coalesce(w.wf, 0) + 1.0) / c.den) * {fp}) AS BIGINT)
+           AS c_fp
+  FROM itok i CROSS JOIN cdim c
+  LEFT JOIN wf w ON w.term = i.term AND w.cls = c.cls
+),
+scores AS (
+  SELECT docid, cls, prior_fp, CAST(sum(c_fp) AS BIGINT) AS ll_fp
+  FROM grid GROUP BY docid, cls, prior_fp
+)
+SELECT docid AS doc_id, cls AS label,
+       CAST(prior_fp + ll_fp AS BIGINT) AS score_fp
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY docid ORDER BY (prior_fp + ll_fp) DESC, cls ASC
+  ) AS rn
+  FROM scores
+) WHERE rn = 1"""
+
+
+def knn_classify_sql(
+    docid: int = 0,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    class_col: str = "source",
+) -> str:
+    """Mirror of classification.py::knn_classify: majority vote over
+    the MLT top-k neighbors' stored class, ties to the smallest
+    class."""
+    mlt = mlt_topk_sql(docid, max_query_terms, min_term_freq, min_doc_freq, k)
+    return f"""
+SELECT d.{class_col} AS label, CAST(count(*) AS BIGINT) AS votes
+FROM ({mlt}) m JOIN documents d ON CAST(d.doc_id AS BIGINT) = m.docid
+GROUP BY d.{class_col}
+ORDER BY votes DESC, label ASC
+LIMIT 1"""
