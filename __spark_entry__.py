@@ -461,6 +461,30 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _spatial_pts(spark, sf_dir):
+    from lucenenet_spark.spatial import synthetic_points
+
+    return synthetic_points(_docs(spark, sf_dir))
+
+
+def _q_spatial_bbox(spark, sf_dir):
+    from lucenenet_spark.spatial import bbox_query
+
+    return bbox_query(_spatial_pts(spark, sf_dir), -30.0, 30.0, -60.0, 60.0)
+
+
+def _q_spatial_distance_topk(spark, sf_dir):
+    from lucenenet_spark.spatial import distance_topk
+
+    return distance_topk(_spatial_pts(spark, sf_dir), 48.85, 2.35, k=10)
+
+
+def _q_spatial_distance_join(spark, sf_dir):
+    from lucenenet_spark.spatial import distance_join
+
+    return distance_join(_spatial_pts(spark, sf_dir), radius_km=500.0)
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -943,6 +967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_term_query": _q_dfr_term,
         "nb_classify": _q_nb_classify,
         "knn_classify": _q_knn_classify,
+        "spatial_bbox": _q_spatial_bbox,
+        "spatial_distance_topk": _q_spatial_distance_topk,
+        "spatial_distance_join": _q_spatial_distance_join,
         "dfr_ifb2_term_query": _q_dfr_ifb2_term,
         "dfr_gl1_term_query": _q_dfr_gl1_term,
         "lm_jm_term_query": _q_lm_jm_term,
@@ -1060,6 +1087,9 @@ def oracle_sql() -> dict[str, str]:
         "dfr_term_query": osql.dfr_term_query_sql("spark"),
         "nb_classify": osql.nb_classify_sql(50, "source"),
         "knn_classify": osql.knn_classify_sql(0, 10),
+        "spatial_bbox": osql.spatial_bbox_sql(-30.0, 30.0, -60.0, 60.0),
+        "spatial_distance_topk": osql.spatial_distance_topk_sql(48.85, 2.35, 10),
+        "spatial_distance_join": osql.spatial_distance_join_sql(500.0),
         "dfr_ifb2_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="if", after_effect="b", normalization="h2"
         ),

@@ -1818,3 +1818,66 @@ FROM ({mlt}) m JOIN documents d ON CAST(d.doc_id AS BIGINT) = m.docid
 GROUP BY d.{class_col}
 ORDER BY votes DESC, label ASC
 LIMIT 1"""
+
+
+_SPATIAL_POINTS = """
+pts AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST((CAST(doc_id AS BIGINT) * 2654435761) % 1800001 AS DOUBLE)
+           / 10000.0 - 90.0 AS lat,
+         CAST((CAST(doc_id AS BIGINT) * 2246822519) % 3600001 AS DOUBLE)
+           / 10000.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+_D2R = "0.017453292519943295"
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """float32 haversine km, op-for-op with spatial.py::_haversine_udf
+    (double math, explicit deg->rad literal, sqrt clamped, f32 cast)."""
+    dp = f"(({lat2}) - ({lat1})) * {_D2R}"
+    dl = f"(({lon2}) - ({lon1})) * {_D2R}"
+    h = (
+        f"pow(sin(({dp}) / 2.0), 2)"
+        f" + cos(({lat1}) * {_D2R}) * cos(({lat2}) * {_D2R})"
+        f" * pow(sin(({dl}) / 2.0), 2)"
+    )
+    return f"CAST(2.0 * 6371.0 * asin(least(sqrt({h}), 1.0)) AS REAL)"
+
+
+def spatial_bbox_sql(
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float
+) -> str:
+    """Mirror of spatial.py::bbox_query over the synthetic points."""
+    return f"""
+WITH {_SPATIAL_POINTS}
+SELECT id, lat, lon FROM pts
+WHERE lat BETWEEN {min_lat} AND {max_lat}
+  AND lon BETWEEN {min_lon} AND {max_lon}
+ORDER BY id"""
+
+
+def spatial_distance_topk_sql(qlat: float, qlon: float, k: int = 10) -> str:
+    """Mirror of spatial.py::distance_topk."""
+    d = _hav_sql(str(float(qlat)), str(float(qlon)), "lat", "lon")
+    return f"""
+WITH {_SPATIAL_POINTS},
+scored AS (SELECT id, {d} AS dist_km FROM pts)
+SELECT CAST(row_number() OVER (ORDER BY dist_km ASC, id ASC) AS BIGINT) AS rank,
+       id, CAST(dist_km AS DOUBLE) AS dist_km
+FROM scored ORDER BY dist_km ASC, id ASC LIMIT {k}"""
+
+
+def spatial_distance_join_sql(radius_km: float) -> str:
+    """Mirror of spatial.py::distance_join — the oracle form is the
+    exact all-pairs filter (correct by definition at oracle scale;
+    the Spark side must find exactly the same pairs through its
+    banded join)."""
+    d = _hav_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH {_SPATIAL_POINTS}
+SELECT a.id AS id_a, b.id AS id_b, CAST({d} AS DOUBLE) AS dist_km
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE {d} <= CAST({float(radius_km)} AS REAL)
+ORDER BY id_a, id_b"""
