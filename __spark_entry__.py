@@ -485,6 +485,21 @@ def _q_spatial_distance_join(spark, sf_dir):
     return distance_join(_spatial_pts(spark, sf_dir), radius_km=500.0)
 
 
+def _q_percolate(spark, sf_dir):
+    from lucenenet_spark.percolate import percolate
+
+    standing = {
+        "spark_term": TermQuery(term="spark"),
+        "spark_not_merge": BooleanQuery.of(
+            (TermQuery(term="spark"), Occur.MUST),
+            (TermQuery(term="merge"), Occur.MUST_NOT),
+        ),
+        "table_hash_phrase": PhraseQuery(phrase_terms=("table", "hash")),
+        "par_prefix": PrefixQuery(prefix="par"),
+    }
+    return percolate(_docs(spark, sf_dir), standing)
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_term_query": _q_ib_spl_term,
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "percolate": _q_percolate,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1099,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_term_query": osql.lm_jm_term_query_sql("spark"),
         "ib_ll_term_query": osql.ib_term_query_sql("spark", dist="ll"),
         "ib_spl_term_query": osql.ib_term_query_sql("spark", dist="spl"),
+        "percolate": osql.percolate_sql(),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

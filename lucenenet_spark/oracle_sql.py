@@ -1881,3 +1881,33 @@ SELECT a.id AS id_a, b.id AS id_b, CAST({d} AS DOUBLE) AS dist_km
 FROM pts a JOIN pts b ON a.id < b.id
 WHERE {d} <= CAST({float(radius_km)} AS REAL)
 ORDER BY id_a, id_b"""
+
+
+def percolate_sql() -> str:
+    """Mirror of the percolate driver entry's standing query set:
+    term 'spark'; (+spark -merge); exact phrase "table hash";
+    prefix 'par' — each an EXISTS-style distinct-docid select over
+    the shared token CTE."""
+    tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
+    return f"""
+WITH tok AS ({tok}),
+m_term AS (SELECT DISTINCT docid FROM tok WHERE term = 'spark'),
+m_bool AS (
+  SELECT docid FROM m_term
+  WHERE docid NOT IN (SELECT DISTINCT docid FROM tok WHERE term = 'merge')
+),
+m_phrase AS (
+  SELECT DISTINCT a.docid
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'
+),
+m_prefix AS (SELECT DISTINCT docid FROM tok WHERE term LIKE 'par%')
+SELECT doc_id, query_id FROM (
+  SELECT docid AS doc_id, 'spark_term' AS query_id FROM m_term
+  UNION ALL
+  SELECT docid, 'spark_not_merge' FROM m_bool
+  UNION ALL
+  SELECT docid, 'table_hash_phrase' FROM m_phrase
+  UNION ALL
+  SELECT docid, 'par_prefix' FROM m_prefix
+) ORDER BY doc_id, query_id"""
