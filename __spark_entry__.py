@@ -500,6 +500,44 @@ def _q_percolate(spark, sf_dir):
     return percolate(_docs(spark, sf_dir), standing)
 
 
+_SYN_MAP = (("merge", ("join",)),)
+
+
+def _q_synonym_index_term(spark, sf_dir):
+    """Index-time SynonymFilter: merge->join injected at index build;
+    TermQuery('join') then also hits every 'merge' doc, with df/tf
+    from the augmented postings and base-token norms."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        synonyms=_SYN_MAP,
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="join"), 10))
+
+
+def _q_synonym_expand_or(spark, sf_dir):
+    """Query-time synonym expansion: TermQuery('merge') rewrites to
+    SHOULD(merge, join) — identical plan/scores to boolean_or."""
+    from lucenenet_spark.analysis.synonyms import expand_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = expand_query(TermQuery(term="merge"), dict(_SYN_MAP))
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_synonym_expand_phrase(spark, sf_dir):
+    """Query-time expansion inside a phrase: slot alternatives via
+    MultiPhraseQuery (the analyzer-graph phrase)."""
+    from lucenenet_spark.analysis.synonyms import expand_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = expand_query(
+        PhraseQuery(phrase_terms=("fast", "merge")), dict(_SYN_MAP)
+    )
+    return _ranked(s.search_df(q, 10))
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -993,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "percolate": _q_percolate,
+        "synonym_index_term": _q_synonym_index_term,
+        "synonym_expand_or": _q_synonym_expand_or,
+        "synonym_expand_phrase": _q_synonym_expand_phrase,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1116,6 +1157,9 @@ def oracle_sql() -> dict[str, str]:
         "ib_ll_term_query": osql.ib_term_query_sql("spark", dist="ll"),
         "ib_spl_term_query": osql.ib_term_query_sql("spark", dist="spl"),
         "percolate": osql.percolate_sql(),
+        "synonym_index_term": osql.synonym_index_term_sql(_SYN_MAP, "join"),
+        "synonym_expand_or": osql.boolean_or_sql("merge", "join"),
+        "synonym_expand_phrase": osql.multi_phrase_sql(["fast"], ["merge", "join"]),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

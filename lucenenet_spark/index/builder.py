@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucenenet_spark.analysis.analyzer import analyze
+from lucenenet_spark.analysis.synonyms import inject_synonyms
 from lucenenet_spark.functions.smallfloat import norm_byte_from_length
 from lucenenet_spark.functions.varbyte import (
     BLOCK_SIZE,
@@ -86,6 +87,11 @@ class CorpusSpec:
     stem: bool = False
     # CJK bigram tokenization (CJKAnalyzer role); exclusive with stem
     cjk: bool = False
+    # index-time synonym injection (SynonymFilter role): the frozen
+    # form from analysis.synonyms.synonym_map — injected terms share
+    # the source token's position and do NOT count toward
+    # field_length/norms (discountOverlaps, BM25Similarity.cs:133)
+    synonyms: "tuple[tuple[str, tuple[str, ...]], ...] | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -238,7 +244,13 @@ class _SegmentWriter:
     flushes sorted, bucket-split, ≤128-doc delta+varbyte blocks plus
     the doc-level rows — all inside one Python stage, no shuffle."""
 
-    def __init__(self, meta_cols: list[str], stem: bool = False, cjk: bool = False):
+    def __init__(
+        self,
+        meta_cols: list[str],
+        stem: bool = False,
+        cjk: bool = False,
+        synonyms=None,
+    ):
         self.meta_cols = meta_cols
         if stem and cjk:
             raise ValueError("stem and cjk analyzers are mutually exclusive")
@@ -252,6 +264,7 @@ class _SegmentWriter:
             self.analyze = analyze_cjk
         else:
             self.analyze = analyze
+        self.synonyms = dict(synonyms) if synonyms else None
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
         self.terms: dict[str, tuple[list, list, list, list]] = {}
         self.doc_ids: list[int] = []
@@ -265,7 +278,12 @@ class _SegmentWriter:
         per_doc: list[dict[str, list[int]]] = []
         for i, text in enumerate(texts):
             pairs = self.analyze(text)
+            # field_length counts BASE tokens only — injected synonyms
+            # are posIncrement-0 overlaps, discounted from norms
+            # (discountOverlaps, BM25Similarity.cs:133)
             fls[i] = len(pairs)
+            if self.synonyms is not None:
+                pairs = inject_synonyms(pairs, self.synonyms)
             agg: dict[str, list[int]] = {}
             for term, pos in pairs:
                 agg.setdefault(term, []).append(pos)
@@ -349,13 +367,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -618,7 +636,10 @@ def build_index(
         with_ids = corpus.withColumn("docid", F.col(spec.id_col).cast("long"))
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(None, meta, spec.stem, spec.cjk), schema=schema)
+        ).mapInPandas(
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms),
+            schema=schema,
+        )
     else:
         # no pre-existing id: range-partitioned total order, with docid
         # assignment FUSED into the tokenize stage (a separate
@@ -627,7 +648,10 @@ def build_index(
         ordered, offsets = _ordered_with_offsets(corpus, spec, partitions)
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
-        ).mapInPandas(_segment_gen(offsets, meta, spec.stem, spec.cjk), schema=schema)
+        ).mapInPandas(
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms),
+            schema=schema,
+        )
     flat_all = flat_all.persist()
 
     packed = flat_all.where(F.col("term").isNotNull()).select(

@@ -55,18 +55,42 @@ def _norm_table_values() -> str:
 
 # Shared CTE prefix: tokenization -> postings -> doc lengths -> norm
 # bytes -> corpus stats -> term stats -> per-norm-byte cache.
-def bm25_prelude(with_positions: bool = False) -> str:
+def bm25_prelude(with_positions: bool = False, synonyms=None) -> str:
+    """With ``synonyms`` (the frozen analysis.synonyms map form), the
+    token relation is augmented with injected (synonym, same-pos) rows
+    — duplicates collapsed — while doc lengths/norms keep counting
+    BASE tokens only (discountOverlaps), mirroring the engine's
+    index-time SynonymFilter exactly."""
     tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
     pos_col = ", pos" if with_positions else ""
+    if synonyms:
+        inj = "\n    UNION ALL\n".join(
+            f"    SELECT docid, '{syn}' AS term, pos FROM tok_base"
+            f" WHERE term = '{src}'"
+            for src, syns in synonyms
+            for syn in syns
+        )
+        tok_ctes = f"""tok_base AS ({tok}),
+tok AS (
+  SELECT DISTINCT docid, term, pos FROM (
+    SELECT docid, term, pos FROM tok_base
+    UNION ALL
+{inj}
+  )
+)"""
+        doclen_src = "tok_base"
+    else:
+        tok_ctes = f"tok AS ({tok})"
+        doclen_src = "tok"
     return f"""
-WITH tok AS ({tok}),
+WITH {tok_ctes},
 postings AS (
   SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok GROUP BY docid, term
 ),
 doclen AS (
   SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
   FROM documents d
-  LEFT JOIN (SELECT docid, count(*) AS fl FROM tok GROUP BY docid) t
+  LEFT JOIN (SELECT docid, count(*) AS fl FROM {doclen_src} GROUP BY docid) t
     ON d.doc_id = t.docid
 ),
 norm_decode(b, val) AS (VALUES {_norm_decode_values()}),
@@ -1881,6 +1905,18 @@ SELECT a.id AS id_a, b.id AS id_b, CAST({d} AS DOUBLE) AS dist_km
 FROM pts a JOIN pts b ON a.id < b.id
 WHERE {d} <= CAST({float(radius_km)} AS REAL)
 ORDER BY id_a, id_b"""
+
+
+def synonym_index_term_sql(synonyms, term: str, k: int = K) -> str:
+    """Term query over a synonym-INJECTED index: the token relation is
+    augmented (bm25_prelude(synonyms=...)) so df/tf/ttf include the
+    injected occurrences while norms stay base-token-only."""
+    return (
+        bm25_prelude(synonyms=synonyms)
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
 
 
 def percolate_sql() -> str:

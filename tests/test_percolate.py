@@ -124,3 +124,4 @@ def test_percolate_pure_should_needs_one(spark):
         (TermQuery(term="yyy"), Occur.SHOULD),
     )
     assert percolate(docs, {"q": q2}).count() == 1
+
