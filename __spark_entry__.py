@@ -538,6 +538,19 @@ def _q_synonym_expand_phrase(spark, sf_dir):
     return _ranked(s.search_df(q, 10))
 
 
+def _q_shingle_term(spark, sf_dir):
+    """ShingleFilter index: bigram 'table hash' is a single index term
+    — a phrase query served by one pruned term lookup (no positions
+    join), the phrase-at-scale fast path."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        shingle_size=2,
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="table hash"), 10))
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1034,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_index_term": _q_synonym_index_term,
         "synonym_expand_or": _q_synonym_expand_or,
         "synonym_expand_phrase": _q_synonym_expand_phrase,
+        "shingle_term_query": _q_shingle_term,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1160,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_index_term": osql.synonym_index_term_sql(_SYN_MAP, "join"),
         "synonym_expand_or": osql.boolean_or_sql("merge", "join"),
         "synonym_expand_phrase": osql.multi_phrase_sql(["fast"], ["merge", "join"]),
+        "shingle_term_query": osql.shingle_term_query_sql("table hash", 2),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucenenet_spark.analysis.analyzer import analyze
+from lucenenet_spark.analysis.shingles import add_shingles
 from lucenenet_spark.analysis.synonyms import inject_synonyms
 from lucenenet_spark.functions.smallfloat import norm_byte_from_length
 from lucenenet_spark.functions.varbyte import (
@@ -92,6 +93,11 @@ class CorpusSpec:
     # the source token's position and do NOT count toward
     # field_length/norms (discountOverlaps, BM25Similarity.cs:133)
     synonyms: "tuple[tuple[str, tuple[str, ...]], ...] | None" = None
+    # word-shingle emission (ShingleFilter role): max shingle size
+    # (2 = unigrams+bigrams). Shingles sit at their leading token's
+    # position and are overlap tokens (excluded from norms). Applied
+    # to the base token stream BEFORE synonym injection.
+    shingle_size: "int | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -250,6 +256,7 @@ class _SegmentWriter:
         stem: bool = False,
         cjk: bool = False,
         synonyms=None,
+        shingle_size=None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -265,6 +272,7 @@ class _SegmentWriter:
         else:
             self.analyze = analyze
         self.synonyms = dict(synonyms) if synonyms else None
+        self.shingle_size = shingle_size
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
         self.terms: dict[str, tuple[list, list, list, list]] = {}
         self.doc_ids: list[int] = []
@@ -282,6 +290,8 @@ class _SegmentWriter:
             # are posIncrement-0 overlaps, discounted from norms
             # (discountOverlaps, BM25Similarity.cs:133)
             fls[i] = len(pairs)
+            if self.shingle_size is not None:
+                pairs = add_shingles(pairs, self.shingle_size)
             if self.synonyms is not None:
                 pairs = inject_synonyms(pairs, self.synonyms)
             agg: dict[str, list[int]] = {}
@@ -367,13 +377,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -637,7 +647,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size),
             schema=schema,
         )
     else:
@@ -649,7 +659,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size),
             schema=schema,
         )
     flat_all = flat_all.persist()

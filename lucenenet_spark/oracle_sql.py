@@ -55,27 +55,57 @@ def _norm_table_values() -> str:
 
 # Shared CTE prefix: tokenization -> postings -> doc lengths -> norm
 # bytes -> corpus stats -> term stats -> per-norm-byte cache.
-def bm25_prelude(with_positions: bool = False, synonyms=None) -> str:
+def bm25_prelude(
+    with_positions: bool = False, synonyms=None, shingles: int | None = None
+) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
-    — duplicates collapsed — while doc lengths/norms keep counting
-    BASE tokens only (discountOverlaps), mirroring the engine's
-    index-time SynonymFilter exactly."""
+    — duplicates collapsed. With ``shingles`` = N, word shingles of
+    sizes 2..N are added at their leading token's position, with the
+    ``_`` filler for stop-gap holes and no shingle past the last real
+    token (analysis/shingles.py spec). Either way doc lengths/norms
+    keep counting BASE tokens only (discountOverlaps), mirroring the
+    engine's index-time filters exactly."""
     tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
     pos_col = ", pos" if with_positions else ""
-    if synonyms:
-        inj = "\n    UNION ALL\n".join(
-            f"    SELECT docid, '{syn}' AS term, pos FROM tok_base"
-            f" WHERE term = '{src}'"
-            for src, syns in synonyms
-            for syn in syns
-        )
-        tok_ctes = f"""tok_base AS ({tok}),
+    if synonyms or shingles:
+        branches = ["    SELECT docid, term, pos FROM tok_base"]
+        extra_ctes = []
+        if shingles:
+            extra_ctes.append(
+                "maxp AS (SELECT docid, max(pos) AS mp FROM tok_base GROUP BY docid)"
+            )
+            for n in range(2, shingles + 1):
+                cat = "a.term"
+                joins = []
+                for i in range(1, n):
+                    cat += f" || ' ' || coalesce(b{i}.term, '_')"
+                    joins.append(
+                        f"  LEFT JOIN tok_base b{i}"
+                        f" ON b{i}.docid = a.docid AND b{i}.pos = a.pos + {i}"
+                    )
+                extra_ctes.append(
+                    f"""sh{n} AS (
+  SELECT a.docid, {cat} AS term, a.pos
+  FROM tok_base a JOIN maxp m ON m.docid = a.docid
+{chr(10).join(joins)}
+  WHERE a.pos + {n - 1} <= m.mp
+)"""
+                )
+                branches.append(f"    SELECT docid, term, pos FROM sh{n}")
+        if synonyms:
+            branches.extend(
+                f"    SELECT docid, '{syn}' AS term, pos FROM tok_base"
+                f" WHERE term = '{src}'"
+                for src, syns in synonyms
+                for syn in syns
+            )
+        ctes = ",\n".join([f"tok_base AS ({tok})"] + extra_ctes)
+        body = "\n    UNION ALL\n".join(branches)
+        tok_ctes = f"""{ctes},
 tok AS (
   SELECT DISTINCT docid, term, pos FROM (
-    SELECT docid, term, pos FROM tok_base
-    UNION ALL
-{inj}
+{body}
   )
 )"""
         doclen_src = "tok_base"
@@ -1913,6 +1943,16 @@ def synonym_index_term_sql(synonyms, term: str, k: int = K) -> str:
     injected occurrences while norms stay base-token-only."""
     return (
         bm25_prelude(synonyms=synonyms)
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def shingle_term_query_sql(term: str, shingles: int = 2, k: int = K) -> str:
+    """Term query over a shingled index — the phrase-as-one-term path."""
+    return (
+        bm25_prelude(shingles=shingles)
         + ",\n"
         + _term_scores_cte("t0", term)
         + _topk("t0", k)
