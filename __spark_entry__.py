@@ -551,6 +551,27 @@ def _q_shingle_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="table hash"), 10))
 
 
+def _q_high_freq_terms(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.high_freq_terms(s, 10, "df")
+
+
+def _q_duplicate_filter(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(
+        coll.duplicate_filter(s, TermQuery(term="spark"), "source", "first", 10)
+    )
+
+
+def _q_boosting_query(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(
+        coll.boosting_query(
+            s, TermQuery(term="spark"), TermQuery(term="merge"), 0.5, 10
+        )
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1048,6 +1069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_expand_or": _q_synonym_expand_or,
         "synonym_expand_phrase": _q_synonym_expand_phrase,
         "shingle_term_query": _q_shingle_term,
+        "high_freq_terms": _q_high_freq_terms,
+        "duplicate_filter": _q_duplicate_filter,
+        "boosting_query": _q_boosting_query,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1175,6 +1199,9 @@ def oracle_sql() -> dict[str, str]:
         "synonym_expand_or": osql.boolean_or_sql("merge", "join"),
         "synonym_expand_phrase": osql.multi_phrase_sql(["fast"], ["merge", "join"]),
         "shingle_term_query": osql.shingle_term_query_sql("table hash", 2),
+        "high_freq_terms": osql.high_freq_terms_sql(10, "df"),
+        "duplicate_filter": osql.duplicate_filter_sql("spark", "source", "first"),
+        "boosting_query": osql.boosting_query_sql("spark", "merge", 0.5),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

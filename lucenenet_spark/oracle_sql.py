@@ -1959,6 +1959,53 @@ def shingle_term_query_sql(term: str, shingles: int = 2, k: int = K) -> str:
     )
 
 
+def high_freq_terms_sql(k: int = 10, order_by: str = "df") -> str:
+    return (
+        bm25_prelude()
+        + f"""
+SELECT term, df, ttf FROM term_stats
+ORDER BY {order_by} DESC, term ASC LIMIT {k}"""
+    )
+
+
+def duplicate_filter_sql(
+    term: str, key_col: str, keep: str = "first", k: int = K
+) -> str:
+    agg = "min" if keep == "first" else "max"
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+keepers AS (
+  SELECT {agg}(doc_id) AS docid FROM documents
+  WHERE {key_col} IS NOT NULL GROUP BY {key_col}
+),
+flt AS (SELECT t0.docid, t0.s FROM t0 JOIN keepers USING (docid))"""
+        + _topk("flt", k)
+    )
+
+
+def boosting_query_sql(
+    match_term: str, ctx_term: str, demote_boost: float = 0.5, k: int = K
+) -> str:
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", match_term)
+        + f""",
+ctx AS (SELECT DISTINCT docid FROM postings WHERE term = '{ctx_term}'),
+boosted AS (
+  SELECT t0.docid,
+         CASE WHEN ctx.docid IS NOT NULL
+              THEN t0.s * {_f32_lit(demote_boost)}
+              ELSE t0.s END AS s
+  FROM t0 LEFT JOIN ctx ON ctx.docid = t0.docid
+)"""
+        + _topk("boosted", k)
+    )
+
+
 def percolate_sql() -> str:
     """Mirror of the percolate driver entry's standing query set:
     term 'spark'; (+spark -merge); exact phrase "table hash";

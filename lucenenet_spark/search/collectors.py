@@ -674,3 +674,82 @@ def rescore(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k_final)
     )
+
+
+def high_freq_terms(
+    searcher: IndexSearcher, k: int = 10, order_by: str = "df"
+) -> DataFrame:
+    """HighFreqTerms (``Lucene.Net.Misc/Misc/HighFreqTerms.cs:38``):
+    the k terms with highest document frequency (or total term
+    frequency, the -t flag). A pure JVM TakeOrdered over the
+    term_stats metadata aggregate — no posting decode at any scale."""
+    if order_by not in ("df", "ttf"):
+        raise ValueError("order_by must be 'df' or 'ttf'")
+    return (
+        searcher.index.term_stats.orderBy(
+            F.col(order_by).desc(), F.col("term").asc()
+        )
+        .limit(k)
+        .select("term", "df", "ttf")
+    )
+
+
+def duplicate_filter(
+    searcher: IndexSearcher,
+    query: Query,
+    key_col: str,
+    keep: str = "first",
+    k: int = 10,
+) -> DataFrame:
+    """DuplicateFilter (``Lucene.Net.Sandbox/Queries/DuplicateFilter.cs:30``):
+    restrict matches to the single FIRST (min docid) or LAST (max
+    docid) document per key-field value, computed over the whole index
+    like the reference's per-term bitset (docs with a NULL key carry
+    no term and are excluded). The keeper set is a metadata-only
+    hash aggregate semi-joined into the scored set — broadcastable
+    whenever the key cardinality is small."""
+    if keep not in ("first", "last"):
+        raise ValueError("keep must be 'first' or 'last'")
+    agg = F.min("docid") if keep == "first" else F.max("docid")
+    keepers = (
+        searcher.index.docs.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(agg.alias("docid"))
+        .select("docid")
+    )
+    return (
+        searcher.scored_docs(query)
+        .join(keepers, "docid", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )
+
+
+def boosting_query(
+    searcher: IndexSearcher,
+    match: Query,
+    context: Query,
+    demote_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """BoostingQuery (``Lucene.Net.Queries/BoostingQuery.cs:32``):
+    score the match query normally, but multiply the score by
+    ``demote_boost`` for documents that ALSO match the context query
+    (typically < 1 to demote). The context query affects scoring only,
+    never recall. One scored scan plus a docid semi-set left join;
+    float32 multiply matches the oracle bit-for-bit."""
+    import numpy as np
+
+    scored = searcher.scored_docs(match)
+    ctx = searcher.matching_docids(context).withColumn("__ctx", F.lit(True))
+    b = float(np.float32(demote_boost))
+    joined = scored.join(ctx, "docid", "left")
+    score = F.when(
+        F.col("__ctx").isNotNull(),
+        (F.col("score") * F.lit(b).cast("float")).cast("float"),
+    ).otherwise(F.col("score"))
+    return (
+        joined.select("docid", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

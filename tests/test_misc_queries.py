@@ -1,0 +1,63 @@
+"""HighFreqTerms (Misc/HighFreqTerms.cs), DuplicateFilter
+(Sandbox/Queries/DuplicateFilter.cs), BoostingQuery
+(Queries/BoostingQuery.cs) — brute-force verified on a tiny corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.index.builder import CorpusSpec, build_index
+from lucenenet_spark.search import collectors as coll
+from lucenenet_spark.search.queries import TermQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+
+ROWS = [
+    ("g1", "a", "c", "spark merge table"),
+    ("g1", "b", "c", "spark table scan"),
+    ("g2", "c", "c", "spark spark spark"),
+    ("g2", "d", "c", "merge only here"),
+]
+
+
+@pytest.fixture(scope="module")
+def ms(spark):
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(
+        spark,
+        df,
+        CorpusSpec(order_cols=("repo", "path", "commit"), meta_cols=("repo",)),
+    ).cache()
+    return IndexSearcher(idx)
+
+
+def test_high_freq_terms_by_df_and_ttf(ms):
+    by_df = [(r.term, r.df) for r in coll.high_freq_terms(ms, 2, "df").collect()]
+    assert by_df == [("spark", 3), ("merge", 2)]
+    by_ttf = [(r.term, r.ttf) for r in coll.high_freq_terms(ms, 1, "ttf").collect()]
+    assert by_ttf == [("spark", 5)]
+
+
+def test_duplicate_filter_first_and_last(ms):
+    # key = repo: first keeps docids {0, 2}, last keeps {1, 3}
+    first = {r.docid for r in coll.duplicate_filter(
+        ms, TermQuery(term="spark"), "repo", "first", 10).collect()}
+    assert first == {0, 2}
+    last = {r.docid for r in coll.duplicate_filter(
+        ms, TermQuery(term="spark"), "repo", "last", 10).collect()}
+    assert last == {1}  # doc 3 has no 'spark'
+
+
+def test_boosting_query_demotes_context(ms):
+    plain = {h.docid: np.float32(h.score)
+             for h in ms.search(TermQuery(term="spark"), 10)}
+    rows = coll.boosting_query(
+        ms, TermQuery(term="spark"), TermQuery(term="merge"), 0.25, 10
+    ).collect()
+    got = {r.docid: np.float32(r.score) for r in rows}
+    assert set(got) == set(plain)  # recall untouched
+    # doc 0 matches context 'merge' -> exact f32 demotion; others equal
+    assert got[0] == np.float32(plain[0] * np.float32(0.25))
+    assert got[1] == plain[1] and got[2] == plain[2]
