@@ -572,6 +572,15 @@ def _q_boosting_query(spark, sf_dir):
     )
 
 
+def _q_simple_parse(spark, sf_dir):
+    """SimpleQueryParser: 'spark + merge | batch' -> (spark AND merge)
+    OR batch via the reference's BuildQueryTree op-change nesting."""
+    from lucenenet_spark.search.simple_parser import parse_simple
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(parse_simple("spark + merge | batch"), 10))
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_freq_terms": _q_high_freq_terms,
         "duplicate_filter": _q_duplicate_filter,
         "boosting_query": _q_boosting_query,
+        "simple_parse_query": _q_simple_parse,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1202,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "high_freq_terms": osql.high_freq_terms_sql(10, "df"),
         "duplicate_filter": osql.duplicate_filter_sql("spark", "source", "first"),
         "boosting_query": osql.boosting_query_sql("spark", "merge", 0.5),
+        "simple_parse_query": osql.simple_parse_sql("spark", "merge", "batch"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

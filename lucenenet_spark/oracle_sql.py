@@ -2006,6 +2006,31 @@ boosted AS (
     )
 
 
+def simple_parse_sql(t0: str, t1: str, t2: str, k: int = K) -> str:
+    """Mirror of parse_simple('t0 + t1 | t2') = (t0 AND t1) OR t2:
+    inner conjunction fold ((0+s0)+s1), then the disjunction fold adds
+    the outer clauses in order — float32 op order matching the
+    engine's nested boolean evaluation."""
+    z = _f32_lit(0.0)
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + ",\n" + _term_scores_cte("c2", t2)
+        + f""",
+inner_and AS (
+  SELECT c0.docid, ({z} + c0.s) + c1.s AS s
+  FROM c0 JOIN c1 ON c0.docid = c1.docid
+),
+merged AS (
+  SELECT coalesce(a.docid, c2.docid) AS docid,
+         ({z} + coalesce(a.s, {z})) + coalesce(c2.s, {z}) AS s
+  FROM inner_and a FULL OUTER JOIN c2 ON a.docid = c2.docid
+)"""
+        + _topk("merged", k)
+    )
+
+
 def percolate_sql() -> str:
     """Mirror of the percolate driver entry's standing query set:
     term 'spark'; (+spark -merge); exact phrase "table hash";
