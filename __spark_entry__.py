@@ -581,6 +581,26 @@ def _q_simple_parse(spark, sf_dir):
     return _ranked(s.search_df(parse_simple("spark + merge | batch"), 10))
 
 
+def _q_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser: prefix inside a phrase -> span near
+    with a SpanMultiTermQuery slot, one term-pruned packed scan."""
+    from lucenenet_spark.search import spans as sp
+    from lucenenet_spark.search.complex_phrase import parse_complex_phrase
+
+    _, s = _searcher(spark, sf_dir)
+    return sp.span_query(s, parse_complex_phrase('"table ha*"'))
+
+
+def _q_complex_phrase_group(spark, sf_dir):
+    """ComplexPhrase with an OR-group slot and a prefix slot:
+    '"fast (merge join) ta*"~4'."""
+    from lucenenet_spark.search import spans as sp
+    from lucenenet_spark.search.complex_phrase import parse_complex_phrase
+
+    _, s = _searcher(spark, sf_dir)
+    return sp.span_query(s, parse_complex_phrase('"fast (merge join) ta*"~4'))
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1082,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_filter": _q_duplicate_filter,
         "boosting_query": _q_boosting_query,
         "simple_parse_query": _q_simple_parse,
+        "complex_phrase": _q_complex_phrase,
+        "complex_phrase_group": _q_complex_phrase_group,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1213,6 +1235,10 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_filter": osql.duplicate_filter_sql("spark", "source", "first"),
         "boosting_query": osql.boosting_query_sql("spark", "merge", 0.5),
         "simple_parse_query": osql.simple_parse_sql("spark", "merge", "batch"),
+        "complex_phrase": osql.complex_phrase2_sql("table", "ha", 0),
+        "complex_phrase_group": osql.complex_phrase3_sql(
+            "fast", ["merge", "join"], "ta", 4
+        ),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2031,6 +2031,50 @@ merged AS (
     )
 
 
+def complex_phrase2_sql(t0: str, prefix1: str, slop: int = 0) -> str:
+    """ComplexPhrase '"t0 prefix1*"~slop': 2-clause ordered near with
+    the second slot prefix-expanded; per-start counting (a start
+    counts iff ANY expansion position fits the slop window)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT a.docid, CAST(count(DISTINCT a.pos) AS BIGINT) AS n_spans
+FROM tok a JOIN tok b ON b.docid = a.docid
+WHERE a.term = '{t0}' AND b.term LIKE '{prefix1}%'
+  AND b.pos > a.pos AND b.pos - a.pos - 1 <= {slop}
+GROUP BY a.docid"""
+    )
+
+
+def complex_phrase3_sql(
+    t0: str, set1: list[str], prefix2: str, slop: int
+) -> str:
+    """ComplexPhrase '"t0 (set1...) prefix2*"~slop': greedy minimal-end
+    chain (spans.py pinned ordered spec) with slot 1 an OR-set and
+    slot 2 prefix-expanded."""
+    in1 = ", ".join(f"'{t}'" for t in set1)
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM (
+  SELECT s.docid, s.p0, s.p1,
+         (SELECT min(c.pos) FROM tok c
+          WHERE c.docid = s.docid AND c.term LIKE '{prefix2}%'
+            AND c.pos > s.p1) AS p2
+  FROM (
+    SELECT a.docid, a.pos AS p0,
+           (SELECT min(b.pos) FROM tok b
+            WHERE b.docid = a.docid AND b.term IN ({in1})
+              AND b.pos > a.pos) AS p1
+    FROM tok a WHERE a.term = '{t0}'
+  ) s
+  WHERE s.p1 IS NOT NULL
+)
+WHERE p2 IS NOT NULL AND p2 - p0 - 2 <= {slop}
+GROUP BY docid"""
+    )
+
+
 def percolate_sql() -> str:
     """Mirror of the percolate driver entry's standing query set:
     term 'spark'; (+spark -merge); exact phrase "table hash";
