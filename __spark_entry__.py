@@ -601,6 +601,30 @@ def _q_complex_phrase_group(spark, sf_dir):
     return sp.span_query(s, parse_complex_phrase('"fast (merge join) ta*"~4'))
 
 
+def _q_facet_sum_value(spark, sf_dir):
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "n_chars")
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return coll.facet_sum_value(s, TermQuery(term="spark"), "lang", "n_chars")
+
+
+def _q_repetition_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return tx.repetition_stats(docs, max_n=3)
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """GPT-3-style n-gram contamination: benchmark = every 50th doc,
+    the rest checked for 3-gram occurrence overlap (3 instead of 13
+    so the synthetic 30-word vocabulary actually collides)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    rest = docs.where(F.col("doc_id") % 50 != 0)
+    return tx.ngram_contamination(rest, bench, n=3)
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1104,6 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_parse_query": _q_simple_parse,
         "complex_phrase": _q_complex_phrase,
         "complex_phrase_group": _q_complex_phrase_group,
+        "facet_sum_value": _q_facet_sum_value,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1239,6 +1266,9 @@ def oracle_sql() -> dict[str, str]:
         "complex_phrase_group": osql.complex_phrase3_sql(
             "fast", ["merge", "join"], "ta", 4
         ),
+        "facet_sum_value": osql.facet_sum_value_sql("spark", "lang", "n_chars"),
+        "repetition_stats": oosql.repetition_stats_sql(3),
+        "ngram_contamination": oosql.ngram_contamination_sql(3, 50),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -766,3 +766,60 @@ pqscored AS (
 SELECT CAST(row_number() OVER (ORDER BY approx_dist ASC, id ASC) AS BIGINT) AS rank,
        id, approx_dist
 FROM pqscored ORDER BY approx_dist ASC, id ASC LIMIT {k}"""
+
+
+def _grams_expr(n: int) -> str:
+    """Word n-gram list from the `toks` list column (space-joined),
+    empty when the doc has < n tokens (range end-exclusive)."""
+    if n == 1:
+        return "toks"
+    return (
+        f"list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(toks[i : i + {n - 1}], ' '))"
+    )
+
+
+def repetition_stats_sql(max_n: int = 3) -> str:
+    cols = ["id"]
+    for n in range(1, max_n + 1):
+        g = _grams_expr(n)
+        cols.append(f"CAST(len({g}) AS BIGINT) AS total_{n}")
+        cols.append(f"CAST(len(list_distinct({g})) AS BIGINT) AS distinct_{n}")
+        cols.append(
+            f"CASE WHEN len({g}) > 0 THEN"
+            f" CAST(len({g}) - len(list_distinct({g})) AS DOUBLE)"
+            f" / CAST(len({g}) AS DOUBLE)"
+            f" ELSE 0.0 END AS dup_frac_{n}"
+        )
+    return f"""
+WITH {_TOKS}
+SELECT {', '.join(cols)} FROM toks"""
+
+
+def ngram_contamination_sql(n: int, bench_mod: int = 50) -> str:
+    """Mirror of the driver entry: benchmark = docs with
+    doc_id % bench_mod == 0; remaining docs checked for word-n-gram
+    occurrence overlap against the benchmark's distinct gram set."""
+    g = _grams_expr(n)
+    return f"""
+WITH {_TOKS},
+grams AS (SELECT id, {g} AS grams FROM toks),
+bench AS (
+  SELECT DISTINCT gram FROM grams, UNNEST(grams) AS u(gram)
+  WHERE id % {bench_mod} = 0
+),
+target AS (SELECT id, grams FROM grams WHERE id % {bench_mod} != 0),
+hits AS (
+  SELECT t.id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM target t, UNNEST(t.grams) AS u(gram)
+  JOIN bench b ON b.gram = u.gram
+  GROUP BY t.id
+)
+SELECT t.id,
+       CAST(len(t.grams) AS BIGINT) AS n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN len(t.grams) > 0
+            THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                   / CAST(len(t.grams) AS DOUBLE)
+            ELSE 0.0 END AS contamination_frac
+FROM target t LEFT JOIN hits h ON h.id = t.id"""

@@ -141,3 +141,100 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.expr(f"array_min({grams})").alias("fp_min"),
         F.expr(f"array_max({grams})").alias("fp_max"),
     )
+
+
+def _word_grams(toks_col, n: int):
+    """Sliding word n-grams (space-joined) from a token array column;
+    empty array when the doc has fewer than n tokens (guards the
+    descending-sequence trap)."""
+    if n == 1:
+        return toks_col
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Intra-document repetition signals (the C4/RefinedWeb 'rep'
+    quality filters: Rae et al. 2021 §A1.1 duplicate n-gram fractions):
+    for each n in 1..max_n, the fraction of n-gram OCCURRENCES that
+    are duplicates of an earlier occurrence —
+    ``dup_frac_n = (total_n - distinct_n) / total_n`` (0.0 for empty).
+    Pure JVM array expressions, one scan, no shuffle."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), _tokens(text_col).alias("toks")
+    )
+    cols = [F.col("id")]
+    for n in range(1, max_n + 1):
+        g = _word_grams(F.col("toks"), n)
+        total = F.size(g).cast("long")
+        distinct = F.size(F.array_distinct(g)).cast("long")
+        cols.append(total.alias(f"total_{n}"))
+        cols.append(distinct.alias(f"distinct_{n}"))
+        cols.append(
+            F.when(total > 0, (total - distinct).cast("double") / total.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_frac_{n}")
+        )
+    return base.select(*cols)
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check (the GPT-3 appendix-C style
+    13-gram overlap filter; Brown et al. 2020): flag training docs
+    sharing any word n-gram with a benchmark/eval corpus. Output
+    ``(id, n_grams, n_contaminated, contamination_frac)`` where
+    n_contaminated counts gram OCCURRENCES present in the benchmark's
+    distinct gram set.
+
+    Scale shape: the benchmark gram set is DISTINCT-aggregated and
+    broadcast (eval suites are tiny next to 100 TB of training data),
+    so the corpus side is one scan + map-side semi join — no corpus
+    shuffle. For a benchmark too large to broadcast, Catalyst falls
+    back to a shuffled semi join on the gram key, still one pass."""
+    from pyspark.sql.functions import broadcast
+
+    btc = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_grams(_tokens(btc), n)).alias("gram")
+        ).distinct()
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _word_grams(_tokens(text_col), n).alias("grams"),
+    )
+    exploded = base.select("id", F.explode("grams").alias("gram"))
+    hits = (
+        exploded.join(broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = base.select("id", F.size("grams").cast("long").alias("n_grams"))
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
+    )

@@ -2075,6 +2075,22 @@ GROUP BY docid"""
     )
 
 
+def facet_sum_value_sql(term: str, facet_col: str, value_col: str) -> str:
+    """Association facets: per category, sum a stored numeric value
+    over the docs matching the query."""
+    return (
+        bm25_prelude()
+        + f""",
+hits AS (SELECT DISTINCT docid FROM postings WHERE term = '{term}')
+SELECT d.{facet_col} AS {facet_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.{value_col}) AS BIGINT) AS sum_value
+FROM documents d JOIN hits h ON h.docid = d.doc_id
+GROUP BY d.{facet_col}
+ORDER BY sum_value DESC, {facet_col} ASC"""
+    )
+
+
 def percolate_sql() -> str:
     """Mirror of the percolate driver entry's standing query set:
     term 'spark'; (+spark -merge); exact phrase "table hash";

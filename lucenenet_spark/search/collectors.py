@@ -753,3 +753,28 @@ def boosting_query(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def facet_sum_value(
+    searcher: IndexSearcher,
+    query: Query,
+    facet_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Association facets (``Lucene.Net.Facet/Taxonomy/
+    TaxonomyFacetSumInt32Associations.cs:30``): per category, SUM an
+    associated numeric value over the matching documents instead of
+    counting them. One matching-docid set, one broadcastable join to
+    the docs table, one hash aggregate — the same shape as
+    facet_counts with a sum payload."""
+    hits = searcher.matching_docids(query)
+    return (
+        searcher.index.docs.select("docid", facet_col, value_col)
+        .join(hits, "docid")
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(value_col).cast("long").alias("sum_value"),
+        )
+        .orderBy(F.col("sum_value").desc(), F.col(facet_col).asc())
+    )

@@ -1,0 +1,75 @@
+"""Association facets (TaxonomyFacetSumInt32Associations),
+repetition_stats (C4/Gopher duplicate n-gram fractions), and
+ngram_contamination (GPT-3 13-gram overlap) — brute-force verified."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucenenet_spark.ops import text as tx
+
+
+def test_repetition_stats_bruteforce(spark):
+    rows = [
+        (0, "spark spark spark spark"),          # all dup unigrams
+        (1, "merge join merge join merge"),      # repeated bigram
+        (2, "alpha beta gamma delta"),           # no repetition
+        (3, ""),                                  # empty
+        (4, "one two"),                           # too short for 3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.asDict() for r in tx.repetition_stats(df, max_n=3).collect()}
+    assert got[0]["total_1"] == 4 and got[0]["distinct_1"] == 1
+    assert got[0]["dup_frac_1"] == pytest.approx(0.75)
+    # doc1 bigrams: mj jm mj jm -> 4 total, 2 distinct
+    assert got[1]["total_2"] == 4 and got[1]["distinct_2"] == 2
+    assert got[1]["dup_frac_2"] == pytest.approx(0.5)
+    assert got[2]["dup_frac_1"] == got[2]["dup_frac_2"] == got[2]["dup_frac_3"] == 0.0
+    assert got[3]["total_1"] == 0 and got[3]["dup_frac_1"] == 0.0
+    assert got[4]["total_3"] == 0 and got[4]["dup_frac_3"] == 0.0
+
+
+def test_ngram_contamination_bruteforce(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is here")], "doc_id long, text string"
+    )
+    rows = [
+        (0, "the secret eval answer is leaked twice secret eval answer"),
+        (1, "completely clean document text"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.asDict() for r in tx.ngram_contamination(df, bench, n=3).collect()}
+    # doc0 3-gram occurrences: 8 grams; contaminated ones: 'the secret
+    # eval' x1, 'secret eval answer' x2, 'eval answer is' x1 -> 4
+    assert got[0]["n_grams"] == 8 and got[0]["n_contaminated"] == 4
+    assert got[0]["contamination_frac"] == pytest.approx(0.5)
+    assert got[1]["n_contaminated"] == 0
+    assert got[2]["n_grams"] == 0 and got[2]["contamination_frac"] == 0.0
+
+
+def test_facet_sum_value(spark):
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search import collectors as coll
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [
+        (0, "spark rules", "en", 10),
+        (1, "spark tools", "en", 20),
+        (2, "spark aussi", "fr", 5),
+        (3, "nothing here", "en", 99),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, v long")
+    s = IndexSearcher(
+        build_index(
+            spark,
+            df,
+            CorpusSpec(text_col="text", id_col="doc_id", meta_cols=("lang", "v")),
+        )
+    )
+    got = [
+        (r.lang, r.n_docs, r.sum_value)
+        for r in coll.facet_sum_value(s, TermQuery(term="spark"), "lang", "v").collect()
+    ]
+    assert got == [("en", 2, 30), ("fr", 1, 5)]
