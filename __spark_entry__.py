@@ -625,6 +625,18 @@ def _q_ngram_contamination(spark, sf_dir):
     return tx.ngram_contamination(rest, bench, n=3)
 
 
+def _q_edge_ngram_term(spark, sf_dir):
+    """EdgeNGram index (autocomplete): prefix 'spar' is an exact index
+    term — one pruned packed scan, no dictionary expansion."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        edge_ngram=(2, 4),
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="spar"), 10))
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1131,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_sum_value": _q_facet_sum_value,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
+        "edge_ngram_term": _q_edge_ngram_term,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1269,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_sum_value": osql.facet_sum_value_sql("spark", "lang", "n_chars"),
         "repetition_stats": oosql.repetition_stats_sql(3),
         "ngram_contamination": oosql.ngram_contamination_sql(3, 50),
+        "edge_ngram_term": osql.edge_ngram_term_sql("spar", 2, 4),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

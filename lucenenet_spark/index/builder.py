@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucenenet_spark.analysis.analyzer import analyze
+from lucenenet_spark.analysis.ngrams import edge_field_length, edge_ngrams
 from lucenenet_spark.analysis.shingles import add_shingles
 from lucenenet_spark.analysis.synonyms import inject_synonyms
 from lucenenet_spark.functions.smallfloat import norm_byte_from_length
@@ -98,6 +99,11 @@ class CorpusSpec:
     # position and are overlap tokens (excluded from norms). Applied
     # to the base token stream BEFORE synonym injection.
     shingle_size: "int | None" = None
+    # edge n-grams (EdgeNGramTokenFilter role): (min_gram, max_gram).
+    # REPLACES tokens with their prefix grams (autocomplete index);
+    # norms count source tokens with >= 1 gram. Exclusive with
+    # shingles/synonyms (the filter replaces the stream).
+    edge_ngram: "tuple[int, int] | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -257,6 +263,7 @@ class _SegmentWriter:
         cjk: bool = False,
         synonyms=None,
         shingle_size=None,
+        edge_ngram=None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -273,6 +280,9 @@ class _SegmentWriter:
             self.analyze = analyze
         self.synonyms = dict(synonyms) if synonyms else None
         self.shingle_size = shingle_size
+        self.edge_ngram = edge_ngram
+        if edge_ngram is not None and (shingle_size is not None or synonyms):
+            raise ValueError("edge_ngram replaces the token stream; it cannot combine with shingles/synonyms")
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
         self.terms: dict[str, tuple[list, list, list, list]] = {}
         self.doc_ids: list[int] = []
@@ -290,6 +300,10 @@ class _SegmentWriter:
             # are posIncrement-0 overlaps, discounted from norms
             # (discountOverlaps, BM25Similarity.cs:133)
             fls[i] = len(pairs)
+            if self.edge_ngram is not None:
+                lo, hi = self.edge_ngram
+                fls[i] = edge_field_length(pairs, lo)
+                pairs = edge_ngrams(pairs, lo, hi)
             if self.shingle_size is not None:
                 pairs = add_shingles(pairs, self.shingle_size)
             if self.synonyms is not None:
@@ -377,13 +391,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -647,7 +661,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram),
             schema=schema,
         )
     else:
@@ -659,7 +673,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram),
             schema=schema,
         )
     flat_all = flat_all.persist()

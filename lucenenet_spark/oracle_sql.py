@@ -56,7 +56,10 @@ def _norm_table_values() -> str:
 # Shared CTE prefix: tokenization -> postings -> doc lengths -> norm
 # bytes -> corpus stats -> term stats -> per-norm-byte cache.
 def bm25_prelude(
-    with_positions: bool = False, synonyms=None, shingles: int | None = None
+    with_positions: bool = False,
+    synonyms=None,
+    shingles: int | None = None,
+    edge_ngram: tuple[int, int] | None = None,
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
@@ -68,6 +71,26 @@ def bm25_prelude(
     engine's index-time filters exactly."""
     tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
     pos_col = ", pos" if with_positions else ""
+    if edge_ngram:
+        lo, hi = edge_ngram
+        tok_ctes = f"""tok_base AS ({tok}),
+tok AS (
+  SELECT docid, substr(term, 1, i) AS term, pos
+  FROM tok_base, UNNEST(range({lo}, least(length(term), {hi}) + 1)) AS u(i)
+),
+doclen_base AS (
+  SELECT docid, count(*) AS fl FROM tok_base
+  WHERE length(term) >= {lo} GROUP BY docid
+)"""
+        return f"""
+WITH {tok_ctes},
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d LEFT JOIN doclen_base t ON d.doc_id = t.docid
+),""" + _prelude_tail()
     if synonyms or shingles:
         branches = ["    SELECT docid, term, pos FROM tok_base"]
         extra_ctes = []
@@ -122,7 +145,13 @@ doclen AS (
   FROM documents d
   LEFT JOIN (SELECT docid, count(*) AS fl FROM {doclen_src} GROUP BY docid) t
     ON d.doc_id = t.docid
-),
+),""" + _prelude_tail()
+
+
+def _prelude_tail() -> str:
+    """The shared CTE suffix after tok/postings/doclen: norms, corpus
+    stats, term stats, and the per-norm-byte BM25 cache."""
+    return f"""
 norm_decode(b, val) AS (VALUES {_norm_decode_values()}),
 norms AS (
   SELECT docid, fl,
@@ -2088,6 +2117,19 @@ SELECT d.{facet_col} AS {facet_col},
 FROM documents d JOIN hits h ON h.docid = d.doc_id
 GROUP BY d.{facet_col}
 ORDER BY sum_value DESC, {facet_col} ASC"""
+    )
+
+
+def edge_ngram_term_sql(
+    term: str, min_gram: int = 2, max_gram: int = 4, k: int = K
+) -> str:
+    """Term query over an edge-gram index — prefix search as one exact
+    term lookup."""
+    return (
+        bm25_prelude(edge_ngram=(min_gram, max_gram))
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
     )
 
 
