@@ -637,6 +637,25 @@ def _q_edge_ngram_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spar"), 10))
 
 
+def _q_all_group_heads(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.all_group_heads(s, TermQuery(term="spark"), "lang")
+
+
+def _q_quality_metrics(spark, sf_dir):
+    """Benchmark/Quality analog: P@10, MRR, NDCG@10 for two judged
+    queries; judgments = deterministic freq grading (rel = freq-1
+    capped at 3)."""
+    from lucenenet_spark.quality import freq_judgments, quality_metrics
+
+    _, s = _searcher(spark, sf_dir)
+    terms = {"q_dup": "dup", "q_spark": "spark"}
+    judg = freq_judgments(s, terms, cap=3)
+    return quality_metrics(
+        s, {qid: TermQuery(term=t) for qid, t in terms.items()}, judg, 10
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1144,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "edge_ngram_term": _q_edge_ngram_term,
+        "all_group_heads": _q_all_group_heads,
+        "quality_metrics": _q_quality_metrics,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1283,6 +1304,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oosql.repetition_stats_sql(3),
         "ngram_contamination": oosql.ngram_contamination_sql(3, 50),
         "edge_ngram_term": osql.edge_ngram_term_sql("spar", 2, 4),
+        "all_group_heads": osql.all_group_heads_sql("spark", "lang"),
+        "quality_metrics": osql.quality_metrics_sql(
+            {"q_dup": "dup", "q_spark": "spark"}, 10, 3
+        ),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2133,6 +2133,98 @@ def edge_ngram_term_sql(
     )
 
 
+def all_group_heads_sql(term: str, group_col: str) -> str:
+    """Every group's best matching doc (score desc, docid asc)."""
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f"""
+SELECT grp, docid, CAST(s AS DOUBLE) AS score FROM (
+  SELECT d.{group_col} AS grp, t0.docid, t0.s,
+         row_number() OVER (
+           PARTITION BY d.{group_col}
+           ORDER BY t0.s DESC, t0.docid ASC
+         ) AS rn
+  FROM t0 JOIN documents d ON d.doc_id = t0.docid
+) WHERE rn = 1 ORDER BY grp"""
+    )
+
+
+def quality_metrics_sql(terms: dict[str, str], k: int = 10, cap: int = 3) -> str:
+    """Mirror of quality.quality_metrics over freq_judgments: per
+    query, P@k / MRR / NDCG@k (NDCG float32-truncated on both engines
+    so libm last-ulp noise cannot flip the hash)."""
+    items = sorted(terms.items())
+    score_ctes = ",\n".join(
+        _term_scores_cte(f"qs{i}", t) for i, (_, t) in enumerate(items)
+    )
+    ranked = "\n  UNION ALL\n".join(
+        f"""  SELECT '{qid}' AS query_id, rank, docid FROM (
+    SELECT CAST(row_number() OVER (ORDER BY s DESC, docid ASC) AS BIGINT) AS rank,
+           docid
+    FROM qs{i} ORDER BY s DESC, docid ASC LIMIT {k}
+  )"""
+        for i, (qid, _) in enumerate(items)
+    )
+    judg = "\n  UNION ALL\n".join(
+        f"""  SELECT '{qid}' AS query_id, docid,
+         CAST(least(freq - 1, {cap}) AS INT) AS rel
+  FROM postings WHERE term = '{t}'"""
+        for qid, t in items
+    )
+    return (
+        bm25_prelude()
+        + ",\n"
+        + score_ctes
+        + f""",
+ranked AS (
+{ranked}
+),
+jd AS (
+{judg}
+),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(j.rel, 0) AS rel
+  FROM ranked r LEFT JOIN jd j
+    ON j.query_id = r.query_id AND j.docid = r.docid
+),
+perq AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST({k} AS DOUBLE) AS p_at_k,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+             / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+  FROM hits GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+             / log2(CAST(irank AS DOUBLE) + 1.0)) AS idcg,
+         CAST(count(*) AS BIGINT) AS n_rel
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, docid ASC
+           ) AS irank
+    FROM jd
+  ) WHERE irank <= {k} AND rel > 0
+  GROUP BY query_id
+)
+SELECT p.query_id,
+       coalesce(i.n_rel, 0) AS n_rel,
+       p.p_at_k,
+       CASE WHEN p.first_rel IS NOT NULL
+            THEN 1.0 / CAST(p.first_rel AS DOUBLE) ELSE 0.0 END AS mrr,
+       CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
+            THEN CAST(CAST(p.dcg / i.idcg AS REAL) AS DOUBLE)
+            ELSE 0.0 END AS ndcg
+FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+ORDER BY p.query_id"""
+    )
+
+
 def percolate_sql() -> str:
     """Mirror of the percolate driver entry's standing query set:
     term 'spark'; (+spark -merge); exact phrase "table hash";

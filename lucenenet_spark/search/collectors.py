@@ -778,3 +778,31 @@ def facet_sum_value(
         )
         .orderBy(F.col("sum_value").desc(), F.col(facet_col).asc())
     )
+
+
+def all_group_heads(
+    searcher: IndexSearcher, query: Query, group_col: str
+) -> DataFrame:
+    """AllGroupHeadsCollector (``Lucene.Net.Grouping/
+    AllGroupHeadsCollector.cs:30``): for EVERY group value among the
+    matches, the single best document (score desc, docid asc) — one
+    map-side-combined hash aggregate via max(struct(score, -docid)),
+    never a global window, so 10^8 groups stay a plain shuffle-free-ish
+    agg. Output (grp, docid, score) ordered by group."""
+    scored = searcher.scored_docs(query)
+    with_group = scored.join(
+        searcher.index.docs.select("docid", F.col(group_col).alias("grp")),
+        "docid",
+    )
+    return (
+        with_group.groupBy("grp")
+        .agg(
+            F.max(F.struct(F.col("score"), (-F.col("docid")).alias("nd"))).alias("b")
+        )
+        .select(
+            "grp",
+            (-F.col("b.nd")).cast("long").alias("docid"),
+            F.col("b.score").cast("double").alias("score"),
+        )
+        .orderBy("grp")
+    )
