@@ -31,6 +31,7 @@ away); only the tiny ``term_stats`` partials get sum-merged at load.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -165,9 +166,9 @@ def build_sharded(
         if max_shards is not None and built >= max_shards:
             break
         t0 = time.perf_counter()
-        shard_spec = CorpusSpec(
-            text_col=spec.text_col, id_col="docid", meta_cols=spec.meta_cols
-        )
+        # whole-spec copy: shard analysis (stem/cjk/synonyms/shingles/
+        # edge-ngrams) must match what a batch build would do
+        shard_spec = dataclasses.replace(spec, id_col="docid")
         idx = build_index(spark, shard_df, shard_spec)
         sdir = os.path.join(path, "shards", str(shard))
         idx.docs.write.mode("overwrite").parquet(os.path.join(sdir, "docs"))

@@ -119,8 +119,11 @@ def percolate(
                 {"doc_id": pd.array(out_d, dtype="int64"), "query_id": out_q}
             )
 
-    return (
-        docs.select(id_col, text_col)
-        .mapInPandas(run, schema="doc_id long, query_id string")
-        .orderBy("doc_id", "query_id")
+    out = docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, query_id string"
     )
+    if docs.isStreaming:
+        # global sort is not streamable (and meaningless mid-stream);
+        # the unordered match relation IS the operator's output
+        return out
+    return out.orderBy("doc_id", "query_id")

@@ -32,6 +32,7 @@ scheme of ``Index/BaseCompositeReader.cs``.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -97,7 +98,10 @@ def append_batch(
         "docid", F.row_number().over(w).cast("long") - 1 + base
     )
     t0 = time.perf_counter()
-    shard_spec = CorpusSpec(text_col=spec.text_col, id_col="docid", meta_cols=spec.meta_cols)
+    # carry the WHOLE spec (stem/cjk/synonyms/shingles/edge-ngrams);
+    # only the id column changes — shards must analyze identically to
+    # a batch build or merged postings diverge
+    shard_spec = dataclasses.replace(spec, id_col="docid")
     idx = build_index(spark, with_ids, shard_spec)
     sdir = os.path.join(path, "shards", str(shard))
     idx.docs.write.mode("overwrite").parquet(os.path.join(sdir, "docs"))

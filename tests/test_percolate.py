@@ -125,3 +125,39 @@ def test_percolate_pure_should_needs_one(spark):
     )
     assert percolate(docs, {"q": q2}).count() == 1
 
+
+def test_percolate_streaming_equals_batch(spark, tmp_path_factory):
+    """The percolator is a stateless map: attached to a file-source
+    readStream it must emit exactly the batch result (the reference's
+    alerting/MemoryIndex deployment shape)."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("perc_stream"))
+    src, out = os.path.join(base, "in"), os.path.join(base, "out")
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    docs.write.parquet(src)
+
+    standing = {
+        "term_quick": STANDING["term_quick"],
+        "phrase_th": STANDING["phrase_th"],
+        "bool_mix": STANDING["bool_mix"],
+    }
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    # orderBy is not streamable; the match relation itself is the op
+    matched = percolate(stream, standing)
+    q = (
+        matched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.query_id) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.query_id)
+        for r in percolate(docs, standing).collect()
+    }
+    assert got == want and len(want) > 0
