@@ -656,6 +656,28 @@ def _q_quality_metrics(spark, sf_dir):
     )
 
 
+def _q_span_position_range(spark, sf_dir):
+    from lucenenet_spark.search import spans as sp
+
+    _, s = _searcher(spark, sf_dir)
+    q = sp.SpanPositionRangeQuery(sp.SpanTermQuery("table"), start=5, end=20)
+    return sp.span_query(s, q)
+
+
+def _q_free_text_suggest(spark, sf_dir):
+    from lucenenet_spark.search.suggest import free_text_suggest
+
+    return free_text_suggest(_docs(spark, sf_dir), ["table"], "ha", 5, grams=2)
+
+
+def _q_free_text_suggest3(spark, sf_dir):
+    from lucenenet_spark.search.suggest import free_text_suggest
+
+    return free_text_suggest(
+        _docs(spark, sf_dir), ["value", "table"], "", 5, grams=3
+    )
+
+
 def _q_nb_classify(spark, sf_dir):
     from lucenenet_spark.classification import naive_bayes_classify
 
@@ -1165,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_term": _q_edge_ngram_term,
         "all_group_heads": _q_all_group_heads,
         "quality_metrics": _q_quality_metrics,
+        "span_position_range": _q_span_position_range,
+        "free_text_suggest": _q_free_text_suggest,
+        "free_text_suggest3": _q_free_text_suggest3,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1308,6 +1333,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_metrics": osql.quality_metrics_sql(
             {"q_dup": "dup", "q_spark": "spark"}, 10, 3
         ),
+        "span_position_range": osql.span_position_range_sql("table", 5, 20),
+        "free_text_suggest": osql.free_text_suggest_sql(["table"], "ha", 5, 2),
+        "free_text_suggest3": osql.free_text_suggest_sql(["value", "table"], "", 5, 3),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

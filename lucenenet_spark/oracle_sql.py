@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from lucenenet_spark.analysis.analyzer import duckdb_token_sql
+from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN, duckdb_token_sql
 from lucenenet_spark.functions.smallfloat import NORM_TABLE, byte315_to_float
 
 K = 10  # headline top-k
@@ -1243,6 +1243,18 @@ GROUP BY docid"""
     )
 
 
+def span_position_range_sql(t: str, start: int, end: int) -> str:
+    """SpanPositionRangeQuery over a term: unit spans inside
+    [start, end)."""
+    return (
+        bm25_prelude(with_positions=True)
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans
+FROM tok WHERE term = '{t}' AND pos >= {start} AND pos + 1 <= {end}
+GROUP BY docid"""
+    )
+
+
 def span_not_sql(t0: str, t1: str, slop: int, exclude: str) -> str:
     """SpanNot(include = ordered near(t0, t1, slop), exclude = term):
     greedy-minimal include spans [p0, p1+1) that contain NO exclude
@@ -2223,6 +2235,97 @@ SELECT p.query_id,
 FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
 ORDER BY p.query_id"""
     )
+
+
+def free_text_suggest_sql(
+    context: list[str],
+    prefix: str = "",
+    k: int = 5,
+    grams: int = 3,
+    alpha: float = 0.4,
+) -> str:
+    """Mirror of suggest.free_text_suggest (stupid-backoff n-gram LM):
+    same tokenizer (no stop filter), same per-order counts, same
+    driver-computed backoff literal, highest-order dedup, (score desc,
+    term) top-k."""
+    from lucenenet_spark.analysis.analyzer import _sql_quote_regex
+
+    re_sql = _sql_quote_regex(TOKEN_PATTERN)
+    ctes = [
+        f"""toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '{re_sql}') AS toks
+  FROM documents
+)"""
+    ]
+    branches = []
+    for n in range(grams, 0, -1):
+        ctx = context[-(n - 1):] if n > 1 else []
+        if len(ctx) < n - 1:
+            continue
+        factor = repr(float(alpha ** (grams - n)))
+        gram_list = (
+            "toks"
+            if n == 1
+            else f"list_transform(range(1, len(toks) - {n} + 2),"
+            f" i -> array_to_string(toks[i : i + {n - 1}], ' '))"
+        )
+        if n > 1:
+            head = " ".join(ctx) + " "
+            hq = head.replace("'", "''")
+            pq = (head + prefix).replace("'", "''")
+            ctes.append(
+                f"""cand{n} AS (
+  SELECT substr(gram, {len(head) + 1}) AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({gram_list}) AS gram FROM toks)
+  WHERE starts_with(gram, '{pq}') GROUP BY 1
+)"""
+            )
+            ctx_list = (
+                "toks"
+                if n - 1 == 1
+                else f"list_transform(range(1, len(toks) - {n - 1} + 2),"
+                f" i -> array_to_string(toks[i : i + {n - 2}], ' '))"
+            )
+            ctxv = " ".join(ctx).replace("'", "''")
+            ctes.append(
+                f"""ctx{n} AS (
+  SELECT CAST(count(*) AS BIGINT) AS cc
+  FROM (SELECT unnest({ctx_list}) AS g2 FROM toks) WHERE g2 = '{ctxv}'
+)"""
+            )
+        else:
+            pq = prefix.replace("'", "''")
+            ctes.append(
+                f"""cand1 AS (
+  SELECT gram AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS gram FROM toks)
+  WHERE starts_with(gram, '{pq}') GROUP BY 1
+)"""
+            )
+            ctes.append(
+                """ctx1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cc
+  FROM (SELECT unnest(toks) AS t FROM toks)
+)"""
+            )
+        branches.append(
+            f"""  SELECT term, CAST({n} AS INT) AS ord,
+         {factor} * (CAST(c AS DOUBLE) / CAST(cc AS DOUBLE)) AS score
+  FROM cand{n}, ctx{n} WHERE cc > 0"""
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH {','.join(ctes)},
+allc AS (
+{union}
+),
+dedup AS (
+  SELECT term, ord, score,
+         row_number() OVER (PARTITION BY term ORDER BY ord DESC) AS rn
+  FROM allc
+)
+SELECT term, ord, score FROM dedup WHERE rn = 1
+ORDER BY score DESC, term ASC LIMIT {k}"""
 
 
 def percolate_sql() -> str:

@@ -42,6 +42,8 @@ Pinned span spec (what ``n_spans`` counts):
 - **SpanNot(include, exclude)** — include spans overlapping NO
   exclude span (overlap = ``e.start < s.end and e.end > s.start``).
 - **SpanFirst(match, end)** — match spans with ``span.end <= end``.
+- **SpanPositionRange(match, start, end)** — spans with
+  ``start <= span.start`` and ``span.end <= end``.
 - **SpanMulti(wrapped)** — SpanOr over the dictionary expansion of a
   MultiTermQuery (prefix/wildcard/fuzzy/regexp/range).
 """
@@ -102,6 +104,21 @@ class SpanNotQuery(SpanQuery):
 @dataclass(frozen=True)
 class SpanFirstQuery(SpanQuery):
     match: SpanQuery = None  # type: ignore[assignment]
+    end: int = 0
+
+    def terms(self) -> list[str]:
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """SpanPositionRangeQuery (``Search/Spans/SpanPositionRangeQuery.cs:33``):
+    match spans entirely inside [start, end) — ``span.start >= start``
+    and ``span.end <= end``. SpanFirstQuery is the start=0 special
+    case (``SpanFirstQuery.cs:38`` extends this)."""
+
+    match: SpanQuery = None  # type: ignore[assignment]
+    start: int = 0
     end: int = 0
 
     def terms(self) -> list[str]:
@@ -229,6 +246,11 @@ def _enumerate(q: SpanQuery, posmap: dict[str, np.ndarray]) -> np.ndarray:
         if sub.size == 0:
             return sub
         return sub[sub[:, 1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        sub = _enumerate(q.match, posmap)
+        if sub.size == 0:
+            return sub
+        return sub[(sub[:, 0] >= q.start) & (sub[:, 1] <= q.end)]
     raise NotImplementedError(type(q).__name__)
 
 
@@ -272,6 +294,10 @@ def _expand_multi(q: SpanQuery, searcher) -> SpanQuery:
         )
     if isinstance(q, SpanFirstQuery):
         return SpanFirstQuery(_expand_multi(q.match, searcher), q.end)
+    if isinstance(q, SpanPositionRangeQuery):
+        return SpanPositionRangeQuery(
+            _expand_multi(q.match, searcher), q.start, q.end
+        )
     return q
 
 

@@ -10,7 +10,7 @@ each suggester is a filter + bounded TakeOrderedAndProject.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucenenet_spark.search.searcher import IndexSearcher
@@ -132,3 +132,96 @@ class AnalyzingSuggester:
             )
             .limit(n)
         )
+
+
+def free_text_suggest(
+    docs: DataFrame,
+    context: list[str],
+    prefix: str = "",
+    k: int = 5,
+    grams: int = 3,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FreeTextSuggester (``Suggest/Analyzing/FreeTextSuggester.cs:77``):
+    next-word prediction from an n-gram language model with stupid
+    backoff (Brants et al. 2007, the reference's ALPHA=0.4 at ``:107``).
+
+    Pinned spec: for order n = grams..1, candidates are words x with
+    ``count(context[-(n-1):] + x) > 0`` and ``x.startswith(prefix)``,
+    scored ``alpha^(grams-n) * count(gram) / count(context_gram)``
+    (order-1 context count = total tokens). A word keeps its
+    HIGHEST-order score (the reference's seen-set dedup across backoff
+    levels), ties break by term. The backoff factor is computed once
+    driver-side and injected as a literal so both engines multiply the
+    exact same double. Tokenization = the ops tokenizer (no stop
+    removal — continuations need natural word statistics).
+
+    Scale shape: order-n counts are map-side-combined hash aggregates
+    over the corpus scan with the context filter PUSHED BELOW the agg
+    (only grams starting with the queried context are aggregated);
+    context counts are scalar single-row frames cross-joined in. No
+    per-query model materialization."""
+    from lucenenet_spark.ops.text import _tokens, _word_grams
+
+    toks = docs.select(_tokens(text_col).alias("toks"))
+    frames = []
+    for n in range(grams, 0, -1):
+        ctx = context[-(n - 1):] if n > 1 else []
+        if len(ctx) < n - 1:
+            continue  # not enough context for this order
+        factor = float(alpha ** (grams - n))
+        g = toks.select(F.explode(_word_grams(F.col("toks"), n)).alias("gram"))
+        if n > 1:
+            head = " ".join(ctx) + " "
+            cand = (
+                g.where(F.col("gram").startswith(head + prefix))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .select(
+                    F.substring(F.col("gram"), len(head) + 1, 1000000).alias("term"),
+                    "c",
+                )
+            )
+            ctx_cnt = (
+                toks.select(
+                    F.explode(_word_grams(F.col("toks"), n - 1)).alias("g2")
+                )
+                .where(F.col("g2") == " ".join(ctx))
+                .agg(F.count(F.lit(1)).cast("long").alias("cc"))
+            )
+        else:
+            cand = (
+                g.where(F.col("gram").startswith(prefix))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .select(F.col("gram").alias("term"), "c")
+            )
+            ctx_cnt = toks.select(F.explode("toks").alias("t")).agg(
+                F.count(F.lit(1)).cast("long").alias("cc")
+            )
+        scored = cand.crossJoin(ctx_cnt).where(F.col("cc") > 0).select(
+            "term",
+            F.lit(n).cast("int").alias("ord"),
+            (
+                F.lit(factor)
+                * (F.col("c").cast("double") / F.col("cc").cast("double"))
+            ).alias("score"),
+        )
+        frames.append(scored)
+    if not frames:
+        return docs.sparkSession.createDataFrame(
+            [], "term string, ord int, score double"
+        )
+    allc = frames[0]
+    for f in frames[1:]:
+        allc = allc.unionByName(f)
+    w = Window.partitionBy("term").orderBy(F.col("ord").desc())
+    return (
+        allc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("term", "ord", "score")
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(k)
+    )
