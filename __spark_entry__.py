@@ -551,6 +551,44 @@ def _q_shingle_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="table hash"), 10))
 
 
+_CODE_CACHE: dict[tuple[str, str], IndexSearcher] = {}
+
+
+def _code_searcher(spark, sf_dir) -> IndexSearcher:
+    """Searcher over the code-analyzed index (WordDelimiterFilter role,
+    the north-star 'code-aware splitting' axis). Corpus = deterministic
+    synthetic source-code identifiers derived from doc_id by the
+    dialect-portable SQL in sources/synthetic.py; ``CorpusSpec(code=
+    True)`` applies the pinned WDF boundary chain JVM-side
+    (regexp_replace inside whole-stage codegen — zero Python cost), so
+    ``getUsrRec_42`` indexes as get/usr/rec/42 at consecutive
+    positions."""
+    from lucenenet_spark.sources.synthetic import code_text_expr
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(code_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", code=True)
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    return _CODE_CACHE[key]
+
+
+def _q_code_term(spark, sf_dir):
+    """TermQuery('usr') hits docs only via sub-word splits — 'usr'
+    never appears as a standalone word in the raw identifiers."""
+    return _ranked(_code_searcher(spark, sf_dir).search_df(TermQuery(term="usr"), 10))
+
+
+def _q_code_phrase(spark, sf_dir):
+    """Phrase over adjacent sub-words of one identifier (camelCase /
+    snake_case splits put parts at consecutive positions)."""
+    s = _code_searcher(spark, sf_dir)
+    return _ranked(s.search_df(PhraseQuery(phrase_terms=("get", "set")), 10))
+
+
 def _q_high_freq_terms(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.high_freq_terms(s, 10, "df")
@@ -1190,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_position_range": _q_span_position_range,
         "free_text_suggest": _q_free_text_suggest,
         "free_text_suggest3": _q_free_text_suggest3,
+        "code_term_query": _q_code_term,
+        "code_phrase_query": _q_code_phrase,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1336,6 +1376,8 @@ def oracle_sql() -> dict[str, str]:
         "span_position_range": osql.span_position_range_sql("table", 5, 20),
         "free_text_suggest": osql.free_text_suggest_sql(["table"], "ha", 5, 2),
         "free_text_suggest3": osql.free_text_suggest_sql(["value", "table"], "", 5, 3),
+        "code_term_query": osql.code_term_query_sql("usr"),
+        "code_phrase_query": osql.code_phrase_query_sql("get", "set"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -104,6 +104,13 @@ class CorpusSpec:
     # norms count source tokens with >= 1 gram. Exclusive with
     # shingles/synonyms (the filter replaces the stream).
     edge_ngram: "tuple[int, int] | None" = None
+    # code-aware sub-word splitting (WordDelimiterFilter role,
+    # analysis/worddelim.py): the pinned boundary chain runs JVM-side
+    # on the raw text BEFORE the standard pipeline, so "getUserName_42"
+    # indexes as get/user/name/42. Composes with stem/synonyms/
+    # shingles (it is a text transform, not a token filter). NOTE:
+    # content_sha256 is then computed over the TRANSFORMED text.
+    code: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -646,6 +653,14 @@ def build_index(
     spec = spec or CorpusSpec()
     if spec.stem and spec.cjk:  # fail on the driver, not inside workers
         raise ValueError("stem and cjk analyzers are mutually exclusive")
+    if spec.code:
+        # WDF boundary chain as a JVM regexp_replace column transform —
+        # stays inside whole-stage codegen, zero extra Python cost
+        from lucenenet_spark.analysis.worddelim import code_split_col
+
+        corpus = corpus.withColumn(
+            spec.text_col, code_split_col(F.col(spec.text_col))
+        )
     meta = [
         c for c in spec.meta_cols if c in corpus.columns and c != spec.text_col
     ]

@@ -60,6 +60,7 @@ def bm25_prelude(
     synonyms=None,
     shingles: int | None = None,
     edge_ngram: tuple[int, int] | None = None,
+    source: str = "documents",
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
@@ -69,7 +70,7 @@ def bm25_prelude(
     token (analysis/shingles.py spec). Either way doc lengths/norms
     keep counting BASE tokens only (discountOverlaps), mirroring the
     engine's index-time filters exactly."""
-    tok = duckdb_token_sql("documents", "doc_id", "text", with_positions=True)
+    tok = duckdb_token_sql(source, "doc_id", "text", with_positions=True)
     pos_col = ", pos" if with_positions else ""
     if edge_ngram:
         lo, hi = edge_ngram
@@ -89,7 +90,7 @@ postings AS (
 ),
 doclen AS (
   SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
-  FROM documents d LEFT JOIN doclen_base t ON d.doc_id = t.docid
+  FROM {source} d LEFT JOIN doclen_base t ON d.doc_id = t.docid
 ),""" + _prelude_tail()
     if synonyms or shingles:
         branches = ["    SELECT docid, term, pos FROM tok_base"]
@@ -142,7 +143,7 @@ postings AS (
 ),
 doclen AS (
   SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
-  FROM documents d
+  FROM {source} d
   LEFT JOIN (SELECT docid, count(*) AS fl FROM {doclen_src} GROUP BY docid) t
     ON d.doc_id = t.docid
 ),""" + _prelude_tail()
@@ -250,8 +251,42 @@ def corpus_stats_sql() -> str:
     )
 
 
-def term_query_sql(term: str, k: int = K) -> str:
-    return bm25_prelude() + ",\n" + _term_scores_cte("t0", term) + _topk("t0", k)
+def term_query_sql(term: str, k: int = K, source: str = "documents") -> str:
+    return (
+        bm25_prelude(source=source)
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def _code_docs_cte() -> str:
+    """CTE producing the deterministic synthetic code corpus (see
+    sources/synthetic.py) with the pinned WDF code-split chain
+    (analysis/worddelim.py::CODE_SPLIT_RULES) already applied — the
+    oracle mirror of ``CorpusSpec(code=True)`` index builds."""
+    from lucenenet_spark.analysis.worddelim import code_split_sql
+    from lucenenet_spark.sources.synthetic import code_text_expr
+
+    split = code_split_sql(f"({code_text_expr('doc_id')})")
+    return f"code_docs AS (SELECT doc_id, {split} AS text FROM documents)"
+
+
+def _with_code_docs(body: str) -> str:
+    return body.replace("WITH ", f"WITH {_code_docs_cte()},\n", 1)
+
+
+def code_term_query_sql(term: str, k: int = K) -> str:
+    """TermQuery over the code-analyzed index: sub-word terms like
+    'usr' exist only because the WDF chain split the identifiers."""
+    return _with_code_docs(term_query_sql(term, k, source="code_docs"))
+
+
+def code_phrase_query_sql(t0: str, t1: str, k: int = K) -> str:
+    """PhraseQuery over adjacent sub-words of one identifier — e.g.
+    camelCase 'getUsr...' matches phrase "get usr" because the split
+    parts occupy consecutive positions."""
+    return _with_code_docs(phrase_sql(t0, t1, k, source="code_docs"))
 
 
 def boolean_and_sql(t0: str, t1: str, k: int = K) -> str:
@@ -355,7 +390,7 @@ scored AS (
     )
 
 
-def phrase_sql(t0: str, t1: str, k: int = K) -> str:
+def phrase_sql(t0: str, t1: str, k: int = K, source: str = "documents") -> str:
     """Exact 2-term phrase: t1 at position t0.pos+1; phrase freq =
     count of start positions; weight = (0+idf0)+idf1 summed float32
     (searcher.py::_phrase)."""
@@ -363,7 +398,7 @@ def phrase_sql(t0: str, t1: str, k: int = K) -> str:
     idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t1}')")
     k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
     return (
-        bm25_prelude(with_positions=True)
+        bm25_prelude(with_positions=True, source=source)
         + f""",
 w AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
 pfreq AS (

@@ -114,3 +114,55 @@ def synthetic_corpus(
     return spark.range(0, n_docs, 1, parts).mapInPandas(
         _gen_batches(seed), schema=CORPUS_SCHEMA
     )
+
+
+# ------------------------------------------------- deterministic code corpus
+# A source-code-identifier corpus derived row-by-row from an existing
+# table by PURE SQL arithmetic — the same expression string runs in
+# Spark SQL and DuckDB, so a code-analyzed index is oracle-checkable
+# end-to-end (used by the code_* driver entries with
+# CorpusSpec(code=True), the WordDelimiterFilter role).
+#
+# 12 three-letter identifier stems packed into one literal: substr()
+# is 1-based in BOTH dialects, so stem k = substr(lit, 1+3k, 3).
+CODE_STEMS = "getsetusrrecidxcntpartokmrgsrthshbyt"
+_N_STEMS = 12
+
+
+def _stem(e: str) -> str:
+    return f"substr('{CODE_STEMS}', 1 + 3*(({e}) % {_N_STEMS}), 3)"
+
+
+def _cap(w: str) -> str:
+    return f"(upper(substr({w},1,1)) || substr({w},2,2))"
+
+
+def code_text_expr(id_expr: str = "doc_id", n_idents: int = 6) -> str:
+    """SQL expression: ``n_idents`` identifiers per row, style cycling
+    camelCase / snake_case / Capitalized-with-digit-suffix, each built
+    from three stems chosen by modular arithmetic over ``id_expr``.
+    Deterministic, dialect-portable (substr/upper/||/% only)."""
+    idents = []
+    for j in range(n_idents):
+        w1 = _stem(f"({id_expr})*7 + {j * 3}")
+        w2 = _stem(f"({id_expr})*11 + {j * 3 + 1}")
+        w3 = _stem(f"({id_expr})*13 + {j * 3 + 2}")
+        camel = f"({w1} || {_cap(w2)} || {_cap(w3)})"
+        snake = f"({w1} || '_' || {w2} || '_' || {w3})"
+        digit = (
+            f"({_cap(w1)} || {w2} || "
+            f"substr('0123456789', 1 + ((({id_expr}) + {j}) % 10), 1))"
+        )
+        idents.append(
+            f"CASE ((({id_expr}) + {j}) % 3) WHEN 0 THEN {camel}"
+            f" WHEN 1 THEN {snake} ELSE {digit} END"
+        )
+    return " || ' ' || ".join(idents)
+
+
+def code_corpus_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """SELECT producing the (doc_id, text) code corpus from ``table``."""
+    return (
+        f"SELECT {id_col} AS doc_id, {code_text_expr(id_col)} AS text"
+        f" FROM {table}"
+    )
