@@ -589,6 +589,21 @@ def _q_code_phrase(spark, sf_dir):
     return _ranked(s.search_df(PhraseQuery(phrase_terms=("get", "set")), 10))
 
 
+def _q_sweetspot_term(spark, sf_dir):
+    """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
+    length norm [2, 8] + baselineTf(base=1.5, min=2)."""
+    from lucenenet_spark.functions.similarity import SweetSpotSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(
+        idx,
+        similarity=SweetSpotSimilarity(
+            ln_min=2, ln_max=8, steepness=0.5, tf_base=1.5, tf_min=2.0
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_high_freq_terms(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.high_freq_terms(s, 10, "df")
@@ -1230,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "free_text_suggest3": _q_free_text_suggest3,
         "code_term_query": _q_code_term,
         "code_phrase_query": _q_code_phrase,
+        "sweetspot_term_query": _q_sweetspot_term,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1378,6 +1394,9 @@ def oracle_sql() -> dict[str, str]:
         "free_text_suggest3": osql.free_text_suggest_sql(["value", "table"], "", 5, 3),
         "code_term_query": osql.code_term_query_sql("usr"),
         "code_phrase_query": osql.code_phrase_query_sql("get", "set"),
+        "sweetspot_term_query": osql.sweetspot_term_query_sql(
+            "spark", ln_min=2, ln_max=8, steepness=0.5, tf_base=1.5, tf_min=2.0
+        ),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

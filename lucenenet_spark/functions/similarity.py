@@ -431,3 +431,65 @@ class DFRSimilarity:
             return (bm / (1.0 + tfn)).astype(np.float32)
         s = np.float64(np.float32(w)) * tfn / (1.0 + tfn)
         return s.astype(np.float32)
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """Plateau length-norm + baseline-tf similarity (reference
+    ``Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs:41`` extending
+    DefaultSimilarity):
+
+        baselineTf(freq) = 0                       if freq == 0
+                         = tf_base                 if freq <= tf_min
+                         = f32(sqrt(freq + tf_base^2 - tf_min))
+        lengthNorm(x)    = f32(1 / sqrt(f32(steep * (|x-min| + |x-max|
+                                              - (max-min))) + 1))
+        score            = weight * baselineTf * lengthNorm
+
+    with weight = ClassicSimilarity's idf^2 * boost. The reference
+    encodes lengthNorm into the norm byte at INDEX time
+    (``ComputeLengthNorm`` -> byte315); this engine stores ONE shared
+    norm byte (byte315 of 1/sqrt(field_length)) so every similarity is
+    swappable without reindexing, and recovers the doc length at query
+    time the way the LM/DFR families do (SimilarityBase DecodeNormValue:
+    docLen = f32(1/decode^2)). The plateau is therefore computed over
+    the byte-quantized length — same quantization point as the LM/DFR
+    implementations above, divergence from the reference documented
+    here. float32 op order pinned to the C# (all-float chains, sqrt in
+    double then one truncation)."""
+
+    name = "sweetspot"
+
+    def __init__(
+        self,
+        avgdl=None,  # unused; uniform Similarity ctor
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+    ):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steep = np.float32(steepness)
+        self.tf_base = np.float32(tf_base)
+        self.tf_min = np.float32(tf_min)
+
+    def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
+        freq = np.asarray(f, dtype=np.float32)
+        # BaselineTf (SweetSpotSimilarity.cs:171-180): float chain
+        # freq + base^2 - min, sqrt in double, one f32 truncation
+        arg = (freq + np.float32(self.tf_base * self.tf_base)) - self.tf_min
+        with np.errstate(invalid="ignore"):
+            tf = np.sqrt(arg.astype(np.float64)).astype(np.float32)
+        tf = np.where(freq <= self.tf_min, self.tf_base, tf)
+        tf = np.where(freq == np.float32(0.0), np.float32(0.0), tf)
+        # ComputeLengthNorm (SweetSpotSimilarity.cs:141-148) over the
+        # recovered doc length x = f32(1/decode(norm)^2)
+        nd = byte315_to_float(np.asarray(norm_bytes, dtype=np.uint8))
+        x = (np.float32(1.0) / (nd * nd)).astype(np.float32)
+        lo = np.float32(self.ln_min)
+        hi = np.float32(self.ln_max)
+        t = (np.abs(x - lo) + np.abs(x - hi)) - np.float32(self.ln_max - self.ln_min)
+        inner = (self.steep * t) + np.float32(1.0)
+        norm = (np.float64(1.0) / np.sqrt(inner.astype(np.float64))).astype(np.float32)
+        return (np.float32(w) * tf * norm).astype(np.float32)

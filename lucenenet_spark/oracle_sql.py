@@ -2391,3 +2391,53 @@ SELECT doc_id, query_id FROM (
   UNION ALL
   SELECT docid, 'par_prefix' FROM m_prefix
 ) ORDER BY doc_id, query_id"""
+
+
+def sweetspot_term_query_sql(
+    term: str,
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+    tf_base: float = 0.0,
+    tf_min: float = 0.0,
+    k: int = K,
+) -> str:
+    """SweetSpotSimilarity term query mirror (similarity.py::
+    SweetSpotSimilarity / reference SweetSpotSimilarity.cs):
+    weight = classic idf^2, tf = baselineTf (all-f32 chain, sqrt in
+    double, one truncation), lengthNorm = f32(1/sqrt(f32(steep *
+    (|x-lo| + |x-hi| - (hi-lo))) + 1)) over x = f32(1/decode(norm)^2)."""
+    idf = (
+        f"CAST(ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE)"
+        f" / ((SELECT df FROM term_stats WHERE term = '{term}') + 1)) + 1.0 AS REAL)"
+    )
+    base2 = _f32_lit(float(np.float32(np.float32(tf_base) * np.float32(tf_base))))
+    tfb = _f32_lit(tf_base)
+    tfm = _f32_lit(tf_min)
+    lo = _f32_lit(float(ln_min))
+    hi = _f32_lit(float(ln_max))
+    span = _f32_lit(float(np.float32(int(ln_max) - int(ln_min))))
+    st = _f32_lit(steepness)
+    x = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS REAL)"
+    tf = (
+        f"(CASE WHEN p.freq = 0 THEN {_f32_lit(0.0)}"
+        f" WHEN CAST(p.freq AS REAL) <= {tfm} THEN {tfb}"
+        f" ELSE CAST(sqrt(CAST((CAST(p.freq AS REAL) + {base2}) - {tfm}"
+        f" AS DOUBLE)) AS REAL) END)"
+    )
+    norm = (
+        f"CAST(1.0 / sqrt(CAST(({st} * ((abs({x} - {lo}) + abs({x} - {hi}))"
+        f" - {span})) + {_f32_lit(1.0)} AS DOUBLE)) AS REAL)"
+    )
+    return (
+        bm25_prelude()
+        + f""",
+w AS (SELECT ({idf} * {idf}) * {_f32_lit(1.0)} AS w),
+scored AS (
+  SELECT p.docid, ((SELECT w FROM w) * {tf}) * {norm} AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )

@@ -67,3 +67,78 @@ def test_ordered_sum_is_deterministic():
     a = bm25.float32_ordered_sum(vals)
     b = bm25.float32_ordered_sum(vals)
     assert a == b and a.dtype == np.float32
+
+
+def test_sweetspot_degenerate_equals_classic():
+    """SweetSpotSimilarity.cs: min=max=1, steep=0.5, tf base=min=0
+    degrades to 1/sqrt(x) lengthNorm and sqrt(freq) tf — i.e. classic."""
+    from lucenenet_spark.functions.similarity import (
+        ClassicSimilarity,
+        SweetSpotSimilarity,
+    )
+
+    f = np.arange(0, 35, dtype=np.float32)
+    # bytes <= 124 decode to <= 1.0, i.e. doc length >= 1 — the only
+    # range the index ever writes (ComputeLengthNorm takes int >= 1)
+    nb = np.arange(90, 125, dtype=np.uint8)
+    w = np.float32(1.7)
+    got = SweetSpotSimilarity().score(f, nb, w)
+    want = ClassicSimilarity().score(f, nb, w)
+    assert np.allclose(got, want, rtol=1e-6)
+
+
+def test_sweetspot_matches_reference_math():
+    """Pinned against a scalar recompute of SweetSpotSimilarity.cs
+    BaselineTf (:171) and ComputeLengthNorm (:141), float32 op order."""
+    from lucenenet_spark.functions.similarity import SweetSpotSimilarity
+    from lucenenet_spark.functions.smallfloat import byte315_to_float
+
+    lo, hi, st, tb, tm = 2, 8, 0.5, 1.5, 2.0
+    s = SweetSpotSimilarity(ln_min=lo, ln_max=hi, steepness=st, tf_base=tb, tf_min=tm)
+    f = np.array([0, 1, 2, 3, 7, 25], dtype=np.float32)
+    nb = np.array([100, 110, 115, 118, 120, 124], dtype=np.uint8)
+    w = np.float32(2.25)
+    got = s.score(f, nb, w)
+    for i in range(len(f)):
+        freq = np.float32(f[i])
+        if freq == 0:
+            tf = np.float32(0.0)
+        elif freq <= np.float32(tm):
+            tf = np.float32(tb)
+        else:
+            tf = np.float32(
+                math.sqrt(
+                    np.float32(
+                        np.float32(freq + np.float32(np.float32(tb) * np.float32(tb)))
+                        - np.float32(tm)
+                    )
+                )
+            )
+        d = byte315_to_float(np.array([nb[i]], dtype=np.uint8))[0]
+        x = np.float32(np.float32(1.0) / np.float32(d * d))
+        t = np.float32(
+            np.float32(np.float32(abs(np.float32(x - lo))) + np.float32(abs(np.float32(x - hi))))
+            - np.float32(hi - lo)
+        )
+        inner = np.float32(np.float32(np.float32(st) * t) + np.float32(1.0))
+        norm = np.float32(1.0 / math.sqrt(float(inner)))
+        want = np.float32(np.float32(w * tf) * norm)
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_sweetspot_plateau_is_flat():
+    """Docs whose recovered length falls inside [min, max] share
+    lengthNorm 1.0 (the plateau), outside it decays."""
+    from lucenenet_spark.functions.similarity import SweetSpotSimilarity
+    from lucenenet_spark.functions.smallfloat import norm_byte_from_length
+
+    # plateau bounds padded for the norm byte's recovered-length
+    # quantization (length 10's byte recovers as 10.24)
+    s = SweetSpotSimilarity(ln_min=3, ln_max=11, steepness=0.5)
+    nb = np.array(
+        [norm_byte_from_length(n) for n in (3, 5, 10, 40)], dtype=np.uint8
+    )
+    f = np.ones(4, dtype=np.float32)
+    got = s.score(f, nb, np.float32(1.0))
+    assert got[0] == got[1] == got[2] == np.float32(1.0)
+    assert got[3] < got[2]
