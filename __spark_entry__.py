@@ -589,6 +589,34 @@ def _q_code_phrase(spark, sf_dir):
     return _ranked(s.search_df(PhraseQuery(phrase_terms=("get", "set")), 10))
 
 
+_REV_CACHE: dict[tuple[str, str], IndexSearcher] = {}
+
+
+def _rev_searcher(spark, sf_dir) -> IndexSearcher:
+    """Searcher over the ReverseStringFilter companion index
+    (CorpusSpec(reverse=True)): every token stored reversed, so a
+    leading wildcard becomes a sorted-dictionary prefix lookup."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _REV_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        spec = CorpusSpec(
+            text_col="text", id_col="doc_id", meta_cols=(), reverse=True
+        )
+        _REV_CACHE[key] = IndexSearcher(build_index(spark, docs, spec).cache())
+    return _REV_CACHE[key]
+
+
+def _q_leading_wildcard(spark, sf_dir):
+    """ConstantScore(*ark) via the reversed index: PrefixQuery('kra')
+    over reversed terms == WildcardQuery('*ark') over the base index,
+    without the full-dictionary regex scan."""
+    from lucenenet_spark.search.queries import leading_wildcard_query
+
+    s = _rev_searcher(spark, sf_dir)
+    df = s.search_df(leading_wildcard_query("*ark"), k=None)
+    return df.select("docid", F.col("score").cast("double").alias("score"))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1246,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_term_query": _q_code_term,
         "code_phrase_query": _q_code_phrase,
         "sweetspot_term_query": _q_sweetspot_term,
+        "leading_wildcard": _q_leading_wildcard,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1397,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "sweetspot_term_query": osql.sweetspot_term_query_sql(
             "spark", ln_min=2, ln_max=8, steepness=0.5, tf_base=1.5, tf_min=2.0
         ),
+        "leading_wildcard": osql.leading_wildcard_sql("ark"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -104,6 +104,15 @@ class CorpusSpec:
     # norms count source tokens with >= 1 gram. Exclusive with
     # shingles/synonyms (the filter replaces the stream).
     edge_ngram: "tuple[int, int] | None" = None
+    # ReverseStringFilter role (Analysis.Common/Analysis/Reverse/
+    # ReverseStringFilter.cs:34): REPLACES every token with its
+    # reversed characters. The canonical use is a reversed companion
+    # index that turns a leading wildcard (*suffix — otherwise a full
+    # dictionary regex scan) into a PrefixQuery on the reversed terms,
+    # which prunes on the dictionary's term sort order at scale.
+    # Positions/norms are unchanged. Exclusive with the stream-shaping
+    # filters (shingles/synonyms/edge_ngram).
+    reverse: bool = False
     # code-aware sub-word splitting (WordDelimiterFilter role,
     # analysis/worddelim.py): the pinned boundary chain runs JVM-side
     # on the raw text BEFORE the standard pipeline, so "getUserName_42"
@@ -271,6 +280,7 @@ class _SegmentWriter:
         synonyms=None,
         shingle_size=None,
         edge_ngram=None,
+        reverse: bool = False,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -290,6 +300,9 @@ class _SegmentWriter:
         self.edge_ngram = edge_ngram
         if edge_ngram is not None and (shingle_size is not None or synonyms):
             raise ValueError("edge_ngram replaces the token stream; it cannot combine with shingles/synonyms")
+        self.reverse = reverse
+        if reverse and (edge_ngram is not None or shingle_size is not None or synonyms):
+            raise ValueError("reverse is exclusive with shingles/synonyms/edge_ngram")
         # term -> (docids, freqs, norm_bytes, positions-per-doc)
         self.terms: dict[str, tuple[list, list, list, list]] = {}
         self.doc_ids: list[int] = []
@@ -315,6 +328,10 @@ class _SegmentWriter:
                 pairs = add_shingles(pairs, self.shingle_size)
             if self.synonyms is not None:
                 pairs = inject_synonyms(pairs, self.synonyms)
+            if self.reverse:
+                # ReverseStringFilter.cs:34 — reverse characters, keep
+                # position and field_length
+                pairs = [(t[::-1], p) for t, p in pairs]
             agg: dict[str, list[int]] = {}
             for term, pos in pairs:
                 agg.setdefault(term, []).append(pos)
@@ -398,13 +415,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -676,7 +693,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse),
             schema=schema,
         )
     else:
@@ -688,7 +705,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -2441,3 +2441,17 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def leading_wildcard_sql(suffix: str) -> str:
+    """ConstantScore leading wildcard (*suffix) — every doc containing
+    a term with the suffix, uniform score. Mirrors the reversed-index
+    PrefixQuery rewrite (queries.py::leading_wildcard_query /
+    ReverseStringFilter.cs:34): reverse(term) LIKE reverse(suffix)%
+    == term LIKE %suffix."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT DISTINCT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score
+FROM postings WHERE term LIKE '%{suffix}'"""
+    )

@@ -362,3 +362,22 @@ def _with_boost(q: Query, boost: float) -> Query:
     import dataclasses
 
     return dataclasses.replace(q, boost=boost)
+
+
+def leading_wildcard_query(pattern: str) -> PrefixQuery:
+    """Rewrite a leading-wildcard pattern (``*suffix``) into the
+    PrefixQuery to run against a ``CorpusSpec(reverse=True)`` index
+    (the ReverseStringFilter reversed-field idiom,
+    ``Analysis/Reverse/ReverseStringFilter.cs:34``): the reversed
+    dictionary turns the leading wildcard from a full-dictionary regex
+    scan into a sorted-prefix lookup. Only the pure ``*literal`` shape
+    qualifies; anything else should run as a plain WildcardQuery."""
+    if not pattern.startswith("*"):
+        raise ValueError("not a leading wildcard: " + pattern)
+    suffix = pattern[1:]
+    if any(ch in suffix for ch in "*?\\"):
+        raise ValueError(
+            "only the pure *literal shape rewrites to a reversed prefix: "
+            + pattern
+        )
+    return PrefixQuery(prefix=suffix[::-1])

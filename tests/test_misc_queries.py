@@ -61,3 +61,40 @@ def test_boosting_query_demotes_context(ms):
     # doc 0 matches context 'merge' -> exact f32 demotion; others equal
     assert got[0] == np.float32(plain[0] * np.float32(0.25))
     assert got[1] == plain[1] and got[2] == plain[2]
+
+
+def test_reverse_index_leading_wildcard(spark):
+    """ReverseStringFilter (Analysis/Reverse/ReverseStringFilter.cs:34):
+    leading wildcard over the reversed companion index == WildcardQuery
+    over the base index, doc-for-doc."""
+    from lucenenet_spark.search.queries import (
+        WildcardQuery,
+        leading_wildcard_query,
+    )
+
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, content string"
+    )
+    base = IndexSearcher(
+        build_index(spark, df, CorpusSpec(order_cols=("repo", "path", "commit"))).cache()
+    )
+    rev = IndexSearcher(
+        build_index(
+            spark, df, CorpusSpec(order_cols=("repo", "path", "commit"), reverse=True)
+        ).cache()
+    )
+    want = sorted(h.docid for h in base.search(WildcardQuery(pattern="*le"), 100))
+    got = sorted(h.docid for h in rev.search(leading_wildcard_query("*le"), 100))
+    assert want and got == want
+    # reversed index stores reversed terms at the same positions
+    terms = {r.term for r in rev.index.term_stats.collect()}
+    assert "elbat" in terms and "kraps" in terms
+
+
+def test_leading_wildcard_rejects_non_suffix_shapes():
+    from lucenenet_spark.search.queries import leading_wildcard_query
+
+    with pytest.raises(ValueError):
+        leading_wildcard_query("foo*")
+    with pytest.raises(ValueError):
+        leading_wildcard_query("*a*b")
