@@ -617,6 +617,31 @@ def _q_leading_wildcard(spark, sf_dir):
     return df.select("docid", F.col("score").cast("double").alias("score"))
 
 
+def _q_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker.SuggestWordBreaks over a word batch —
+    one broadcast join against the distributed dictionary."""
+    from lucenenet_spark.search import spell
+
+    _, s = _searcher(spark, sf_dir)
+    return spell.suggest_word_breaks(
+        s,
+        ["tablescan", "sparkmergesort", "keyvalue", "nosuchword"],
+        max_changes=2,
+        min_break_length=2,
+    )
+
+
+def _q_word_combinations(spark, sf_dir):
+    """WordBreakSpellChecker.SuggestWordCombinations: adjacent query
+    terms re-joined into dictionary words."""
+    from lucenenet_spark.search import spell
+
+    _, s = _searcher(spark, sf_dir)
+    return spell.suggest_word_combinations(
+        s, ("win", "dow", "cust", "omer", "big"), max_changes=2
+    )
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1275,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_phrase_query": _q_code_phrase,
         "sweetspot_term_query": _q_sweetspot_term,
         "leading_wildcard": _q_leading_wildcard,
+        "word_breaks": _q_word_breaks,
+        "word_combinations": _q_word_combinations,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1427,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
             "spark", ln_min=2, ln_max=8, steepness=0.5, tf_base=1.5, tf_min=2.0
         ),
         "leading_wildcard": osql.leading_wildcard_sql("ark"),
+        "word_breaks": osql.word_breaks_sql(
+            ("tablescan", "sparkmergesort", "keyvalue", "nosuchword"),
+            max_changes=2,
+            min_break_length=2,
+        ),
+        "word_combinations": osql.word_combinations_sql(
+            ("win", "dow", "cust", "omer", "big"), max_changes=2
+        ),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2455,3 +2455,72 @@ def leading_wildcard_sql(suffix: str) -> str:
 SELECT DISTINCT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score
 FROM postings WHERE term LIKE '%{suffix}'"""
     )
+
+
+def word_breaks_sql(
+    words: tuple[str, ...],
+    max_suggestions: int = 10,
+    min_freq: int = 1,
+    min_break_length: int = 1,
+    max_changes: int = 1,
+) -> str:
+    """WordBreakSpellChecker.SuggestWordBreaks mirror (search/spell.py):
+    candidate splits enumerated exactly like the reference recursion
+    (left fixed, recurse right), each part must have df >= min_freq,
+    ranked per word by (n_changes, summed df desc, suggestion)."""
+    from lucenenet_spark.search.spell import _break_candidates
+
+    vals = []
+    for w in words:
+        for cid, parts in enumerate(_break_candidates(w, min_break_length, max_changes)):
+            for idx, p in enumerate(parts):
+                vals.append(f"('{w}', {cid}, {len(parts)}, {idx}, '{p}')")
+    if not vals:
+        return "SELECT CAST(NULL AS VARCHAR) AS word, CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS suggestion, CAST(NULL AS INT) AS n_changes, CAST(NULL AS BIGINT) AS freq WHERE FALSE"
+    return (
+        bm25_prelude()
+        + f""",
+cand(word, cand, n_parts, idx, term) AS (VALUES {",".join(vals)}),
+resolved AS (
+  SELECT c.word, c.cand, c.n_parts,
+         count(*) AS n_found, sum(t.df) AS freq,
+         string_agg(c.term, ' ' ORDER BY c.idx) AS suggestion
+  FROM cand c JOIN term_stats t ON c.term = t.term AND t.df >= {min_freq}
+  GROUP BY c.word, c.cand, c.n_parts
+),
+qual AS (
+  SELECT word, suggestion, CAST(n_parts - 1 AS INT) AS n_changes,
+         CAST(freq AS BIGINT) AS freq,
+         CAST(row_number() OVER (PARTITION BY word
+              ORDER BY n_parts ASC, freq DESC, suggestion ASC) AS BIGINT) AS rank
+  FROM resolved WHERE n_found = n_parts
+)
+SELECT word, rank, suggestion, n_changes, freq FROM qual
+WHERE rank <= {max_suggestions}"""
+    )
+
+
+def word_combinations_sql(
+    terms: tuple[str, ...],
+    max_suggestions: int = 10,
+    min_freq: int = 1,
+    max_changes: int = 1,
+    max_combine_length: int = 20,
+) -> str:
+    """WordBreakSpellChecker.SuggestWordCombinations mirror."""
+    vals = []
+    n = len(terms)
+    for i in range(n):
+        for j in range(i + 1, min(n, i + 1 + max_changes)):
+            combined = "".join(terms[i : j + 1])
+            if len(combined) <= max_combine_length:
+                vals.append(f"({i}, {j - i + 1}, '{combined}')")
+    return (
+        bm25_prelude()
+        + f""",
+cand(start, length, term) AS (VALUES {",".join(vals)})
+SELECT c.start, c.length, c.term AS combined, CAST(t.df AS BIGINT) AS freq
+FROM cand c JOIN term_stats t ON c.term = t.term AND t.df >= {min_freq}
+ORDER BY freq DESC, c.start ASC
+LIMIT {max_suggestions}"""
+    )

@@ -1,0 +1,71 @@
+"""WordBreakSpellChecker analog (search/spell.py) vs a brute-force
+recompute of the reference recursion (WordBreakSpellChecker.cs:264)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucenenet_spark.index.builder import CorpusSpec, build_index
+from lucenenet_spark.search import spell
+from lucenenet_spark.search.searcher import IndexSearcher
+
+ROWS = [
+    ("r", "a", "c", "spark merge sort table scan"),
+    ("r", "b", "c", "table scan key value"),
+    ("r", "c", "c", "key value window big"),
+]
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(spark, df, CorpusSpec(order_cols=("repo", "path", "commit"))).cache()
+    return IndexSearcher(idx)
+
+
+def test_break_candidates_match_reference_recursion():
+    # left part fixed, recurse right only, every part >= min length
+    got = spell._break_candidates("abcd", 1, 2)
+    assert ("a", "bcd") in got and ("a", "b", "cd") in got
+    # NOT (a+bc, d) reached via splitting the MIDDLE out of order —
+    # the recursion always splits the rightmost remainder
+    assert ("ab", "cd") in got and ("abc", "d") in got
+    assert ("a", "bc", "d") in got and ("ab", "c", "d") in got
+    # min length 2 prunes short parts
+    got2 = spell._break_candidates("abcd", 2, 2)
+    assert got2 == [("ab", "cd")]
+
+
+def test_word_breaks(sp):
+    out = spell.suggest_word_breaks(
+        sp, ["tablescan", "sparkmergesort", "zzz"], max_changes=2, min_break_length=2
+    ).collect()
+    by_word = {}
+    for r in out:
+        by_word.setdefault(r.word, []).append((r.rank, r.suggestion, r.n_changes))
+    assert by_word["tablescan"] == [(1, "table scan", 1)]
+    assert by_word["sparkmergesort"] == [(1, "spark merge sort", 2)]
+    assert "zzz" not in by_word
+
+
+def test_word_breaks_min_frequency(sp):
+    # df(big) = 1 < 2: 'windowbig' must not break at min_freq=2
+    out = spell.suggest_word_breaks(
+        sp, ["windowbig"], min_suggestion_frequency=2, min_break_length=3
+    ).collect()
+    assert out == []
+    out = spell.suggest_word_breaks(
+        sp, ["windowbig"], min_suggestion_frequency=1, min_break_length=3
+    ).collect()
+    assert [(r.suggestion, r.freq) for r in out] == [("window big", 2)]
+
+
+def test_word_combinations(sp):
+    out = spell.suggest_word_combinations(
+        sp, ("tab", "le", "sc", "an", "key"), max_changes=2
+    ).collect()
+    # 'table' (tab+le) and 'scan' (sc+an) combine; 'lesc', 'ankey' etc do not
+    got = {(r.start, r.length, r.combined) for r in out}
+    assert got == {(0, 2, "table"), (2, 2, "scan")}
