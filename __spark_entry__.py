@@ -642,6 +642,30 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_phonetic_terms(spark, sf_dir):
+    """Dictionary expansion of a sounds-like query: every term with
+    soundex('merj') = M620 (e.g. 'merge')."""
+    from lucenenet_spark.analysis.phonetic import soundex_col
+    from lucenenet_spark.search.queries import PhoneticQuery
+
+    idx, _ = _searcher(spark, sf_dir)
+    q = PhoneticQuery(name="merj")
+    return (
+        idx.term_stats.where(q.dict_predicate())
+        .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+    )
+
+
+def _q_phonetic_docs(spark, sf_dir):
+    """ConstantScore(PhoneticQuery('merj')): docs containing any
+    sounds-like term."""
+    from lucenenet_spark.search.queries import PhoneticQuery
+
+    _, s = _searcher(spark, sf_dir)
+    df = s.search_df(PhoneticQuery(name="merj"), k=None)
+    return df.select("docid", F.col("score").cast("double").alias("score"))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1302,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leading_wildcard": _q_leading_wildcard,
         "word_breaks": _q_word_breaks,
         "word_combinations": _q_word_combinations,
+        "phonetic_terms": _q_phonetic_terms,
+        "phonetic_docs": _q_phonetic_docs,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1462,6 +1488,8 @@ def oracle_sql() -> dict[str, str]:
         "word_combinations": osql.word_combinations_sql(
             ("win", "dow", "cust", "omer", "big"), max_changes=2
         ),
+        "phonetic_terms": osql.phonetic_terms_sql("merj"),
+        "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

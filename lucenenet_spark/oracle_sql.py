@@ -2524,3 +2524,28 @@ FROM cand c JOIN term_stats t ON c.term = t.term AND t.df >= {min_freq}
 ORDER BY freq DESC, c.start ASC
 LIMIT {max_suggestions}"""
     )
+
+
+def phonetic_terms_sql(name: str) -> str:
+    """Sounds-like dictionary expansion (queries.py::PhoneticQuery):
+    terms whose pinned-spec soundex equals the query name's code."""
+    from lucenenet_spark.analysis.phonetic import soundex_py, soundex_sql
+
+    return (
+        bm25_prelude()
+        + f"\nSELECT term, df, ttf FROM term_stats"
+        f" WHERE {soundex_sql('term')} = '{soundex_py(name)}'"
+    )
+
+
+def phonetic_docs_sql(name: str) -> str:
+    """ConstantScore(PhoneticQuery) — docs containing a sounds-like
+    term, uniform score."""
+    from lucenenet_spark.analysis.phonetic import soundex_py, soundex_sql
+
+    return (
+        bm25_prelude()
+        + f"""
+SELECT DISTINCT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score
+FROM postings WHERE {soundex_sql('term')} = '{soundex_py(name)}'"""
+    )

@@ -381,3 +381,32 @@ def leading_wildcard_query(pattern: str) -> PrefixQuery:
             + pattern
         )
     return PrefixQuery(prefix=suffix[::-1])
+
+
+@dataclass(frozen=True)
+class PhoneticQuery(MultiTermQuery):
+    """Sounds-like expansion (PhoneticFilter.cs query-time idiom
+    without reindexing): match every dictionary term whose soundex
+    code (analysis/phonetic.py pinned spec) equals the query name's.
+    Expansion rides the same paths as Prefix/Wildcard — JVM soundex
+    Column on the distributed dictionary scan, python spec on the
+    driver-cached one — then the constant-score rewrite."""
+
+    name: str = ""
+
+    def _code(self) -> str:
+        from lucenenet_spark.analysis.phonetic import soundex_py
+
+        return soundex_py(self.name)
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        from lucenenet_spark.analysis.phonetic import soundex_col
+
+        return soundex_col(F.col("term")) == self._code()
+
+    def python_predicate(self, term: str) -> bool:
+        from lucenenet_spark.analysis.phonetic import soundex_py
+
+        return soundex_py(term) == self._code()
