@@ -666,6 +666,39 @@ def _q_phonetic_docs(spark, sf_dir):
     return df.select("docid", F.col("score").cast("double").alias("score"))
 
 
+def _q_surround_infix(spark, sf_dir):
+    """Surround parser infix distance: 'table 3w hash' == ordered
+    SpanNear slop 2 (DistanceQuery.cs opDistance-1)."""
+    from lucenenet_spark.search.surround import run_surround
+
+    _, s = _searcher(spark, sf_dir)
+    return run_surround(s, "table 3w hash")
+
+
+def _q_surround_prefix_n(spark, sf_dir):
+    """Surround prefix form: '2n(table, hash)' == unordered slop 1."""
+    from lucenenet_spark.search.surround import run_surround
+
+    _, s = _searcher(spark, sf_dir)
+    return run_surround(s, "2n(table, hash)")
+
+
+def _q_surround_or_near(spark, sf_dir):
+    """OR inside a distance op -> SpanOr leaf: '(merge OR sort) 2w hash'."""
+    from lucenenet_spark.search.surround import run_surround
+
+    _, s = _searcher(spark, sf_dir)
+    return run_surround(s, "(merge OR sort) 2w hash")
+
+
+def _q_surround_bool(spark, sf_dir):
+    """Boolean-only surround: 'spark AND merge' -> scored BooleanQuery."""
+    from lucenenet_spark.search.surround import run_surround
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(run_surround(s, "spark AND merge", 10))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1328,6 +1361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_combinations": _q_word_combinations,
         "phonetic_terms": _q_phonetic_terms,
         "phonetic_docs": _q_phonetic_docs,
+        "surround_infix_w": _q_surround_infix,
+        "surround_prefix_n": _q_surround_prefix_n,
+        "surround_or_near": _q_surround_or_near,
+        "surround_bool": _q_surround_bool,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1490,6 +1527,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
+        "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),
+        "surround_prefix_n": osql.span_near_sql("table", "hash", 1, in_order=False),
+        "surround_or_near": osql.span_or_near_sql("merge", "sort", "hash", 1),
+        "surround_bool": osql.boolean_and_sql("spark", "merge"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(
