@@ -699,6 +699,43 @@ def _q_surround_bool(spark, sf_dir):
     return _ranked(run_surround(s, "spark AND merge", 10))
 
 
+def _q_slow_fuzzy_terms(spark, sf_dir):
+    """SlowFuzzyQuery (Sandbox): edit budget 3 — beyond FuzzyQuery's
+    automaton ceiling of 2."""
+    from lucenenet_spark.search.queries import SlowFuzzyQuery
+
+    idx, _ = _searcher(spark, sf_dir)
+    q = SlowFuzzyQuery(term="scann", minimum_similarity=3.0)
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
+def _q_slow_fuzzy_frac(spark, sf_dir):
+    """SlowFuzzyQuery fractional form: length-scaled similarity 0.5."""
+    from lucenenet_spark.search.queries import SlowFuzzyQuery
+
+    idx, _ = _searcher(spark, sf_dir)
+    q = SlowFuzzyQuery(term="stream", minimum_similarity=0.5)
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
+def _q_ascii_fold_term(spark, sf_dir):
+    """ASCIIFoldingFilter: accents injected into the corpus (a -> á),
+    folded back by CorpusSpec(ascii_fold=True) — the resulting index
+    is bit-identical to the plain one, so the PLAIN term_query oracle
+    must hash-match."""
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    accented = docs.withColumn("text", F.replace(F.col("text"), F.lit("a"), F.lit("á")))
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=(), ascii_fold=True
+    )
+    s = IndexSearcher(build_index(spark, accented, spec).cache())
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1365,6 +1402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_prefix_n": _q_surround_prefix_n,
         "surround_or_near": _q_surround_or_near,
         "surround_bool": _q_surround_bool,
+        "slow_fuzzy_terms": _q_slow_fuzzy_terms,
+        "slow_fuzzy_frac": _q_slow_fuzzy_frac,
+        "ascii_fold_term": _q_ascii_fold_term,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1531,6 +1571,9 @@ def oracle_sql() -> dict[str, str]:
         "surround_prefix_n": osql.span_near_sql("table", "hash", 1, in_order=False),
         "surround_or_near": osql.span_or_near_sql("merge", "sort", "hash", 1),
         "surround_bool": osql.boolean_and_sql("spark", "merge"),
+        "slow_fuzzy_terms": osql.slow_fuzzy_terms_sql("scann", 3.0),
+        "slow_fuzzy_frac": osql.slow_fuzzy_terms_sql("stream", 0.5),
+        "ascii_fold_term": osql.term_query_sql("spark"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -113,6 +113,12 @@ class CorpusSpec:
     # Positions/norms are unchanged. Exclusive with the stream-shaping
     # filters (shingles/synonyms/edge_ngram).
     reverse: bool = False
+    # ASCIIFoldingFilter role (Analysis/Miscellaneous/
+    # ASCIIFoldingFilter.cs:36, Latin-1 + Latin Ext-A subset,
+    # analysis/folding.py): fold accents to ASCII BEFORE tokenization
+    # (JVM translate/replace — zero Python cost). Composes with every
+    # other flag. NOTE: content_sha256 is computed over the FOLDED text.
+    ascii_fold: bool = False
     # code-aware sub-word splitting (WordDelimiterFilter role,
     # analysis/worddelim.py): the pinned boundary chain runs JVM-side
     # on the raw text BEFORE the standard pipeline, so "getUserName_42"
@@ -670,6 +676,10 @@ def build_index(
     spec = spec or CorpusSpec()
     if spec.stem and spec.cjk:  # fail on the driver, not inside workers
         raise ValueError("stem and cjk analyzers are mutually exclusive")
+    if spec.ascii_fold:
+        from lucenenet_spark.analysis.folding import fold_col
+
+        corpus = corpus.withColumn(spec.text_col, fold_col(F.col(spec.text_col)))
     if spec.code:
         # WDF boundary chain as a JVM regexp_replace column transform —
         # stays inside whole-stage codegen, zero extra Python cost

@@ -2549,3 +2549,22 @@ def phonetic_docs_sql(name: str) -> str:
 SELECT DISTINCT docid, CAST({_f32_lit(1.0)} AS DOUBLE) AS score
 FROM postings WHERE {soundex_sql('term')} = '{soundex_py(name)}'"""
     )
+
+
+def slow_fuzzy_terms_sql(term: str, minimum_similarity: float) -> str:
+    """SlowFuzzyQuery dictionary expansion mirror (queries.py::
+    SlowFuzzyQuery): absolute edit budget when >= 1, else the
+    length-scaled pre-4.0 similarity threshold."""
+    if minimum_similarity >= 1.0:
+        return (
+            bm25_prelude()
+            + f"\nSELECT term, df, ttf FROM term_stats"
+            f" WHERE levenshtein(term, '{term}') <= {int(minimum_similarity)}"
+        )
+    return (
+        bm25_prelude()
+        + f"""
+SELECT term, df, ttf FROM term_stats
+WHERE 1.0 - CAST(levenshtein(term, '{term}') AS DOUBLE)
+          / least(length(term), {len(term)}) >= {minimum_similarity!r}"""
+    )

@@ -410,3 +410,61 @@ class PhoneticQuery(MultiTermQuery):
         from lucenenet_spark.analysis.phonetic import soundex_py
 
         return soundex_py(term) == self._code()
+
+
+@dataclass(frozen=True)
+class SlowFuzzyQuery(MultiTermQuery):
+    """Sandbox SlowFuzzyQuery (``Lucene.Net.Sandbox/Queries/
+    SlowFuzzyQuery.cs:33``): fuzzy matching beyond the automaton
+    ceiling. ``minimum_similarity`` >= 1 is an absolute edit budget
+    (any distance, unlike FuzzyQuery's max 2); a fractional value in
+    (0, 1) is the length-scaled threshold of the pre-4.0 API —
+    a term qualifies when 1 - d/min(len(term), len(query)) >=
+    minimum_similarity (``SlowFuzzyTermsEnum`` similarity)."""
+
+    term: str = ""
+    minimum_similarity: float = 3.0
+
+    def _max_edits_for(self, tlen: int) -> int:
+        if self.minimum_similarity >= 1.0:
+            return int(self.minimum_similarity)
+        m = min(tlen, len(self.term))
+        return int((1.0 - self.minimum_similarity) * m)
+
+    def dict_predicate(self):
+        from pyspark.sql import functions as F
+
+        d = F.levenshtein(F.col("term"), F.lit(self.term))
+        if self.minimum_similarity >= 1.0:
+            return d <= int(self.minimum_similarity)
+        m = F.least(F.length(F.col("term")), F.lit(len(self.term)))
+        return (
+            F.lit(1.0) - d.cast("double") / m.cast("double")
+        ) >= self.minimum_similarity
+
+    def python_predicate(self, term: str) -> bool:
+        d = _levenshtein(term, self.term)
+        if self.minimum_similarity >= 1.0:
+            return d <= int(self.minimum_similarity)
+        m = min(len(term), len(self.term))
+        return m > 0 and (1.0 - d / m) >= self.minimum_similarity
+
+    def vector_predicate(self, terms):
+        import numpy as np
+
+        lens = terms.str.len().to_numpy()
+        budget = (
+            int(self.minimum_similarity)
+            if self.minimum_similarity >= 1.0
+            else int(
+                (1.0 - self.minimum_similarity) * np.maximum(
+                    np.minimum(lens, len(self.term)), 1
+                ).max()
+            )
+        )
+        cand = np.abs(lens - len(self.term)) <= max(budget, 0)
+        out = np.zeros(len(terms), dtype=bool)
+        vals = terms.to_numpy()
+        for i in np.flatnonzero(cand):
+            out[i] = self.python_predicate(vals[i])
+        return out
