@@ -736,6 +736,47 @@ def _q_ascii_fold_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+_PAYLOAD_CACHE: dict[tuple[str, str], IndexSearcher] = {}
+
+
+def _payload_searcher(spark, sf_dir) -> IndexSearcher:
+    """Searcher over the DelimitedPayloadTokenFilter index: every
+    whitespace chunk of the documents text gets '|{(len%4)+0.5}'
+    appended (deterministic payload rule), parsed back at index time
+    into per-position float32 payloads."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _PAYLOAD_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        annotated = docs.withColumn(
+            "text",
+            F.expr(
+                "array_join(transform(split(text, ' +'), "
+                "x -> concat(x, '|', cast((length(x) % 4) + 0.5 as string))), ' ')"
+            ),
+        )
+        spec = CorpusSpec(
+            text_col="text", id_col="doc_id", meta_cols=(), payload_delim="|"
+        )
+        _PAYLOAD_CACHE[key] = IndexSearcher(build_index(spark, annotated, spec).cache())
+    return _PAYLOAD_CACHE[key]
+
+
+def _q_payload_term_avg(spark, sf_dir):
+    """PayloadTermQuery, AveragePayloadFunction."""
+    from lucenenet_spark.search.payloads import payload_term_query
+
+    s = _payload_searcher(spark, sf_dir)
+    return _ranked(payload_term_query(s, "spark", 10, fn="avg"))
+
+
+def _q_payload_term_max(spark, sf_dir):
+    """PayloadTermQuery, MaxPayloadFunction."""
+    from lucenenet_spark.search.payloads import payload_term_query
+
+    s = _payload_searcher(spark, sf_dir)
+    return _ranked(payload_term_query(s, "table", 10, fn="max"))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1405,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slow_fuzzy_terms": _q_slow_fuzzy_terms,
         "slow_fuzzy_frac": _q_slow_fuzzy_frac,
         "ascii_fold_term": _q_ascii_fold_term,
+        "payload_term_avg": _q_payload_term_avg,
+        "payload_term_max": _q_payload_term_max,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1574,6 +1617,8 @@ def oracle_sql() -> dict[str, str]:
         "slow_fuzzy_terms": osql.slow_fuzzy_terms_sql("scann", 3.0),
         "slow_fuzzy_frac": osql.slow_fuzzy_terms_sql("stream", 0.5),
         "ascii_fold_term": osql.term_query_sql("spark"),
+        "payload_term_avg": osql.payload_term_query_sql("spark", fn="avg"),
+        "payload_term_max": osql.payload_term_query_sql("table", fn="max"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -224,3 +224,36 @@ def duckdb_token_sql(
   )
   WHERE t NOT IN ({stops})
 """
+
+
+def analyze_delimited(
+    text: str, delim: str = "|"
+) -> list[tuple[str, int, float]]:
+    """Whitespace tokenizer + DelimitedPayloadTokenFilter
+    (``Analysis/Payloads/DelimitedPayloadTokenFilter.cs:30``,
+    FloatEncoder): each whitespace chunk is ``term|payload``; the chunk
+    index is the position (one position per whitespace token).
+    Lowercase + length/stop filters apply to the TERM part; filtered
+    chunks leave position gaps. A chunk without the delimiter (or with
+    an unparsable float) carries payload 1.0 — the scorers' default
+    for a missing payload (``PayloadFunction`` callers). Payload is
+    truncated to float32 (PayloadHelper.EncodeSingle stores 4 bytes).
+
+    Returns [(term, position, payload_f32)].
+    """
+    if not text:
+        return []
+    out: list[tuple[str, int, float]] = []
+    for i, chunk in enumerate(text.split()):
+        term, payload = chunk, 1.0
+        if delim in chunk:
+            term, _, ptext = chunk.rpartition(delim)
+            try:
+                payload = float(ptext)
+            except ValueError:
+                term, payload = chunk, 1.0
+        term = term.lower()
+        if not term or len(term) > MAX_TOKEN_LENGTH or term in ENGLISH_STOP_WORDS:
+            continue
+        out.append((term, i, float(np.float32(payload))))
+    return out

@@ -113,6 +113,15 @@ class CorpusSpec:
     # Positions/norms are unchanged. Exclusive with the stream-shaping
     # filters (shingles/synonyms/edge_ngram).
     reverse: bool = False
+    # DelimitedPayloadTokenFilter role (Analysis/Payloads/
+    # DelimitedPayloadTokenFilter.cs:30 over a whitespace tokenizer):
+    # each whitespace chunk is 'term|payload' (payload float32,
+    # PayloadHelper.EncodeSingle); chunks without the delimiter carry
+    # payload 1.0 (the scorers' default for a missing payload). The
+    # chunk index IS the position (one position per whitespace token,
+    # stop/length-filtered chunks leave gaps). Exclusive with the
+    # other analyzers.
+    payload_delim: "str | None" = None
     # ASCIIFoldingFilter role (Analysis/Miscellaneous/
     # ASCIIFoldingFilter.cs:36, Latin-1 + Latin Ext-A subset,
     # analysis/folding.py): fold accents to ASCII BEFORE tokenization
@@ -158,6 +167,10 @@ PACKED_SCHEMA = T.StructType(
         T.StructField("freqs_enc", T.BinaryType()),
         T.StructField("norms_enc", T.BinaryType()),
         T.StructField("positions_enc", T.BinaryType()),
+        # float32 payload per position, positions order; NULL when the
+        # index stores no payloads (DOCS_AND_FREQS_AND_POSITIONS vs
+        # ..._AND_PAYLOADS, FieldInfo.cs:355)
+        T.StructField("payloads_enc", T.BinaryType()),
     ]
 )
 
@@ -287,6 +300,7 @@ class _SegmentWriter:
         shingle_size=None,
         edge_ngram=None,
         reverse: bool = False,
+        payload_delim: "str | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -309,8 +323,12 @@ class _SegmentWriter:
         self.reverse = reverse
         if reverse and (edge_ngram is not None or shingle_size is not None or synonyms):
             raise ValueError("reverse is exclusive with shingles/synonyms/edge_ngram")
-        # term -> (docids, freqs, norm_bytes, positions-per-doc)
-        self.terms: dict[str, tuple[list, list, list, list]] = {}
+        self.payload_delim = payload_delim
+        if payload_delim and (stem or cjk or synonyms or shingle_size or edge_ngram or reverse):
+            raise ValueError("payload_delim uses the whitespace+delimiter analyzer; it is exclusive with the other analysis flags")
+        # term -> (docids, freqs, norm_bytes, positions-per-doc,
+        #          payloads-per-doc or None)
+        self.terms: dict[str, tuple[list, list, list, list, list]] = {}
         self.doc_ids: list[int] = []
         self.doc_fl: list[int] = []
         self.doc_norm: list[int] = []
@@ -318,6 +336,9 @@ class _SegmentWriter:
         self.meta: dict[str, list] = {c: [] for c in meta_cols}
 
     def add_batch(self, texts: list[str], ids, metas: dict[str, list]) -> None:
+        if self.payload_delim is not None:
+            self._add_batch_payload(texts, ids, metas)
+            return
         fls = np.zeros(len(texts), dtype=np.int64)
         per_doc: list[dict[str, list[int]]] = []
         for i, text in enumerate(texts):
@@ -348,7 +369,7 @@ class _SegmentWriter:
             for term, positions in agg.items():
                 acc = self.terms.get(term)
                 if acc is None:
-                    acc = self.terms[term] = ([], [], [], [])
+                    acc = self.terms[term] = ([], [], [], [], [])
                 acc[0].append(docid)
                 acc[1].append(len(positions))
                 acc[2].append(nb)
@@ -360,17 +381,51 @@ class _SegmentWriter:
         for c in self.meta_cols:
             self.meta[c].extend(metas[c])
 
+    def _add_batch_payload(self, texts, ids, metas) -> None:
+        """DelimitedPayloadTokenFilter path: per-(doc, term) positions
+        AND float32 payloads accumulate in lockstep."""
+        from lucenenet_spark.analysis.analyzer import analyze_delimited
+
+        for i, text in enumerate(texts):
+            triples = analyze_delimited(text, self.payload_delim)
+            agg: dict[str, tuple[list[int], list[float]]] = {}
+            for term, pos, payload in triples:
+                slot = agg.setdefault(term, ([], []))
+                slot[0].append(pos)
+                slot[1].append(payload)
+            fl = len(triples)
+            nb = int(norm_byte_from_length(np.array([fl], dtype=np.int64))[0])
+            docid = int(ids[i])
+            for term, (positions, payloads) in agg.items():
+                acc = self.terms.get(term)
+                if acc is None:
+                    acc = self.terms[term] = ([], [], [], [], [])
+                acc[0].append(docid)
+                acc[1].append(len(positions))
+                acc[2].append(nb)
+                acc[3].append(positions)
+                acc[4].append(payloads)
+            self.doc_ids.append(docid)
+            self.doc_fl.append(fl)
+            self.doc_norm.append(nb)
+            self.doc_sha.append(hashlib.sha256(text.encode("utf-8")).hexdigest())
+        for c in self.meta_cols:
+            self.meta[c].extend(metas[c])
+
     def flush(self) -> pd.DataFrame:
         cols: dict[str, list] = {f.name: [] for f in PACKED_SCHEMA.fields}
-        for term, (dl, fl_, nl, pl) in self.terms.items():
+        with_payloads = self.payload_delim is not None
+        for term, (dl, fl_, nl, pl, yl) in self.terms.items():
             d = np.asarray(dl, dtype=np.int64)
             f = np.asarray(fl_, dtype=np.int64)
             n = np.asarray(nl, dtype=np.int64)
-            p = pl
+            p, y = pl, yl
             if d.size > 1 and not np.all(np.diff(d) > 0):
                 order = np.argsort(d, kind="stable")
                 d, f, n = d[order], f[order], n[order]
                 p = [pl[j] for j in order]
+                if with_payloads:
+                    y = [yl[j] for j in order]
             buckets = d // BUCKET_DOCS
             # bucket-run starts, then ≤128-doc blocks within each run
             run_starts = np.concatenate(
@@ -399,6 +454,13 @@ class _SegmentWriter:
                     cols["freqs_enc"].append(encode_freqs(fb))
                     cols["norms_enc"].append(nb.astype(np.uint8).tobytes())
                     cols["positions_enc"].append(encode_positions(p[b0:b1]))
+                    cols["payloads_enc"].append(
+                        np.concatenate(
+                            [np.asarray(v, dtype=np.float32) for v in y[b0:b1]]
+                        ).tobytes()
+                        if with_payloads
+                        else None
+                    )
         n_blocks = len(cols["term"])
         n_docs = len(self.doc_ids)
         out = pd.DataFrame(cols)
@@ -421,13 +483,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -611,6 +673,61 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
     return packed.mapInPandas(unpack, schema=POSTINGS_UNPACKED_SCHEMA)
 
 
+POSTINGS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("docid", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("freq", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("norm", T.IntegerType()),
+        T.StructField("payloads", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def unpack_postings_payloads(packed: DataFrame) -> DataFrame:
+    """Like :func:`unpack_postings` but also decodes the per-position
+    float32 payloads (``payloads_enc``). Same optimization-barrier
+    warning: filter the PACKED frame first. Blocks written without
+    payloads yield payload 1.0 per position (the scorers' default for
+    a missing payload, ``Search/Payloads/PayloadFunction`` callers)."""
+
+    def unpack(iterator):
+        for pdf in iterator:
+            frames = []
+            for term, docs_enc, freqs_enc, norms_enc, pos_enc, pay_enc, cnt in zip(
+                pdf["term"], pdf["docs_enc"], pdf["freqs_enc"],
+                pdf["norms_enc"], pdf["positions_enc"], pdf["payloads_enc"],
+                pdf["count"],
+            ):
+                d = delta_decode_docids(bytes(docs_enc))
+                f = decode_freqs(bytes(freqs_enc))
+                n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
+                pos = decode_positions(bytes(pos_enc), int(cnt))
+                if pay_enc is None:
+                    pays = [np.ones(len(x), dtype=np.float32) for x in pos]
+                else:
+                    flat = np.frombuffer(bytes(pay_enc), dtype=np.float32)
+                    splits = np.cumsum([len(x) for x in pos])[:-1]
+                    pays = [a.copy() for a in np.split(flat, splits)]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "docid": d,
+                            "term": term,
+                            "freq": f.astype(np.int32),
+                            "positions": [x.astype(np.int32) for x in pos],
+                            "norm": n.astype(np.int32),
+                            "payloads": pays,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return packed.mapInPandas(unpack, schema=POSTINGS_PAYLOAD_SCHEMA)
+
+
 def assign_docids(
     corpus: DataFrame, spec: CorpusSpec, partitions: int | None = None
 ) -> DataFrame:
@@ -703,7 +820,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim),
             schema=schema,
         )
     else:
@@ -715,7 +832,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim),
             schema=schema,
         )
     flat_all = flat_all.persist()

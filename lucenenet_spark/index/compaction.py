@@ -86,6 +86,10 @@ def repack_postings(flat: DataFrame) -> DataFrame:
                     "freqs_enc": encode_freqs(fb),
                     "norms_enc": nb.astype(np.uint8).tobytes(),
                     "positions_enc": encode_positions(pos[b0:b1]),
+                    # compaction serves the streaming/NRT path, which
+                    # has no payload analyzer; re-packed blocks carry
+                    # the no-payloads marker
+                    "payloads_enc": None,
                 }
             )
         return pd.DataFrame(rows, columns=[x.name for x in PACKED_SCHEMA.fields])

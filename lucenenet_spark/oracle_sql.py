@@ -2568,3 +2568,82 @@ SELECT term, df, ttf FROM term_stats
 WHERE 1.0 - CAST(levenshtein(term, '{term}') AS DOUBLE)
           / least(length(term), {len(term)}) >= {minimum_similarity!r}"""
     )
+
+
+def _payload_prelude(payload_expr_of_chunk: str) -> str:
+    """CTE prefix for a DelimitedPayloadTokenFilter corpus derived from
+    ``documents`` by appending '|payload' to every whitespace chunk
+    (analysis/analyzer.py::analyze_delimited semantics: chunk index =
+    position, lowercase + length/stop filters on the term part, doc
+    length counts surviving tokens). ``payload_expr_of_chunk`` is a SQL
+    scalar over the raw chunk ``z[1]`` producing the float payload."""
+    from lucenenet_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH tokp AS (
+  SELECT doc_id AS docid, lower(z[1]) AS term,
+         CAST(z[2] - 1 AS BIGINT) AS pos,
+         CAST({payload_expr_of_chunk} AS REAL) AS payload
+  FROM (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+  ), UNNEST(list_zip(toks, range(1, len(toks) + 1))) AS u(z)
+  WHERE lower(z[1]) NOT IN ({stops})
+    AND length(z[1]) <= {MAX_TOKEN_LENGTH} AND z[1] != ''
+),
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq
+  FROM tokp GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d LEFT JOIN (
+    SELECT docid, count(*) AS fl FROM tokp GROUP BY docid
+  ) t ON d.doc_id = t.docid
+),"""
+
+
+def payload_term_query_sql(
+    term: str, fn: str = "avg", k: int = K, boost: float = 1.0
+) -> str:
+    """PayloadTermQuery mirror (search/payloads.py): BM25 term score ×
+    payload factor; avg = f32(pos-ordered f32 fold / f32(count)),
+    min/max exact. The payload corpus appends
+    '|{(length(chunk) % 4) + 0.5}' to every whitespace chunk — the
+    driver entry's deterministic payload rule."""
+    if fn == "avg":
+        factor = (
+            "(list_reduce(list(payload ORDER BY pos), (x, y) -> x + y)"
+            " / CAST(cnt AS REAL))"
+        )
+    elif fn == "min":
+        factor = "CAST(min(payload) AS REAL)"
+    elif fn == "max":
+        factor = "CAST(max(payload) AS REAL)"
+    else:
+        raise ValueError(fn)
+    return (
+        _payload_prelude("(length(z[1]) % 4) + 0.5")
+        + _prelude_tail()
+        + f""",
+{_term_weight_cte('tw', term, boost)},
+pf AS (
+  SELECT docid, {factor} AS factor
+  FROM (SELECT docid, pos, payload, count(*) OVER (PARTITION BY docid) AS cnt
+        FROM tokp WHERE term = '{term}')
+  GROUP BY docid, cnt
+),
+scored AS (
+  SELECT p.docid,
+         ((SELECT w FROM tw) * CAST(p.freq AS REAL)
+            / (CAST(p.freq AS REAL) + c.c)) * pf.factor AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+  JOIN pf ON pf.docid = p.docid
+  WHERE p.term = '{term}'
+)"""
+        + _topk("scored", k)
+    )

@@ -1,0 +1,91 @@
+"""Payload pipeline: DelimitedPayloadTokenFilter analyzer -> packed
+payloads_enc -> unpack -> PayloadTermQuery scoring (reference
+Search/Payloads/*, Analysis/Payloads/DelimitedPayloadTokenFilter.cs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucenenet_spark.analysis.analyzer import analyze_delimited
+from lucenenet_spark.index.builder import (
+    CorpusSpec,
+    build_index,
+    unpack_postings_payloads,
+)
+from lucenenet_spark.search.payloads import _payload_factor, payload_term_query
+from lucenenet_spark.search.queries import TermQuery
+from lucenenet_spark.search.searcher import IndexSearcher
+
+ROWS = [
+    ("r", "a", "c", "spark|2.5 the|9 merge spark|0.5"),
+    ("r", "b", "c", "spark|1.5 table|3.5"),
+    ("r", "c", "c", "merge table"),
+]
+
+
+def test_analyze_delimited():
+    got = analyze_delimited("Spark|2.5 the|9 merge table|0.25 plain")
+    assert got == [
+        ("spark", 0, 2.5), ("merge", 2, 1.0), ("table", 3, 0.25), ("plain", 4, 1.0)
+    ]
+    # unparsable payload -> whole chunk is the term, payload 1.0
+    assert analyze_delimited("a|b|x")[0][2] == 1.0
+
+
+@pytest.fixture(scope="module")
+def ps(spark):
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(
+        spark, df, CorpusSpec(order_cols=("repo", "path", "commit"), payload_delim="|")
+    ).cache()
+    return IndexSearcher(idx)
+
+
+def test_payload_roundtrip(ps):
+    import pyspark.sql.functions as F
+
+    rows = unpack_postings_payloads(
+        ps.index.packed.where(F.col("term") == "spark")
+    ).collect()
+    by_doc = {r.docid: (list(r.positions), list(r.payloads)) for r in rows}
+    assert by_doc[0] == ([0, 3], [2.5, 0.5])
+    assert by_doc[1] == ([0], [1.5])
+    # un-annotated tokens carry the default payload 1.0
+    merge = unpack_postings_payloads(
+        ps.index.packed.where(F.col("term") == "merge")
+    ).collect()
+    assert all(all(p == 1.0 for p in r.payloads) for r in merge)
+
+
+def test_payload_factors():
+    a = np.array([2.5, 0.5, 1.0], dtype=np.float32)
+    assert _payload_factor(a, "avg") == np.float32(np.float32(4.0) / np.float32(3.0))
+    assert _payload_factor(a, "min") == np.float32(0.5)
+    assert _payload_factor(a, "max") == np.float32(2.5)
+
+
+def test_payload_term_query_scales_term_score(ps):
+    base = {h.docid: h.score for h in ps.search(TermQuery(term="spark"), 10)}
+    got = {r.docid: r.score for r in payload_term_query(ps, "spark", 10).collect()}
+    # doc 0 payloads (2.5, 0.5): avg 1.5 -> 1.5x the bare term score
+    assert got[0] == pytest.approx(base[0] * 1.5, rel=1e-6)
+    assert got[1] == pytest.approx(base[1] * 1.5, rel=1e-6)
+    only = payload_term_query(ps, "spark", 10, include_span_score=False).collect()
+    vals = {r.docid: r.score for r in only}
+    assert vals[0] == np.float32(1.5) and vals[1] == np.float32(1.5)
+
+
+def test_non_payload_index_defaults_to_one(spark):
+    df = spark.createDataFrame(
+        [("r", "a", "c", "spark merge")],
+        "repo string, path string, commit string, content string",
+    )
+    s = IndexSearcher(
+        build_index(spark, df, CorpusSpec(order_cols=("repo", "path", "commit"))).cache()
+    )
+    base = {h.docid: h.score for h in s.search(TermQuery(term="spark"), 10)}
+    got = {r.docid: r.score for r in payload_term_query(s, "spark", 10).collect()}
+    assert got == base
