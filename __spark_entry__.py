@@ -777,6 +777,14 @@ def _q_payload_term_max(spark, sf_dir):
     return _ranked(payload_term_query(s, "table", 10, fn="max"))
 
 
+def _q_payload_near(spark, sf_dir):
+    """PayloadNearQuery: ordered 2-term near, payload-avg factor."""
+    from lucenenet_spark.search.payloads import payload_near_query
+
+    s = _payload_searcher(spark, sf_dir)
+    return _ranked(payload_near_query(s, "table", "hash", slop=3, k=10, fn="avg"))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1448,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_fold_term": _q_ascii_fold_term,
         "payload_term_avg": _q_payload_term_avg,
         "payload_term_max": _q_payload_term_max,
+        "payload_near": _q_payload_near,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1619,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "ascii_fold_term": osql.term_query_sql("spark"),
         "payload_term_avg": osql.payload_term_query_sql("spark", fn="avg"),
         "payload_term_max": osql.payload_term_query_sql("table", fn="max"),
+        "payload_near": osql.payload_near_query_sql("table", "hash", 3),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

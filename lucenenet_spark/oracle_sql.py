@@ -2647,3 +2647,61 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def payload_near_query_sql(t0: str, t1: str, slop: int, k: int = K) -> str:
+    """PayloadNearQuery mirror (search/payloads.py::payload_near_query):
+    greedy ordered 2-term spans over the payload corpus, spanScore =
+    BM25(w_multi, Σ f32 1/(1+matchLength)), factor = avg over the
+    matched positions' payloads in (span, clause) order."""
+    ta, tb = sorted([t0, t1])
+    idfa = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{ta}')")
+    idfb = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{tb}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        _payload_prelude("(length(z[1]) % 4) + 0.5")
+        + _prelude_tail()
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idfa}) + {idfb}) * {_f32_lit(1.0)} * {k1p1} AS w),
+sp AS (
+  SELECT a.docid, a.pos AS p0, a.payload AS pay0,
+         (SELECT min(b.pos) FROM tokp b
+          WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+  FROM tokp a WHERE a.term = '{t0}'
+),
+good AS (
+  SELECT s.docid, s.p0, s.p1, s.pay0, b.payload AS pay1
+  FROM sp s JOIN tokp b
+    ON b.docid = s.docid AND b.term = '{t1}' AND b.pos = s.p1
+  WHERE s.p1 IS NOT NULL AND s.p1 - s.p0 - 1 <= {slop}
+),
+freqs AS (
+  SELECT docid,
+         list_reduce(
+           list(CAST(1.0 AS REAL) / CAST(1 + (p1 + 1 - p0) AS REAL) ORDER BY p0),
+           (x, y) -> x + y
+         ) AS f
+  FROM good GROUP BY docid
+),
+pays AS (
+  SELECT docid, o, leg, pay FROM (
+    SELECT docid, p0 AS o, 0 AS leg, pay0 AS pay FROM good
+    UNION ALL
+    SELECT docid, p0 AS o, 1 AS leg, pay1 AS pay FROM good
+  )
+),
+pf AS (
+  SELECT docid,
+         (list_reduce(list(pay ORDER BY o, leg), (x, y) -> x + y)
+          / CAST(count(*) AS REAL)) AS factor
+  FROM pays GROUP BY docid
+),
+scored AS (
+  SELECT fr.docid,
+         ((SELECT w FROM w) * fr.f / (fr.f + c.c)) * pf.factor AS s
+  FROM freqs fr JOIN norms n ON fr.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+  JOIN pf ON pf.docid = fr.docid
+)"""
+        + _topk("scored", k)
+    )

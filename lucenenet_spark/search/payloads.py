@@ -98,3 +98,94 @@ def payload_term_query(
     if k is None:
         return scored
     return scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+
+
+def payload_near_query(
+    searcher,
+    first: str,
+    second: str,
+    slop: int = 0,
+    k: int | None = 10,
+    fn: str = "avg",
+) -> DataFrame:
+    """PayloadNearQuery analog (``Search/Payloads/PayloadNearQuery.cs:44``,
+    2-clause ordered form, pinned): spans enumerate exactly like the
+    scored 2-term ordered SpanNear (greedy minimal-end chain,
+    spans.py), spanScore = sim.score(Σ f32 1/(1+matchLength), norm,
+    weight_multi), and the payload factor folds the payloads of EVERY
+    position inside each matching span — span order, first-clause then
+    second-clause within a span (PayloadNearQuery.ProcessPayloads
+    accumulation order). score = spanScore * factor.
+
+    One packed scan filtered to both terms before the unpack barrier;
+    per-doc numpy enumeration in a single Arrow stage.
+    """
+    from lucenenet_spark.index.builder import unpack_postings_payloads
+
+    terms = sorted({first, second})
+    m = searcher._stats_map()
+    if m is False:
+        rows = searcher.index.term_stats.where(F.col("term").isin(terms)).collect()
+        stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+    else:
+        stats = {t: m[t] for t in terms if t in m}
+    sim = searcher.sim
+    w = sim.weight_multi(
+        [stats.get(t, (0, 0))[0] for t in terms], searcher.index.max_doc, 1.0
+    )
+    wf = float(w)
+    src = unpack_postings_payloads(
+        searcher.index.packed.where(F.col("term").isin([first, second]))
+    ).select("docid", "term", "positions", "norm", "payloads")
+    grouped = src.groupBy("docid").agg(
+        F.collect_list(F.struct("term", "positions", "payloads")).alias("tp"),
+        F.first("norm").alias("norm"),
+    )
+
+    @F.pandas_udf("float")
+    def score_spans(tp: pd.Series, norm: pd.Series) -> pd.Series:
+        w32 = np.float32(wf)
+        freqs = np.zeros(len(tp), dtype=np.float32)
+        factors = np.ones(len(tp), dtype=np.float32)
+        for i, lst in enumerate(tp):
+            pos = {}
+            pay = {}
+            for item in lst:
+                pos[item["term"]] = np.asarray(item["positions"], dtype=np.int64)
+                pay[item["term"]] = np.asarray(item["payloads"], dtype=np.float32)
+            p0s, p1s = pos.get(first), pos.get(second)
+            if p0s is None or p1s is None:
+                freqs[i] = 0.0
+                continue
+            acc = np.float32(0.0)
+            collected: list[np.float32] = []
+            # greedy minimal-end chain per start (NearSpansOrdered for
+            # unit spans), same spec as spans._enumerate
+            j1 = np.searchsorted(p1s, p0s, side="right")
+            for a, j in zip(p0s, j1):
+                if j >= len(p1s):
+                    continue
+                b = p1s[j]
+                if b - a - 1 <= slop:
+                    acc = np.float32(
+                        acc + np.float32(1.0) / np.float32(1 + (b + 1 - a))
+                    )
+                    ia = int(np.searchsorted(p0s, a))
+                    collected.append(pay[first][ia])
+                    collected.append(pay[second][int(j)])
+            freqs[i] = acc
+            if collected:
+                factors[i] = _payload_factor(
+                    np.asarray(collected, dtype=np.float32), fn
+                )
+        s = sim.score(freqs, norm.to_numpy(dtype=np.uint8), w32)
+        s = (s * factors).astype(np.float32)
+        return pd.Series(np.where(freqs > 0, s, np.nan).astype(np.float32))
+
+    scored = grouped.select(
+        "docid", score_spans(F.col("tp"), F.col("norm")).alias("score")
+    ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+    if searcher.tombstones is not None:
+        scored = scored.join(searcher.tombstones, "docid", "left_anti")
+    out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return out.limit(k) if k is not None else out

@@ -89,3 +89,30 @@ def test_non_payload_index_defaults_to_one(spark):
     base = {h.docid: h.score for h in s.search(TermQuery(term="spark"), 10)}
     got = {r.docid: r.score for r in payload_term_query(s, "spark", 10).collect()}
     assert got == base
+
+
+def test_payload_near_query(ps):
+    """Ordered near over the payload corpus: doc 0 'spark ... merge
+    spark' has spark@0 -> merge@2 (gap 1) and spark@3 with no merge
+    after; factor = avg(pay(spark@0), pay(merge@2))."""
+    from lucenenet_spark.search.payloads import payload_near_query
+
+    rows = payload_near_query(ps, "spark", "merge", slop=1, k=10).collect()
+    got = {r.docid: r.score for r in rows}
+    assert list(got) == [0]
+    # recompute: freq = f32(1/(1+3)) (span [0, 3)), factor = avg(2.5, 1.0)
+    from lucenenet_spark.functions import bm25
+
+    w = ps.sim.weight_multi(
+        [ps._stats_map()["merge"][0], ps._stats_map()["spark"][0]],
+        ps.index.max_doc,
+        1.0,
+    )
+    freq = np.float32(1.0) / np.float32(4.0)
+    base = ps.sim.score(
+        np.array([freq], dtype=np.float32),
+        np.array([ps.index.docs.where("docid = 0").first().norm], dtype=np.uint8),
+        w,
+    )[0]
+    want = np.float32(base * np.float32(np.float32(3.5) / np.float32(2.0)))
+    assert np.float32(got[0]) == want
