@@ -747,11 +747,14 @@ def _payload_searcher(spark, sf_dir) -> IndexSearcher:
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key not in _PAYLOAD_CACHE:
         docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        # payload varies per OCCURRENCE (position enters the rule), so
+        # payload-sensitive operators cannot degenerate into
+        # term-constant factors
         annotated = docs.withColumn(
             "text",
             F.expr(
                 "array_join(transform(split(text, ' +'), "
-                "x -> concat(x, '|', cast((length(x) % 4) + 0.5 as string))), ' ')"
+                "(x, i) -> concat(x, '|', cast(((length(x) + i) % 4) + 0.5 as string))), ' ')"
             ),
         )
         spec = CorpusSpec(
@@ -783,6 +786,23 @@ def _q_payload_near(spark, sf_dir):
 
     s = _payload_searcher(spark, sf_dir)
     return _ranked(payload_near_query(s, "table", "hash", slop=3, k=10, fn="avg"))
+
+
+def _q_span_payload_check(spark, sf_dir):
+    """SpanPayloadCheckQuery: 'table' positions carrying payload 2.5."""
+    from lucenenet_spark.search.payloads import span_payload_check
+
+    s = _payload_searcher(spark, sf_dir)
+    return span_payload_check(s, "table", 2.5)
+
+
+def _q_span_near_payload_check(spark, sf_dir):
+    """SpanNearPayloadCheckQuery: table->hash near spans whose payload
+    pair is (2.5, 1.5)."""
+    from lucenenet_spark.search.payloads import span_near_payload_check
+
+    s = _payload_searcher(spark, sf_dir)
+    return span_near_payload_check(s, "table", "hash", 3, (2.5, 1.5))
 
 
 def _q_sweetspot_term(spark, sf_dir):
@@ -1457,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_term_avg": _q_payload_term_avg,
         "payload_term_max": _q_payload_term_max,
         "payload_near": _q_payload_near,
+        "span_payload_check": _q_span_payload_check,
+        "span_near_payload_check": _q_span_near_payload_check,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1629,6 +1651,8 @@ def oracle_sql() -> dict[str, str]:
         "payload_term_avg": osql.payload_term_query_sql("spark", fn="avg"),
         "payload_term_max": osql.payload_term_query_sql("table", fn="max"),
         "payload_near": osql.payload_near_query_sql("table", "hash", 3),
+        "span_payload_check": osql.span_payload_check_sql("table", 2.5),
+        "span_near_payload_check": osql.span_near_payload_check_sql("table", "hash", 3, 2.5, 1.5),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

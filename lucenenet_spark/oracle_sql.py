@@ -2612,8 +2612,8 @@ def payload_term_query_sql(
     """PayloadTermQuery mirror (search/payloads.py): BM25 term score ×
     payload factor; avg = f32(pos-ordered f32 fold / f32(count)),
     min/max exact. The payload corpus appends
-    '|{(length(chunk) % 4) + 0.5}' to every whitespace chunk — the
-    driver entry's deterministic payload rule."""
+    '|{((length(chunk) + pos) % 4) + 0.5}' to every whitespace chunk —
+    position-dependent so the factor varies per occurrence."""
     if fn == "avg":
         factor = (
             "(list_reduce(list(payload ORDER BY pos), (x, y) -> x + y)"
@@ -2626,7 +2626,7 @@ def payload_term_query_sql(
     else:
         raise ValueError(fn)
     return (
-        _payload_prelude("(length(z[1]) % 4) + 0.5")
+        _payload_prelude("((length(z[1]) + (z[2] - 1)) % 4) + 0.5")
         + _prelude_tail()
         + f""",
 {_term_weight_cte('tw', term, boost)},
@@ -2659,7 +2659,7 @@ def payload_near_query_sql(t0: str, t1: str, slop: int, k: int = K) -> str:
     idfb = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{tb}')")
     k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
     return (
-        _payload_prelude("(length(z[1]) % 4) + 0.5")
+        _payload_prelude("((length(z[1]) + (z[2] - 1)) % 4) + 0.5")
         + _prelude_tail()
         + f""",
 w AS (SELECT (({_f32_lit(0.0)} + {idfa}) + {idfb}) * {_f32_lit(1.0)} * {k1p1} AS w),
@@ -2704,4 +2704,43 @@ scored AS (
   JOIN pf ON pf.docid = fr.docid
 )"""
         + _topk("scored", k)
+    )
+
+
+def span_payload_check_sql(term: str, payload: float) -> str:
+    """SpanPayloadCheckQuery mirror: unit-term spans with the required
+    payload, over the position-dependent payload corpus."""
+    return (
+        _payload_prelude("((length(z[1]) + (z[2] - 1)) % 4) + 0.5")
+        + _prelude_tail()
+        + f"""
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans
+FROM tokp WHERE term = '{term}' AND payload = {_f32_lit(payload)}
+GROUP BY docid"""
+    )
+
+
+def span_near_payload_check_sql(
+    t0: str, t1: str, slop: int, p0: float, p1: float
+) -> str:
+    """SpanNearPayloadCheckQuery mirror: greedy ordered chain with the
+    required (first, second) payload pair."""
+    return (
+        _payload_prelude("((length(z[1]) + (z[2] - 1)) % 4) + 0.5")
+        + _prelude_tail()
+        + f""",
+sp AS (
+  SELECT a.docid, a.pos AS p0, a.payload AS pay0,
+         (SELECT min(b.pos) FROM tokp b
+          WHERE b.docid = a.docid AND b.term = '{t1}' AND b.pos > a.pos) AS p1
+  FROM tokp a WHERE a.term = '{t0}'
+),
+good AS (
+  SELECT s.docid
+  FROM sp s JOIN tokp b
+    ON b.docid = s.docid AND b.term = '{t1}' AND b.pos = s.p1
+  WHERE s.p1 IS NOT NULL AND s.p1 - s.p0 - 1 <= {slop}
+    AND s.pay0 = {_f32_lit(p0)} AND b.payload = {_f32_lit(p1)}
+)
+SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM good GROUP BY docid"""
     )

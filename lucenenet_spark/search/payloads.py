@@ -189,3 +189,95 @@ def payload_near_query(
         scored = scored.join(searcher.tombstones, "docid", "left_anti")
     out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
     return out.limit(k) if k is not None else out
+
+
+_SPANS_OUT = T.StructType(
+    [
+        T.StructField("docid", T.LongType()),
+        T.StructField("n_spans", T.LongType()),
+    ]
+)
+
+
+def span_payload_check(
+    searcher, term: str, payload: float
+) -> DataFrame:
+    """SpanPayloadCheckQuery over a unit term span
+    (``Search/Spans/SpanPayloadCheckQuery.cs:36``): positions whose
+    payload equals the required value → (docid, n_spans)."""
+    from lucenenet_spark.index.builder import unpack_postings_payloads
+
+    src = unpack_postings_payloads(
+        searcher.index.packed.where(F.col("term") == term)
+    ).select("docid", "payloads")
+    want = float(np.float32(payload))
+
+    def gen(iterator):
+        for pdf in iterator:
+            n = np.array(
+                [
+                    int((np.asarray(p, dtype=np.float32) == np.float32(want)).sum())
+                    for p in pdf["payloads"]
+                ],
+                dtype=np.int64,
+            )
+            out = pd.DataFrame({"docid": pdf["docid"], "n_spans": n})
+            yield out[out["n_spans"] > 0]
+
+    scored = src.mapInPandas(gen, schema=_SPANS_OUT)
+    if searcher.tombstones is not None:
+        scored = scored.join(searcher.tombstones, "docid", "left_anti")
+    return scored
+
+
+def span_near_payload_check(
+    searcher, first: str, second: str, slop: int, payloads: tuple[float, float]
+) -> DataFrame:
+    """SpanNearPayloadCheckQuery (``Search/Spans/
+    SpanNearPayloadCheckQuery.cs:36``, 2-clause ordered pinned form):
+    greedy-chain near spans whose (first, second) payload pair equals
+    the required sequence → (docid, n_spans)."""
+    from lucenenet_spark.index.builder import unpack_postings_payloads
+
+    v0 = np.float32(payloads[0])
+    v1 = np.float32(payloads[1])
+    src = unpack_postings_payloads(
+        searcher.index.packed.where(F.col("term").isin([first, second]))
+    ).select("docid", "term", "positions", "payloads")
+    grouped = src.groupBy("docid").agg(
+        F.collect_list(F.struct("term", "positions", "payloads")).alias("tp")
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            docids, counts = [], []
+            for docid, lst in zip(pdf["docid"], pdf["tp"]):
+                pos, pay = {}, {}
+                for item in lst:
+                    pos[item["term"]] = np.asarray(item["positions"], dtype=np.int64)
+                    pay[item["term"]] = np.asarray(item["payloads"], dtype=np.float32)
+                p0s, p1s = pos.get(first), pos.get(second)
+                if p0s is None or p1s is None:
+                    continue
+                n = 0
+                j1 = np.searchsorted(p1s, p0s, side="right")
+                for a, j in zip(p0s, j1):
+                    if j >= len(p1s):
+                        continue
+                    b = p1s[j]
+                    if b - a - 1 <= slop:
+                        ia = int(np.searchsorted(p0s, a))
+                        if pay[first][ia] == v0 and pay[second][int(j)] == v1:
+                            n += 1
+                if n:
+                    docids.append(docid)
+                    counts.append(n)
+            yield pd.DataFrame(
+                {"docid": pd.array(docids, dtype="int64"),
+                 "n_spans": pd.array(counts, dtype="int64")}
+            )
+
+    scored = grouped.mapInPandas(gen, schema=_SPANS_OUT)
+    if searcher.tombstones is not None:
+        scored = scored.join(searcher.tombstones, "docid", "left_anti")
+    return scored

@@ -116,3 +116,35 @@ def test_payload_near_query(ps):
     )[0]
     want = np.float32(base * np.float32(np.float32(3.5) / np.float32(2.0)))
     assert np.float32(got[0]) == want
+
+
+def test_span_payload_check(spark):
+    """Payload-gated spans: only positions/pairs with the required
+    payloads count (SpanPayloadCheckQuery / SpanNearPayloadCheckQuery)."""
+    from lucenenet_spark.search.payloads import (
+        span_near_payload_check,
+        span_payload_check,
+    )
+
+    rows = [
+        ("r", "a", "c", "spark|2.5 merge|1.0 spark|0.5"),
+        ("r", "b", "c", "spark|2.5 spark|2.5 merge|3.5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    s = IndexSearcher(
+        build_index(
+            spark, df, CorpusSpec(order_cols=("repo", "path", "commit"), payload_delim="|")
+        ).cache()
+    )
+    got = {r.docid: r.n_spans for r in span_payload_check(s, "spark", 2.5).collect()}
+    assert got == {0: 1, 1: 2}
+    # near check: spark->merge adjacent with payloads (2.5, 1.0): doc 0
+    # matches at (0,1); doc 1's greedy chain is spark@1->merge@2 with
+    # payloads (2.5, 3.5) — fails the pair check
+    near = {
+        r.docid: r.n_spans
+        for r in span_near_payload_check(s, "spark", "merge", 0, (2.5, 1.0)).collect()
+    }
+    assert near == {0: 1}
