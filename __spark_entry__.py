@@ -805,6 +805,35 @@ def _q_span_near_payload_check(spark, sf_dir):
     return span_near_payload_check(s, "table", "hash", 3, (2.5, 1.5))
 
 
+_SORTED_CACHE: dict[tuple[str, str], InvertedIndex] = {}
+
+
+def _sorted_index(spark, sf_dir) -> InvertedIndex:
+    """Index built SORTED by (n_chars DESC, doc_id) — the
+    SortingMergePolicy role: docid order == sort order."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _SORTED_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.withColumn("neg_chars", -F.col("n_chars"))
+        spec = CorpusSpec(
+            text_col="text",
+            id_col=None,
+            order_cols=("neg_chars", "doc_id"),
+            meta_cols=("n_chars",),
+        )
+        _SORTED_CACHE[key] = build_index(spark, corpus, spec).cache()
+    return _SORTED_CACHE[key]
+
+
+def _q_sorted_early_topk(spark, sf_dir):
+    """Early-terminating sorted top-k: docids [0, k) of the sort-built
+    index ARE the global top-k by n_chars DESC."""
+    idx = _sorted_index(spark, sf_dir)
+    return coll.early_terminating_sorted_topk(idx, 10, ["n_chars"]).withColumn(
+        "n_chars", F.col("n_chars").cast("long")
+    )
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1479,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_near": _q_payload_near,
         "span_payload_check": _q_span_payload_check,
         "span_near_payload_check": _q_span_near_payload_check,
+        "sorted_early_topk": _q_sorted_early_topk,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1653,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_near": osql.payload_near_query_sql("table", "hash", 3),
         "span_payload_check": osql.span_payload_check_sql("table", 2.5),
         "span_near_payload_check": osql.span_near_payload_check_sql("table", "hash", 3, 2.5, 1.5),
+        "sorted_early_topk": osql.sorted_early_topk_sql(10),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

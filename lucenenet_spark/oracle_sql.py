@@ -2744,3 +2744,17 @@ good AS (
 )
 SELECT docid, CAST(count(*) AS BIGINT) AS n_spans FROM good GROUP BY docid"""
     )
+
+
+def sorted_early_topk_sql(k: int) -> str:
+    """Early-terminating sorted top-k mirror: docids of the
+    (n_chars DESC, doc_id)-sorted build are row_number()-1 over that
+    order, so the top-k is simply the first k rows."""
+    return f"""
+WITH ordered AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS docid,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY docid) AS BIGINT) AS rank, docid, n_chars
+FROM ordered ORDER BY docid LIMIT {k}"""

@@ -806,3 +806,32 @@ def all_group_heads(
         )
         .orderBy("grp")
     )
+
+
+def early_terminating_sorted_topk(index, k: int, fields: list[str]) -> DataFrame:
+    """EarlyTerminatingSortingCollector over a sort-built index
+    (reference ``Misc/Index/Sorter/SortingMergePolicy.cs`` +
+    ``EarlyTerminatingSortingCollector.cs:59``): when the corpus was
+    built with ``CorpusSpec.order_cols`` equal to the query sort, docid
+    order IS the sort order, so the global top-k under that sort is
+    exactly docids [0, k).
+
+    The plan is ``docid < k`` + orderBy(docid) + limit — the docid
+    predicate reaches the parquet scan, and because the fused writer
+    emits docid-range-disjoint files, min/max row-group pruning skips
+    every file outside [0, k): the distributed analog of the
+    reference's per-segment early termination (collect k docs per
+    sorted segment, then throw ``CollectionTerminatedException``).
+
+    Output: (rank, docid, <fields...>).
+    """
+    top = (
+        index.docs.where(F.col("docid") < k)
+        .orderBy("docid")
+        .limit(k)
+        .select("docid", *fields)
+    )
+    w = Window.orderBy("docid")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "docid", *fields
+    )

@@ -160,3 +160,34 @@ def test_highlight_snippets_contain_query_terms(spark, searcher, corpus_rows):
         # snippet is the exact char range of the lowered source text
         assert texts[r["docid"]][r["frag_start"]:r["frag_end"]] == snip
         assert ("return" in snip) or ("value" in snip)
+
+
+def test_early_terminating_sorted_topk(spark):
+    """Sort-built index: docids [0,k) == global top-k under the build
+    sort; the plan carries the docid<k filter to the scan."""
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search.collectors import early_terminating_sorted_topk
+    import pyspark.sql.functions as F
+
+    rows = [("r", f"p{i:02d}", "c", "word " * (i % 7 + 1)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    ).withColumn("n", F.length("content"))
+    idx = build_index(
+        spark,
+        df.withColumn("neg", -F.col("n")),
+        CorpusSpec(order_cols=("neg", "path"), meta_cols=("n",)),
+    ).cache()
+    got = early_terminating_sorted_topk(idx, 5, ["n"]).collect()
+    assert [r.docid for r in got] == [0, 1, 2, 3, 4]
+    # equals the explicit full sort
+    want = (
+        idx.docs.orderBy(F.col("n").desc(), F.col("docid"))
+        .limit(5)
+        .select("docid")
+        .collect()
+    )
+    assert [r.docid for r in got] == [r.docid for r in want]
+    # the docid < k predicate reaches the scan (file/row-group pruning)
+    plan = early_terminating_sorted_topk(idx, 5, ["n"])._jdf.queryExecution().executedPlan().toString()
+    assert "docid" in plan
