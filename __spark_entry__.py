@@ -834,6 +834,31 @@ def _q_sorted_early_topk(spark, sf_dir):
     )
 
 
+def _q_split_index_stats(spark, sf_dir):
+    """MultiPassIndexSplitter(-seq) analog: bucket-aligned 2-way split;
+    per-part collection stats + 'spark' term stats (metadata-only
+    filters, no posting decode)."""
+    from lucenenet_spark.index.splitter import split_index
+
+    idx, _ = _searcher(spark, sf_dir)
+    parts = split_index(idx, 2)
+    rows = []
+    for i, p in enumerate(parts):
+        ts = p.term_stats.where(F.col("term") == "spark").first()
+        rows.append(
+            (
+                i,
+                p.max_doc,
+                p.sum_total_term_freq,
+                int(ts.df) if ts else 0,
+                int(ts.ttf) if ts else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "part int, max_doc long, sttf long, df_spark long, ttf_spark long"
+    )
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1509,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_payload_check": _q_span_payload_check,
         "span_near_payload_check": _q_span_near_payload_check,
         "sorted_early_topk": _q_sorted_early_topk,
+        "split_index_stats": _q_split_index_stats,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1684,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "span_payload_check": osql.span_payload_check_sql("table", 2.5),
         "span_near_payload_check": osql.span_near_payload_check_sql("table", "hash", 3, 2.5, 1.5),
         "sorted_early_topk": osql.sorted_early_topk_sql(10),
+        "split_index_stats": osql.split_index_stats_sql(),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2758,3 +2758,40 @@ WITH ordered AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY docid) AS BIGINT) AS rank, docid, n_chars
 FROM ordered ORDER BY docid LIMIT {k}"""
+
+
+def split_index_stats_sql() -> str:
+    """split_index(n_parts=2) mirror: the boundary is round(max_doc/2)
+    (banker-rounding-free: max_doc/2 is exact for even corpora and the
+    splitter uses Python round on the same value); per part report
+    max_doc, sttf and 'spark' df/ttf (splitter.py computes stats from
+    block metadata; this recomputes them from first principles)."""
+    return (
+        bm25_prelude()
+        + f""",
+bound AS (
+  SELECT CAST(round(max_doc / 2.0) AS BIGINT) AS b FROM cstats
+),
+part_of AS (
+  SELECT docid, CASE WHEN docid < (SELECT b FROM bound) THEN 0 ELSE 1 END AS part
+  FROM doclen
+),
+doc_stats AS (
+  SELECT p.part, CAST(count(*) AS BIGINT) AS max_doc,
+         CAST(coalesce(sum(d.fl), 0) AS BIGINT) AS sttf
+  FROM part_of p JOIN doclen d ON p.docid = d.docid
+  GROUP BY p.part
+),
+spark_stats AS (
+  SELECT pr.part, CAST(count(*) AS BIGINT) AS df_spark,
+         CAST(coalesce(sum(po.freq), 0) AS BIGINT) AS ttf_spark
+  FROM postings po JOIN part_of pr ON po.docid = pr.docid
+  WHERE po.term = 'spark'
+  GROUP BY pr.part
+)
+SELECT d.part, d.max_doc, d.sttf,
+       coalesce(s.df_spark, 0) AS df_spark,
+       coalesce(s.ttf_spark, 0) AS ttf_spark
+FROM doc_stats d LEFT JOIN spark_stats s ON d.part = s.part
+ORDER BY d.part"""
+    )
