@@ -859,6 +859,36 @@ def _q_split_index_stats(spark, sf_dir):
     )
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub over a deterministically injected corpus: per-class
+    counts + sentinel-redacted text, all JVM regexp (one codegen pass)."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            "coalesce(text, '') || ' contact user' || cast(doc_id as string)"
+            " || '@example.com or +1 (555) 010-' || lpad(cast(doc_id % 10000 as string), 4, '0')"
+            " || ' host 10.0.' || cast(doc_id % 256 as string) || '.'"
+            " || cast(doc_id % 100 as string) || ' end'"
+        ).alias("text"),
+    )
+    return tx.pii_scrub(injected)
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal: a shared ALL-RIGHTS-RESERVED
+    line injected into every doc is dropped; unique tails survive."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            "coalesce(text, '') || chr(10) || 'ALL RIGHTS RESERVED boilerplate line'"
+            " || chr(10) || 'unique tail ' || cast(doc_id as string)"
+        ).alias("text"),
+    )
+    return tx.line_dedup(injected)
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1535,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_payload_check": _q_span_near_payload_check,
         "sorted_early_topk": _q_sorted_early_topk,
         "split_index_stats": _q_split_index_stats,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1711,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "span_near_payload_check": osql.span_near_payload_check_sql("table", "hash", 3, 2.5, 1.5),
         "sorted_early_topk": osql.sorted_early_topk_sql(10),
         "split_index_stats": osql.split_index_stats_sql(),
+        "pii_scrub": oosql.pii_scrub_sql(),
+        "line_dedup": oosql.line_dedup_sql(),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

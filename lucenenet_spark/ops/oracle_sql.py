@@ -823,3 +823,76 @@ SELECT t.id,
                    / CAST(len(t.grams) AS DOUBLE)
             ELSE 0.0 END AS contamination_frac
 FROM target t LEFT JOIN hits h ON h.id = t.id"""
+
+
+def _pii_docs_cte() -> str:
+    """Deterministic PII-injected corpus: each document gets an email,
+    a phone and an IPv4 derived from doc_id (mirrors the driver
+    entry's Spark-side injection expression verbatim)."""
+    return """
+pii_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+           || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t
+  FROM documents
+)"""
+
+
+def pii_scrub_sql() -> str:
+    """ops/text.py::pii_scrub mirror over the injected corpus: per-class
+    match counts + sentinel-redacted text (same RE2-safe patterns, same
+    redaction order)."""
+    from lucenenet_spark.ops.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    clean = "t"
+    for name, pat in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH {_pii_docs_cte().strip()}
+SELECT id, {counts}, {clean} AS clean_text FROM pii_docs"""
+
+
+def line_dedup_sql(min_doc_frac: float = 0.01, min_docs: int = 2) -> str:
+    """ops/text.py::line_dedup mirror over a corpus where every doc
+    carries one shared boilerplate line plus a unique tail line."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         coalesce(text, '') || chr(10) || 'ALL RIGHTS RESERVED boilerplate line'
+           || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+),
+lines AS (
+  SELECT id, CAST(z[2] - 1 AS BIGINT) AS lineno, z[1] AS line
+  FROM (SELECT id, string_split(t, chr(10)) AS ls FROM base),
+       UNNEST(list_zip(ls, range(1, len(ls) + 1))) AS u(z)
+),
+thr AS (
+  SELECT greatest({int(min_docs)},
+                  CAST({min_doc_frac!r} * (SELECT count(*) FROM base) AS BIGINT)) AS v
+),
+boiler AS (
+  SELECT line FROM lines WHERE trim(line) != ''
+  GROUP BY line HAVING count(DISTINCT id) > (SELECT v FROM thr)
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN boiler b ON l.line = b.line
+  WHERE b.line IS NULL
+),
+rebuilt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY lineno) AS clean_text
+  FROM kept GROUP BY id
+),
+nl AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY id)
+SELECT b.id,
+       coalesce(nl.n_lines, 0) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN nl ON b.id = nl.id LEFT JOIN rebuilt r ON b.id = r.id"""

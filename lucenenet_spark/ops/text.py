@@ -238,3 +238,96 @@ def ngram_contamination(
         .otherwise(F.lit(0.0))
         .alias("contamination_frac"),
     )
+
+
+# RE2-safe PII patterns (shared verbatim with the DuckDB oracle —
+# no backreferences, no lookaround)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction — the pre-training scrub pass. Counts
+    matches per class and rewrites the text with ``<CLASS>`` sentinels,
+    entirely as JVM regexp expressions inside whole-stage codegen (one
+    pass over the corpus, no Python, no shuffle).
+
+    Output: (id, n_email, n_phone, n_ipv4, clean_text).
+    """
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    counts = []
+    clean = F.col("t")
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    # redact in pattern order (email first so its host part is not
+    # half-eaten by the ipv4 rule)
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return out.select("id", *counts, clean.alias("clean_text"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate line removal (the CCNet/RefinedWeb line-level dedup
+    pass): a line is boilerplate when it appears in more than
+    ``max(min_docs, min_doc_frac * corpus)`` distinct documents; such
+    lines are dropped from every document.
+
+    Shape: explode lines → hash-agg distinct-doc counts per line (the
+    only shuffle, keyed by line — bounded by distinct-line cardinality)
+    → broadcast-ready boilerplate set anti-joined back. Documents with
+    no surviving lines stay with empty text.
+
+    Output: (id, n_lines, n_kept, clean_text) with line order kept.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    lines = base.select(
+        "id",
+        F.posexplode(F.split(F.col("t"), "\n")).alias("lineno", "line"),
+    )
+    total = base.count()
+    threshold = max(int(min_docs), int(min_doc_frac * total))
+    boilerplate = (
+        lines.where(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > threshold)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boilerplate), "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lineno", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    n_lines = lines.groupBy("id").agg(F.count("*").cast("long").alias("n_lines"))
+    return (
+        base.select("id")
+        .join(n_lines, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -73,3 +73,33 @@ def test_facet_sum_value(spark):
         for r in coll.facet_sum_value(s, TermQuery(term="spark"), "lang", "v").collect()
     ]
     assert got == [("en", 2, 30), ("fr", 1, 5)]
+
+
+def test_pii_scrub(spark):
+    from lucenenet_spark.ops.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@foo.io or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 only"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_ipv4 == 0
+    assert "<EMAIL>" in got[1].clean_text and "<PHONE>" in got[1].clean_text
+    assert "a.b+c@foo.io" not in got[1].clean_text
+    assert got[2].n_ipv4 == 1 and "<IPV4>" in got[2].clean_text
+    assert got[3].clean_text == "clean text"
+
+
+def test_line_dedup(spark):
+    from lucenenet_spark.ops.text import line_dedup
+
+    rows = [(i, f"unique {i}\nSHARED FOOTER\nbody {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in line_dedup(df, min_docs=2, min_doc_frac=0.0).collect()}
+    for i in range(10):
+        assert got[i].n_lines == 3 and got[i].n_kept == 2
+        assert got[i].clean_text == f"unique {i}\nbody {i}"
