@@ -148,3 +148,23 @@ def test_span_payload_check(spark):
         for r in span_near_payload_check(s, "spark", "merge", 0, (2.5, 1.0)).collect()
     }
     assert near == {0: 1}
+
+
+def test_payload_plans_filter_packed_before_unpack(ps):
+    """The payload scorers must prune the PACKED scan by term (the
+    repo's documented anti-pattern: a filter above the unpack barrier
+    decodes the whole index)."""
+    from lucenenet_spark.search.payloads import payload_near_query, payload_term_query
+
+    for df in (
+        payload_term_query(ps, "spark", 5),
+        payload_near_query(ps, "spark", "merge", 1, 5),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # optimizedPlan prints root first, children after: the Filter
+        # carrying the term predicate must sit BELOW (after) the unpack
+        # MapInPandas node, i.e. on the packed scan side
+        unpack_at = plan.find("MapInPandas unpack")
+        assert unpack_at != -1
+        below = plan[unpack_at:]
+        assert "Filter" in below and "term#" in below.split("Filter", 1)[1]
