@@ -889,6 +889,18 @@ def _q_line_dedup(spark, sf_dir):
     return tx.line_dedup(injected)
 
 
+def _q_block_join_top_children(spark, sf_dir):
+    """ToParentBlockJoinCollector.GetTopGroups: top parents each with
+    their top-3 matching children."""
+    from lucenenet_spark.search.join import to_parent_join_with_children
+
+    _, s = _searcher(spark, sf_dir)
+    parent = F.col("docid") - F.pmod(F.col("docid"), 10)
+    return to_parent_join_with_children(
+        s, TermQuery(term="hash"), parent, "avg", k=10, children_per_parent=3
+    )
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_index_stats": _q_split_index_stats,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "block_join_top_children": _q_block_join_top_children,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1745,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "split_index_stats": osql.split_index_stats_sql(),
         "pii_scrub": oosql.pii_scrub_sql(),
         "line_dedup": oosql.line_dedup_sql(),
+        "block_join_top_children": osql.block_join_top_children_sql("hash", 10, "avg", 10, 3),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2795,3 +2795,49 @@ SELECT d.part, d.max_doc, d.sttf,
 FROM doc_stats d LEFT JOIN spark_stats s ON d.part = s.part
 ORDER BY d.part"""
     )
+
+
+def block_join_top_children_sql(
+    term: str,
+    block: int = 10,
+    score_mode: str = "avg",
+    k: int = K,
+    children_per_parent: int = 3,
+) -> str:
+    """to_parent_join_with_children mirror (ToParentBlockJoinCollector
+    .GetTopGroups): top-k decade-block parents, each with its top-N
+    children by the child's own BM25 score."""
+    if score_mode == "max":
+        s = "CAST(max(child_score) AS REAL)"
+    else:
+        s = "list_reduce(list(child_score ORDER BY child), (x, y) -> x + y)"
+        if score_mode == "avg":
+            s = f"CAST({s} / CAST(count(*) AS REAL) AS REAL)"
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+kids AS (
+  SELECT s.docid AS child, s.s AS child_score,
+         s.docid - s.docid % {block} AS parent
+  FROM t0 s WHERE s.docid - s.docid % {block} != s.docid
+),
+pv AS (SELECT parent, {s} AS parent_score FROM kids GROUP BY parent),
+ranked_parents AS (
+  SELECT parent, parent_score,
+         CAST(row_number() OVER (ORDER BY parent_score DESC, parent ASC) AS BIGINT)
+           AS parent_rank
+  FROM pv WHERE parent IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+  ORDER BY parent_score DESC, parent ASC LIMIT {k}
+),
+ranked_children AS (
+  SELECT p.parent_rank, p.parent, p.parent_score, c.child, c.child_score,
+         CAST(row_number() OVER (PARTITION BY c.parent
+              ORDER BY c.child_score DESC, c.child ASC) AS BIGINT) AS child_rank
+  FROM kids c JOIN ranked_parents p ON c.parent = p.parent
+)
+SELECT parent_rank, parent, CAST(parent_score AS DOUBLE) AS parent_score,
+       child_rank, child, CAST(child_score AS DOUBLE) AS child_score
+FROM ranked_children WHERE child_rank <= {children_per_parent}
+ORDER BY parent_rank, child_rank"""
+    )

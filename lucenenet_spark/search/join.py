@@ -173,3 +173,67 @@ def join_query(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
     )
     return out.limit(k) if k is not None else out
+
+
+def to_parent_join_with_children(
+    searcher: IndexSearcher,
+    child_query: Query,
+    parent_col,
+    score_mode: str = "max",
+    k: int = 10,
+    children_per_parent: int = 3,
+) -> DataFrame:
+    """ToParentBlockJoinCollector (reference
+    ``src/Lucene.Net.Join/ToParentBlockJoinCollector.cs:55``
+    ``GetTopGroups``): the top-k parents (scored like
+    :func:`to_parent_join`) each with their top-N matching children —
+    the 'show the best chunks under each file' result shape.
+
+    Output: (parent_rank, parent, parent_score, child_rank, child,
+    child_score) — one row per retained child.
+
+    Plan: the parent fold reuses to_parent_join (one hash agg); the
+    child top-N is a window over (parent, child score) partitioned by
+    parent — bounded per group, no global window."""
+    from pyspark.sql import Window
+
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    docs = searcher.index.docs
+    kids = (
+        searcher.scored_docs(child_query)
+        .join(docs.select("docid", parent_col.cast("long").alias("__p")), "docid")
+        .where(F.col("__p").isNotNull() & (F.col("__p") != F.col("docid")))
+        .select(
+            F.col("__p").alias("parent"),
+            F.col("docid").alias("child"),
+            F.col("score").alias("child_score"),
+        )
+    )
+    parents = (
+        to_parent_join(searcher, child_query, parent_col, score_mode, k=k)
+        .select(
+            F.col("docid").alias("parent"),
+            F.col("score").alias("parent_score"),
+        )
+    )
+    wp = Window.orderBy(F.col("parent_score").desc(), F.col("parent").asc())
+    ranked_parents = parents.withColumn(
+        "parent_rank", F.row_number().over(wp).cast("long")
+    )
+    wc = Window.partitionBy("parent").orderBy(
+        F.col("child_score").desc(), F.col("child").asc()
+    )
+    top_children = (
+        kids.join(F.broadcast(ranked_parents), "parent")
+        .withColumn("child_rank", F.row_number().over(wc).cast("long"))
+        .where(F.col("child_rank") <= children_per_parent)
+    )
+    return top_children.select(
+        "parent_rank",
+        "parent",
+        F.col("parent_score").cast("double").alias("parent_score"),
+        "child_rank",
+        "child",
+        F.col("child_score").cast("double").alias("child_score"),
+    ).orderBy("parent_rank", "child_rank")

@@ -98,3 +98,26 @@ def test_leading_wildcard_rejects_non_suffix_shapes():
         leading_wildcard_query("foo*")
     with pytest.raises(ValueError):
         leading_wildcard_query("*a*b")
+
+
+def test_to_parent_join_with_children(ms):
+    """ToParentBlockJoinCollector: parents ranked by the fold; each
+    parent's children ranked by their own scores, capped per parent."""
+    from lucenenet_spark.search.join import (
+        to_parent_join,
+        to_parent_join_with_children,
+    )
+    import pyspark.sql.functions as F
+
+    parent = F.col("docid") - F.pmod(F.col("docid"), 2)
+    rows = to_parent_join_with_children(
+        ms, TermQuery(term="spark"), parent, "max", k=5, children_per_parent=1
+    ).collect()
+    # parent ranks/scores must agree with the plain parent join
+    plain = to_parent_join(ms, TermQuery(term="spark"), parent, "max", 5).collect()
+    want = [(r.docid, r.score) for r in plain]
+    got = sorted({(r.parent, r.parent_score) for r in rows}, key=lambda t: -t[1])
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for r in rows:
+        assert r.child_rank == 1  # capped at one child per parent
+        assert r.child % 2 == 1  # children are the odd docids here
