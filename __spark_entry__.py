@@ -901,6 +901,42 @@ def _q_block_join_top_children(spark, sf_dir):
     )
 
 
+_CG_CACHE: dict[tuple[str, str], IndexSearcher] = {}
+
+
+def _cg_searcher(spark, sf_dir) -> IndexSearcher:
+    """Searcher over the CommonGramsFilter index (stopword-adjacent
+    bigram overlap terms)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CG_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        spec = CorpusSpec(
+            text_col="text", id_col="doc_id", meta_cols=(), common_grams=True
+        )
+        _CG_CACHE[key] = IndexSearcher(build_index(spark, docs, spec).cache())
+    return _CG_CACHE[key]
+
+
+def _q_common_grams_term(spark, sf_dir):
+    """A stopword phrase ('the batch') as ONE rare-term lookup."""
+    s = _cg_searcher(spark, sf_dir)
+    return _ranked(s.search_df(TermQuery(term="the_batch"), 10))
+
+
+def _q_common_grams_phrase(spark, sf_dir):
+    """CommonGramsQueryFilter rewrite: 'hash the batch' -> phrase over
+    the (hash_the, the_batch) bigram slots."""
+    from lucenenet_spark.analysis.commongrams import common_grams_query_terms
+
+    s = _cg_searcher(spark, sf_dir)
+    pairs = common_grams_query_terms("hash the batch")
+    q = PhraseQuery(
+        phrase_terms=tuple(t for t, _ in pairs),
+        term_positions=tuple(p for _, p in pairs),
+    )
+    return _ranked(s.search_df(q, 10))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1580,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "block_join_top_children": _q_block_join_top_children,
+        "common_grams_term": _q_common_grams_term,
+        "common_grams_phrase": _q_common_grams_phrase,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1759,6 +1797,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oosql.pii_scrub_sql(),
         "line_dedup": oosql.line_dedup_sql(),
         "block_join_top_children": osql.block_join_top_children_sql("hash", 10, "avg", 10, 3),
+        "common_grams_term": osql.common_grams_term_sql("the_batch"),
+        "common_grams_phrase": osql.common_grams_phrase_sql("hash_the", "the_batch"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -113,6 +113,11 @@ class CorpusSpec:
     # Positions/norms are unchanged. Exclusive with the stream-shaping
     # filters (shingles/synonyms/edge_ngram).
     reverse: bool = False
+    # CommonGramsFilter role (Analysis/CommonGrams/CommonGramsFilter
+    # .cs:40, analysis/commongrams.py): adds stopword-adjacent bigram
+    # overlap terms so phrases over very common words become single
+    # rare-term lookups. Exclusive with the other analyzers.
+    common_grams: bool = False
     # DelimitedPayloadTokenFilter role (Analysis/Payloads/
     # DelimitedPayloadTokenFilter.cs:30 over a whitespace tokenizer):
     # each whitespace chunk is 'term|payload' (payload float32,
@@ -301,6 +306,7 @@ class _SegmentWriter:
         edge_ngram=None,
         reverse: bool = False,
         payload_delim: "str | None" = None,
+        common_grams: bool = False,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -326,6 +332,9 @@ class _SegmentWriter:
         self.payload_delim = payload_delim
         if payload_delim and (stem or cjk or synonyms or shingle_size or edge_ngram or reverse):
             raise ValueError("payload_delim uses the whitespace+delimiter analyzer; it is exclusive with the other analysis flags")
+        self.common_grams = common_grams
+        if common_grams and (stem or cjk or synonyms or shingle_size or edge_ngram or reverse or payload_delim):
+            raise ValueError("common_grams is exclusive with the other analysis flags")
         # term -> (docids, freqs, norm_bytes, positions-per-doc,
         #          payloads-per-doc or None)
         self.terms: dict[str, tuple[list, list, list, list, list]] = {}
@@ -342,11 +351,21 @@ class _SegmentWriter:
         fls = np.zeros(len(texts), dtype=np.int64)
         per_doc: list[dict[str, list[int]]] = []
         for i, text in enumerate(texts):
-            pairs = self.analyze(text)
-            # field_length counts BASE tokens only — injected synonyms
-            # are posIncrement-0 overlaps, discounted from norms
-            # (discountOverlaps, BM25Similarity.cs:133)
-            fls[i] = len(pairs)
+            if self.common_grams:
+                from lucenenet_spark.analysis.commongrams import (
+                    analyze_common_grams,
+                )
+
+                tri = analyze_common_grams(text)
+                # bigrams are overlap tokens — excluded from norms
+                fls[i] = sum(1 for _, _, ov in tri if not ov)
+                pairs = [(t, p) for t, p, _ in tri]
+            else:
+                pairs = self.analyze(text)
+                # field_length counts BASE tokens only — injected synonyms
+                # are posIncrement-0 overlaps, discounted from norms
+                # (discountOverlaps, BM25Similarity.cs:133)
+                fls[i] = len(pairs)
             if self.edge_ngram is not None:
                 lo, hi = self.edge_ngram
                 fls[i] = edge_field_length(pairs, lo)
@@ -483,13 +502,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -820,7 +839,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams),
             schema=schema,
         )
     else:
@@ -832,7 +851,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -2841,3 +2841,85 @@ SELECT parent_rank, parent, CAST(parent_score AS DOUBLE) AS parent_score,
 FROM ranked_children WHERE child_rank <= {children_per_parent}
 ORDER BY parent_rank, child_rank"""
     )
+
+
+def _common_grams_prelude() -> str:
+    """CTE prefix for a CorpusSpec(common_grams=True) index over
+    ``documents``: non-stop unigrams at raw positions + stopword-
+    adjacent bigrams at the left token's position (overlaps excluded
+    from doc length) — analysis/commongrams.py spec."""
+    from lucenenet_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+    )
+
+    re_sql = TOKEN_PATTERN.replace("'", "''")
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS docid, z[1] AS term, CAST(z[2] - 1 AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '{re_sql}'),
+                       x -> length(x) <= {MAX_TOKEN_LENGTH}) AS toks
+    FROM documents
+  ), UNNEST(list_zip(toks, range(1, len(toks) + 1))) AS u(z)
+),
+tok AS (
+  SELECT docid, term, pos FROM raw WHERE term NOT IN ({stops})
+  UNION ALL
+  SELECT a.docid, a.term || '_' || b.term AS term, a.pos
+  FROM raw a JOIN raw b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term IN ({stops}) OR b.term IN ({stops})
+),
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq
+  FROM tok GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d LEFT JOIN (
+    SELECT docid, count(*) AS fl FROM raw
+    WHERE term NOT IN ({stops}) GROUP BY docid
+  ) t ON d.doc_id = t.docid
+),"""
+
+
+def common_grams_term_sql(term: str, k: int = K) -> str:
+    """TermQuery over the common-grams index — a stopword phrase as one
+    rare-term lookup."""
+    return (
+        _common_grams_prelude()
+        + _prelude_tail()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def common_grams_phrase_sql(t0: str, t1: str, k: int = K) -> str:
+    """PhraseQuery over adjacent common-gram slots (the
+    CommonGramsQueryFilter rewrite of a 3-word stopword phrase)."""
+    idf0 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t0}')")
+    idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t1}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        _common_grams_prelude()
+        + _prelude_tail()
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         (SELECT w FROM w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("scored", k)
+    )
