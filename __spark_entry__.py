@@ -937,6 +937,12 @@ def _q_common_grams_phrase(spark, sf_dir):
     return _ranked(s.search_df(q, 10))
 
 
+def _q_lm_doc_quality(spark, sf_dir):
+    """Perplexity-style quality filter: mean bigram stupid-backoff
+    log-prob per doc under the corpus LM."""
+    return tx.lm_doc_quality(_docs(spark, sf_dir))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1618,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_top_children": _q_block_join_top_children,
         "common_grams_term": _q_common_grams_term,
         "common_grams_phrase": _q_common_grams_phrase,
+        "lm_doc_quality": _q_lm_doc_quality,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
@@ -1799,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "block_join_top_children": osql.block_join_top_children_sql("hash", 10, "avg", 10, 3),
         "common_grams_term": osql.common_grams_term_sql("the_batch"),
         "common_grams_phrase": osql.common_grams_phrase_sql("hash_the", "the_batch"),
+        "lm_doc_quality": oosql.lm_doc_quality_sql(),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -896,3 +896,51 @@ SELECT b.id,
        coalesce(r.n_kept, 0) AS n_kept,
        coalesce(r.clean_text, '') AS clean_text
 FROM base b LEFT JOIN nl ON b.id = nl.id LEFT JOIN rebuilt r ON b.id = r.id"""
+
+
+def lm_doc_quality_sql(alpha: float = 0.4) -> str:
+    """ops/text.py::lm_doc_quality mirror: bigram stupid-backoff mean
+    log-prob per doc, fold in token order (both engines accumulate the
+    same doubles in the same sequence)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         regexp_extract_all(lower(coalesce(text, '')), '{_RE}') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT id, CAST(z[2] - 1 AS BIGINT) AS pos, z[1][1] AS w1, z[1][2] AS w2
+  FROM (SELECT id, list_zip(toks[1:-2], toks[2:]) AS ps FROM base
+        WHERE len(toks) >= 2),
+       UNNEST(list_zip(ps, range(1, len(ps) + 1))) AS u(z)
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS u
+  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS b FROM pairs GROUP BY w1, w2
+),
+total AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS t FROM base),
+lps AS (
+  SELECT p.id, p.pos,
+         CAST(CAST(
+           CASE WHEN bg.b IS NOT NULL
+                THEN ln(CAST(bg.b AS DOUBLE) / CAST(u1.u AS DOUBLE))
+                ELSE ln({float(alpha)!r} * CAST(u2.u AS DOUBLE)
+                        / CAST((SELECT t FROM total) AS DOUBLE))
+           END AS REAL) AS DOUBLE) AS lp
+  FROM pairs p
+  LEFT JOIN big bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+  JOIN uni u1 ON p.w1 = u1.w
+  JOIN uni u2 ON p.w2 = u2.w
+),
+folded AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_scored,
+         list_reduce(list(lp ORDER BY pos), (x, y) -> x + y)
+           / CAST(count(*) AS DOUBLE) AS avg_logprob
+  FROM lps GROUP BY id
+)
+SELECT b.id, coalesce(f.n_scored, 0) AS n_scored,
+       coalesce(f.avg_logprob, 0.0) AS avg_logprob
+FROM base b LEFT JOIN folded f ON b.id = f.id"""

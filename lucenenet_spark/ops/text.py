@@ -331,3 +331,90 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def lm_doc_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """LM-perplexity quality filter (the CCNet-style signal): mean
+    per-token log-probability of each document under a corpus bigram
+    model with stupid backoff (Brants et al. 2007, the same ALPHA=0.4
+    the FreeTextSuggester uses):
+
+        lp(i) = ln(B(w_{i-1}, w_i) / U(w_{i-1}))          if B > 0
+              = ln(alpha * U(w_i) / T)                     otherwise
+
+    avg_logprob accumulates the doubles in TOKEN ORDER (a pinned fold,
+    not a float SUM — partition-count invariant and oracle-exact).
+    Gibberish (unseen transitions everywhere) scores far below
+    natural text; filter on a threshold.
+
+    Scale shape: two hash-agg count tables over one corpus scan (U is
+    vocabulary-sized and broadcast; B is bigram-keyed, the only real
+    shuffle), one join per side, one groupBy(id) fold. Output:
+    (id, n_scored, avg_logprob).
+    """
+    base = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    pairs = base.select(
+        "id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+            )
+        ).alias("pos", "bg"),
+    ).select("id", "pos", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    toks_flat = base.select(F.explode("toks").alias("w"))
+    uni = toks_flat.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("u"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+    )
+    total = toks_flat.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    j = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("u", "u1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("u", "u2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    # per-token logprob truncated to float32: the JVM's Math.log and
+    # C libm disagree by 1-2 ulp on some inputs; the f32 step absorbs
+    # that (same discipline as the LM/DFR similarity oracles)
+    lp = F.when(
+        F.col("b").isNotNull(),
+        F.log(F.col("b").cast("double") / F.col("u1").cast("double")),
+    ).otherwise(
+        F.log(F.lit(float(alpha)) * F.col("u2").cast("double") / F.col("t").cast("double"))
+    ).cast("float").cast("double")
+    folded = (
+        j.select("id", "pos", lp.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        .select(
+            "id",
+            "n_scored",
+            (F.col("s") / F.col("n_scored").cast("double")).alias("avg_logprob"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(folded, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -103,3 +103,20 @@ def test_line_dedup(spark):
     for i in range(10):
         assert got[i].n_lines == 3 and got[i].n_kept == 2
         assert got[i].clean_text == f"unique {i}\nbody {i}"
+
+
+def test_lm_doc_quality(spark):
+    """Natural repeated phrasing scores higher than shuffled gibberish
+    under the corpus bigram LM; counts are exact."""
+    from lucenenet_spark.ops.text import lm_doc_quality
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((8, "dog the jumps quick lazy fox brown over the"))
+    rows.append((9, "x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in lm_doc_quality(df).collect()}
+    assert got[0].n_scored == 8  # 9 tokens -> 8 bigrams
+    assert got[9].n_scored == 0 and got[9].avg_logprob == 0.0
+    # the natural doc's transitions are all seen 8-9x; the shuffled
+    # doc backs off on most transitions -> strictly lower mean logprob
+    assert got[0].avg_logprob > got[8].avg_logprob
