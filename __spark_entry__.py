@@ -1515,10 +1515,11 @@ def _q_media_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ORDER is part of the driver contract: the r02 correctness
-    run recorded exactly the first 50 dict entries, so entries that
-    have never had a driver row run FIRST, then entries last verified
-    in r01, then new round-3 surfaces, then the r02-green tail —
-    maximizing fresh coverage under any entry-count or time budget."""
+    run recorded exactly the first 50 dict entries, so ALL entries
+    that have never had a driver row in any round run FIRST (the r03
+    window covers 50 of them), then entries last verified in r01,
+    then the r02-green tail — maximizing fresh coverage under any
+    entry-count or time budget. Rotate again next round."""
     return {
         # -- never driver-verified (no row in r01 or r02) ------------
         "function_query": _q_function_query,
@@ -1538,22 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_terms": _q_regexp_terms,
         "match_all_docs": _q_match_all,
         "field_value_filter": _q_field_value_filter,
-        # -- green in r01 but absent from the r02 run ----------------
-        "facet_counts": _q_facet,
-        "filtered_query": _q_filtered,
-        "numeric_range_query": _q_numeric_range,
-        "grouped_topk": _q_grouped_topk,
-        "search_after": _q_search_after,
-        "rescore": _q_rescore,
-        "hit_count": _q_hit_count,
-        "mlt_terms": _q_mlt_terms,
         "mlt_topk": _q_mlt_topk,
-        "common_terms_split": _q_common_terms_split,
-        "prefix_docs": _q_prefix_docs,
-        "wildcard_terms": _q_wildcard_terms,
-        "fuzzy_terms": _q_fuzzy_terms,
-        "term_range": _q_term_range,
-        # -- new round-3 surfaces ------------------------------------
+        # -- new round-3 surfaces (never driver-verified) -------------
         "span_near3_ordered": _q_span_near3,
         "span_first": _q_span_first,
         "span_not": _q_span_not,
@@ -1625,6 +1612,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_grams_term": _q_common_grams_term,
         "common_grams_phrase": _q_common_grams_phrase,
         "lm_doc_quality": _q_lm_doc_quality,
+        # -- green in r01 but absent from the r02 run ----------------
+        "facet_counts": _q_facet,
+        "filtered_query": _q_filtered,
+        "numeric_range_query": _q_numeric_range,
+        "grouped_topk": _q_grouped_topk,
+        "search_after": _q_search_after,
+        "rescore": _q_rescore,
+        "hit_count": _q_hit_count,
+        "mlt_terms": _q_mlt_terms,
+        "common_terms_split": _q_common_terms_split,
+        "prefix_docs": _q_prefix_docs,
+        "wildcard_terms": _q_wildcard_terms,
+        "fuzzy_terms": _q_fuzzy_terms,
+        "term_range": _q_term_range,
         # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
