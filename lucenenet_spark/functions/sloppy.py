@@ -72,6 +72,69 @@ class _PP:
         return (self.pos, self.offset, self.ord)
 
 
+def _freq_2pp(
+    a: np.ndarray, b: np.ndarray, oa: int, ob: int, slop: int
+) -> np.float32:
+    """Heap-free specialization of the PQ walk for exactly TWO distinct
+    slots — the dominant case (every two-term sloppy phrase). Emits the
+    identical match sequence as the generic walk (a 2-element priority
+    queue is one comparison), folds 1/(1+L) in the same float32 order."""
+    na, nb = len(a), len(b)
+    ia = ib = 0
+    pa = int(a[0]) - oa
+    pb = int(b[0]) - ob
+    end = pa if pa > pb else pb
+    # pop the lesser by (pos, offset, ord); ord(a)=0 < ord(b)=1
+    cur_is_a = (pa, oa, 0) < (pb, ob, 1)
+    if cur_is_a:
+        cur_pos, nxt = pa, pb
+    else:
+        cur_pos, nxt = pb, pa
+    match_length = end - cur_pos
+    lengths: list[int] = []
+    while True:
+        if cur_is_a:
+            ia += 1
+            if ia >= na:
+                break
+            cur_pos = int(a[ia]) - oa
+        else:
+            ib += 1
+            if ib >= nb:
+                break
+            cur_pos = int(b[ib]) - ob
+        if cur_pos > end:
+            end = cur_pos
+        if cur_pos > nxt:
+            if match_length <= slop:
+                lengths.append(match_length)
+            # push cur, pop lesser of {cur, other}
+            if cur_is_a:
+                if (cur_pos, oa, 0) < (nxt, ob, 1):
+                    pass  # cur stays popped
+                else:
+                    cur_is_a = False
+                    cur_pos, nxt = nxt, cur_pos
+            else:
+                if (cur_pos, ob, 1) < (nxt, oa, 0):
+                    pass
+                else:
+                    cur_is_a = True
+                    cur_pos, nxt = nxt, cur_pos
+            match_length = end - cur_pos
+        else:
+            ml2 = end - cur_pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        lengths.append(match_length)
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    for L in lengths:
+        freq = np.float32(freq + np.float32(one / np.float32(L + 1)))
+    return freq
+
+
 def sloppy_phrase_freq(
     positions: list[np.ndarray],
     slop: int,
@@ -90,6 +153,13 @@ def sloppy_phrase_freq(
         return np.float32(0.0)
     offs = list(offsets) if offsets is not None else list(range(k))
     keys = list(term_keys) if term_keys is not None else list(range(k))
+    if (
+        k == 2
+        and keys[0] != keys[1]
+        and len(positions[0]) > 0
+        and len(positions[1]) > 0
+    ):
+        return _freq_2pp(positions[0], positions[1], offs[0], offs[1], slop)
     pps = [
         _PP(np.asarray(p, dtype=np.int64), o, i)
         for i, (p, o) in enumerate(zip(positions, offs))

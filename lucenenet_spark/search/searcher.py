@@ -897,6 +897,219 @@ class IndexSearcher:
             .select("docid")
         )
 
+    def _phrase_bucket_scored(
+        self,
+        slots_l: list[list[str]],
+        rels_l: list[int],
+        slop: int,
+        wf: float,
+    ) -> DataFrame:
+        """Per-bucket phrase verification over PACKED blocks — the
+        distributed analog of Lucene's per-segment ExactPhraseScorer
+        with skip lists (``Search/ExactPhraseScorer.cs:292``;
+        ``NearSpansOrdered`` for slop): buckets are docid-DISJOINT by
+        construction (``builder.py`` range buckets), so every phrase
+        match is certified entirely inside one bucket.
+
+        Physical shape: ONE scan of the packed table filtered to the
+        phrase terms (parquet term-IN pushdown), ONE narrow shuffle of
+        the still-compressed blocks keyed by bucket, then a single
+        ``applyInPandas`` stage per bucket that (a) delta-decodes
+        docids only, (b) intersects the per-slot docid unions, and
+        (c) decodes POSITIONS only for blocks that contain a surviving
+        candidate — the skip-list block-skipping, fused with the
+        conjunction pre-pass, at zero extra jobs. This replaces the
+        previous plan (decode positions of every posting → explode →
+        groupBy(docid) collect_list) whose shuffle carried every
+        decoded position of every query term. Group size is bounded:
+        ≤ |terms| × 64 blocks per bucket (BUCKET_DOCS = 128·64), so no
+        group skew at any corpus size; parallelism = number of buckets,
+        which grows with the corpus."""
+        from lucenenet_spark.functions.varbyte import decode_positions
+        from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
+
+        sim = self.sim
+        uniq = sorted({t for slot in slots_l for t in slot})
+        slots_c = [list(s) for s in slots_l]
+        rels_c = list(rels_l)
+        slot_keys = [tuple(s) for s in slots_c]
+        blocks = self.index.packed.where(F.col("term").isin(uniq)).select(
+            "term", "bucket", "block_id", "count",
+            "docs_enc", "norms_enc", "positions_enc",
+        )
+        empty = pd.DataFrame(
+            {"docid": pd.array([], dtype="int64"),
+             "score": pd.array([], dtype="float32")}
+        )
+        w32 = np.float32(wf)
+
+        def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["term", "block_id"])
+            # docid-only decode first (cheap); positions stay encoded
+            term_blocks: dict[str, list] = {}
+            for term, cnt, de, ne, pe in zip(
+                pdf["term"], pdf["count"], pdf["docs_enc"],
+                pdf["norms_enc"], pdf["positions_enc"],
+            ):
+                term_blocks.setdefault(term, []).append(
+                    (delta_decode_docids(bytes(de)), ne, pe, int(cnt))
+                )
+            # conjunction over per-slot docid unions
+            cand = None
+            for slot in slots_c:
+                arrs = [b[0] for t in slot if t in term_blocks
+                        for b in term_blocks[t]]
+                if not arrs:
+                    return empty
+                sd = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+                cand = sd if cand is None else np.intersect1d(
+                    cand, sd, assume_unique=True
+                )
+                if cand.size == 0:
+                    return empty
+            # positions + norms decoded ONLY for blocks holding a
+            # candidate (the skip-list block skipping). Positions are
+            # lifted to GLOBAL keys docid·2³² + position so the whole
+            # bucket's exact-phrase intersection is ONE numpy set op
+            # across every candidate doc — no per-doc Python loop.
+            SHIFT = np.int64(1) << np.int64(32)
+            glob: dict[str, list] = {t: [] for t in term_blocks}
+            norms = np.zeros(cand.size, dtype=np.uint8)
+            for term, blks in term_blocks.items():
+                gl = glob[term]
+                for d, ne, pe, cnt in blks:
+                    lo = np.searchsorted(cand, d[0])
+                    hi = np.searchsorted(cand, d[-1], side="right")
+                    if lo == hi:
+                        continue  # no candidate in this block: skip decode
+                    sub = cand[lo:hi]
+                    idx = np.searchsorted(d, sub)
+                    hit = d[idx] == sub
+                    if not hit.any():
+                        continue
+                    pos = decode_positions(bytes(pe), cnt)
+                    nb = np.frombuffer(bytes(ne), dtype=np.uint8)
+                    ci = np.flatnonzero(hit) + lo
+                    bi = idx[hit]
+                    norms[ci] = nb[bi]
+                    plists = [pos[j] for j in bi]
+                    lens = np.fromiter(
+                        (p.size for p in plists), dtype=np.int64, count=bi.size
+                    )
+                    gl.append(
+                        np.repeat(cand[ci] * SHIFT, lens)
+                        + np.concatenate(plists)
+                    )
+            # per-slot position unions in the GLOBAL key space
+            # (docid·2³² + raw position): docid in the high bits keeps
+            # docs apart (positions < 2³², rels tiny — no aliasing), so
+            # one numpy set op covers every candidate doc in the bucket
+            unions_g = []
+            for slot in slots_c:
+                arrs = [a for t in slot for a in glob.get(t, ())]
+                if not arrs:
+                    return empty
+                u = arrs[0] if len(arrs) == 1 else np.unique(
+                    np.concatenate(arrs)
+                )
+                unions_g.append(u)
+            freqs = np.zeros(cand.size, dtype=np.float32)
+            if slop == 0:
+                # vectorized ExactPhraseScorer (``ExactPhraseScorer.cs:
+                # 292``): candidate start = every position of slot 0
+                # shifted by its offset; intersect across slots
+                u0 = unions_g[0]
+                # posIndex >= 0: a phrase cannot start before the doc
+                acc = u0[(u0 & np.int64(0xFFFFFFFF)) >= rels_c[0]] - np.int64(
+                    rels_c[0]
+                )
+                for u, r in zip(unions_g[1:], rels_c[1:]):
+                    acc = np.intersect1d(acc, u - np.int64(r))
+                    if acc.size == 0:
+                        return empty
+                docs_m, counts = np.unique(
+                    (acc + np.int64(rels_c[0])) >> np.int64(32),
+                    return_counts=True,
+                )
+                freqs[np.searchsorted(cand, docs_m)] = counts.astype(np.float32)
+            else:
+                # sloppy: the faithful SloppyPhraseScorer PQ walk is
+                # inherently per-doc. Before looping, a VECTORIZED
+                # existence prefilter drops docs that cannot match: a
+                # match needs every slot within ``slop`` of the anchor
+                # slot's window, so for each slot s take the nearest
+                # neighbor of every anchor key and keep only docs where
+                # every slot passes (exact for two distinct slots —
+                # the minimal-gap pair is adjacent in merged order —
+                # and a conservative superset otherwise). Skipped for
+                # repeated-term phrases where collision handling can
+                # shift windows.
+                walk_docs = cand
+                if len(set(slot_keys)) == len(slot_keys) and len(slots_c) > 1:
+                    a = unions_g[0] - np.int64(rels_c[0])
+                    live = None
+                    for u, r in zip(unions_g[1:], rels_c[1:]):
+                        b = u - np.int64(r)
+                        ir = np.searchsorted(b, a)
+                        nxt = np.where(
+                            ir < b.size,
+                            b[np.minimum(ir, b.size - 1)] - a,
+                            np.int64(1) << np.int64(40),
+                        )
+                        prv = np.where(
+                            ir > 0,
+                            a - b[np.maximum(ir - 1, 0)],
+                            np.int64(1) << np.int64(40),
+                        )
+                        near = np.minimum(nxt, prv) <= slop
+                        ok_docs = np.unique((a[near]) >> np.int64(32))
+                        live = ok_docs if live is None else np.intersect1d(
+                            live, ok_docs, assume_unique=True
+                        )
+                        if live.size == 0:
+                            return empty
+                    walk_docs = live
+                # per-doc slot positions via sorted-slice extraction;
+                # slice boundaries computed for ALL walked docs at once
+                w_idx = np.searchsorted(cand, walk_docs)
+                bases = walk_docs * SHIFT
+                bounds = [
+                    (np.searchsorted(u, bases), np.searchsorted(u, bases + SHIFT))
+                    for u in unions_g
+                ]
+                for j, (i, doc) in enumerate(zip(w_idx, walk_docs)):
+                    base = bases[j]
+                    unions = []
+                    ok = True
+                    for u, (los, his) in zip(unions_g, bounds):
+                        lo, hi = los[j], his[j]
+                        if lo == hi:
+                            ok = False
+                            break
+                        unions.append(u[lo:hi] - base)
+                    if not ok:
+                        continue
+                    freqs[i] = sloppy_phrase_freq(
+                        unions, slop, offsets=rels_c, term_keys=slot_keys
+                    )
+            m = freqs > 0
+            if not m.any():
+                return empty
+            s = sim.score(freqs[m], norms[m], w32)
+            return pd.DataFrame(
+                {"docid": cand[m], "score": s.astype(np.float32)}
+            )
+
+        # groupBy(bucket).applyInPandas — one narrow block shuffle.
+        # Pre-hash over a prime partition count so distinct buckets
+        # rarely collide onto one core (25 buckets into 32 partitions
+        # leaves 2-3-bucket stragglers); AQE re-coalesces by size, and
+        # Catalyst reuses this hash partitioning for the groupBy, so
+        # it is still ONE shuffle.
+        return blocks.repartition(199, "bucket").groupBy("bucket").applyInPandas(
+            lambda pdf: verify(pdf), schema=SCORED
+        )
+
     def _phrase(self, q: PhraseQuery, stats) -> DataFrame | None:
         terms = list(q.phrase_terms)
         rels = list(q.positions())
@@ -916,24 +1129,14 @@ class IndexSearcher:
         rels_l = list(rels)
         terms_l = list(terms)
 
-        # filter the PACKED table first (parquet term-pushdown), THEN
-        # unpack: a filter above unpack_postings cannot push through the
-        # mapInPandas, so filtering the flat view would decode the whole
-        # index to drop most of it
+        # packed path: per-bucket block-grouped verification (one
+        # narrow compressed-block shuffle; conjunction + skip-list
+        # position skipping fused inside the group UDF)
         if self.use_packed:
-            from lucenenet_spark.index.builder import unpack_postings
-
-            src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
-            total_df = sum(stats[t][0] for t in uniq)
-            if len(uniq) > 1 and total_df > self.phrase_prefilter_min_postings:
-                # conjunction pre-pass (docid-only decode) so the wide
-                # positions shuffle below carries only co-occurring docs
-                cand_ids = self._phrase_candidates(
-                    {t: [i] for i, t in enumerate(uniq)}, len(uniq)
-                )
-                src = src.join(cand_ids, "docid", "left_semi")
-        else:
-            src = self.index.postings.where(F.col("term").isin(uniq))
+            return self._phrase_bucket_scored(
+                [[t] for t in terms_l], rels_l, q.slop, wf
+            )
+        src = self.index.postings.where(F.col("term").isin(uniq))
         cand = (
             src.groupBy("docid")
             .agg(
@@ -1010,19 +1213,8 @@ class IndexSearcher:
         slop = q.slop
 
         if self.use_packed:
-            from lucenenet_spark.index.builder import unpack_postings
-
-            src = unpack_postings(self.index.packed.where(F.col("term").isin(uniq)))
-            total_df = sum(stats.get(t, (0, 0))[0] for t in uniq)
-            if len(slots_l) > 1 and total_df > self.phrase_prefilter_min_postings:
-                term_slots: dict[str, list[int]] = {}
-                for si, slot in enumerate(slots_l):
-                    for t in slot:
-                        term_slots.setdefault(t, []).append(si)
-                cand_ids = self._phrase_candidates(term_slots, len(slots_l))
-                src = src.join(cand_ids, "docid", "left_semi")
-        else:
-            src = self.index.postings.where(F.col("term").isin(uniq))
+            return self._phrase_bucket_scored(slots_l, rels_l, slop, wf)
+        src = self.index.postings.where(F.col("term").isin(uniq))
         cand = src.groupBy("docid").agg(
             F.collect_list(F.struct("term", "positions")).alias("tp"),
             F.first("norm").alias("norm"),

@@ -121,15 +121,16 @@ def test_infinite_freq_regressions_are_finite():
     assert np.isfinite(val) and 0.0 <= val < 10.0
 
 
-def test_phrase_prefilter_forced_is_identity(spark_index, oracle_index):
-    """The conjunction pre-pass (docid-only decode + semi-join) must be
-    a semantic no-op — force it on at test scale and compare exact,
-    sloppy, and multi-phrase results against the default searcher."""
+def test_phrase_bucket_path_matches_flat_path(spark_index, oracle_index):
+    """The per-bucket block-grouped phrase scorer (packed path: docid
+    conjunction + skip-list position decode + vectorized/PQ freq inside
+    one applyInPandas) must be bit-identical to the flat-postings path
+    (use_packed=False: explode + groupBy(docid) + per-doc UDF) — two
+    independent implementations of the same reference semantics."""
     from lucenenet_spark.search.queries import MultiPhraseQuery
 
     plain = IndexSearcher(spark_index)
-    forced = IndexSearcher(spark_index)
-    forced.phrase_prefilter_min_postings = 0
+    forced = IndexSearcher(spark_index, use_packed=False)
     queries = [
         PhraseQuery(phrase_terms=("return", "value")),
         PhraseQuery(phrase_terms=("return", "value"), slop=2),
