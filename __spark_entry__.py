@@ -943,6 +943,30 @@ def _q_lm_doc_quality(spark, sf_dir):
     return tx.lm_doc_quality(_docs(spark, sf_dir))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (ops/sampling.py): fixed 512-token
+    budget, boundary-crossing layout, one window per lang shard."""
+    from lucenenet_spark.ops import sampling as smp
+
+    return smp.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_stratified_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split per lang stratum
+    keyed on the md5-prefix integer of doc_id."""
+    from lucenenet_spark.ops import sampling as smp
+
+    return smp.stratified_split(_docs(spark, sf_dir))
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-2 mixture weights per lang: integer-exact
+    sqrt-scaled weights and ppm shares."""
+    from lucenenet_spark.ops import sampling as smp
+
+    return smp.temperature_mix(_docs(spark, sf_dir))
+
+
 def _q_sweetspot_term(spark, sf_dir):
     """SweetSpotSimilarity (Misc/SweetSpotSimilarity.cs): plateau
     length norm [2, 8] + baselineTf(base=1.5, min=2)."""
@@ -1612,6 +1636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_grams_term": _q_common_grams_term,
         "common_grams_phrase": _q_common_grams_phrase,
         "lm_doc_quality": _q_lm_doc_quality,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_split": _q_stratified_split,
+        "temperature_mix": _q_temperature_mix,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1808,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
         "common_grams_term": osql.common_grams_term_sql("the_batch"),
         "common_grams_phrase": osql.common_grams_phrase_sql("hash_the", "the_batch"),
         "lm_doc_quality": oosql.lm_doc_quality_sql(),
+        "pack_sequences": oosql.pack_sequences_sql(512),
+        "stratified_split": oosql.stratified_split_sql(),
+        "temperature_mix": oosql.temperature_mix_sql(),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

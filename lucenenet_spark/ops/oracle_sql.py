@@ -944,3 +944,71 @@ folded AS (
 SELECT b.id, coalesce(f.n_scored, 0) AS n_scored,
        coalesce(f.avg_logprob, 0.0) AS avg_logprob
 FROM base b LEFT JOIN folded f ON b.id = f.id"""
+
+
+def pack_sequences_sql(budget: int = 512) -> str:
+    """Oracle for ops/sampling.py::pack_sequences — the window prefix
+    sum per shard with integer seq/offset math."""
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT t.id, CAST(d.lang AS VARCHAR) AS shard,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens
+  FROM toks t JOIN documents d ON CAST(d.doc_id AS BIGINT) = t.id
+),
+cum AS (
+  SELECT id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM base
+)
+SELECT id, shard, n_tokens,
+       cum_before // {int(budget)} AS seq,
+       cum_before % {int(budget)} AS seq_offset
+FROM cum"""
+
+
+def stratified_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
+    """Oracle for ops/sampling.py::stratified_split — md5-prefix
+    bucket mod 100 per doc id."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    b = md5_prefix_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT CAST(d.lang AS VARCHAR) AS stratum,
+         CASE WHEN ({b}) % 100 < {int(train_pct)} THEN 'train'
+              WHEN ({b}) % 100 < {int(train_pct + val_pct)} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(t.toks) AS BIGINT) AS tok
+  FROM documents d JOIN toks t ON CAST(d.doc_id AS BIGINT) = t.id
+)
+SELECT stratum, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM base GROUP BY stratum, split"""
+
+
+def temperature_mix_sql() -> str:
+    """Oracle for ops/sampling.py::temperature_mix — sqrt weight
+    scaled to int, integer-division share."""
+    return f"""
+WITH {_TOKS},
+per AS (
+  SELECT CAST(d.lang AS VARCHAR) AS stratum,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens
+  FROM documents d JOIN toks t ON CAST(d.doc_id AS BIGINT) = t.id
+  GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS weight
+  FROM per
+)
+SELECT stratum, n_docs, n_tokens, weight,
+       (weight * 1000000) // (SELECT sum(weight) FROM w) AS share_ppm
+FROM w"""

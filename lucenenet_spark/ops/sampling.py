@@ -1,0 +1,130 @@
+"""Training-mix operators: sequence packing, stratified splits,
+temperature-based mixture weights.
+
+These are the steps between "curated corpus" and "training batches" in
+an LLM data pipeline: pack documents into fixed-token-budget training
+sequences, carve deterministic train/val/test splits per stratum, and
+compute temperature-flattened sampling weights per source.
+
+Every operator is integer-exact so the DuckDB oracle matches
+bit-for-bit: token counts are int64 regex-token counts (the
+``ops/text.py`` tokenizer), split assignment uses the md5-prefix
+integer (``ops/hashing.py``), and mixture weights avoid libm-dependent
+``pow`` — temperature is fixed at 2 so the weight is IEEE-exact
+``sqrt``, scaled to an integer before the (integer) normalization.
+
+Scale notes (100 TB): packing's only wide operation is ONE window
+partitioned by the shard column — parallelism = number of shards, and
+any corpus that big has thousands of (source, lang, date) shards;
+there is no global window. Splits and mixture weights are plain hash
+aggregates; the mixture's final normalization runs over
+|strata| rows (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucenenet_spark.ops.hashing import md5_prefix_int_col
+from lucenenet_spark.ops.text import _tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Pack documents into fixed-token training sequences with
+    boundary crossing (the GPT-style packing where a sequence may cut
+    a document): docs are laid out in deterministic (shard, id) order,
+    and a doc starts at global token offset ``cum_before``; its
+    sequence is ``cum_before // budget`` and its in-sequence offset
+    ``cum_before % budget``. One window per shard — no global window.
+
+    Output: (id, shard, n_tokens, seq, seq_offset)."""
+    tok = F.size(_tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(F.col(shard_col))
+        .orderBy(F.col(id_col).cast("long"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum(tok).over(w) - tok).cast("long")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(shard_col).cast("string").alias("shard"),
+        tok.alias("n_tokens"),
+        F.floor(cum_before / F.lit(int(budget))).cast("long").alias("seq"),
+        (cum_before % F.lit(int(budget))).cast("long").alias("seq_offset"),
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test split per stratum: a doc's split is
+    a pure function of its id (md5-prefix integer mod 100), so the
+    assignment is stable across runs, cluster sizes, and engines.
+    Output: per (stratum, split) doc and token counts."""
+    b = md5_prefix_int_col(F.col(id_col).cast("string")) % F.lit(100)
+    split = (
+        F.when(b < F.lit(int(train_pct)), F.lit("train"))
+        .when(b < F.lit(int(train_pct + val_pct)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tok = F.size(_tokens(text_col)).cast("long")
+    return (
+        df.select(
+            F.col(strata_col).cast("string").alias("stratum"),
+            split.alias("split"),
+            tok.alias("__tok"),
+        )
+        .groupBy("stratum", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Temperature-2 mixture weights per stratum (the multilingual
+    up-sampling rule w_s ∝ n_s^(1/T) with T=2): weight =
+    floor(sqrt(n_tokens)·10⁶) — sqrt and the single multiply are
+    IEEE-exact in every engine, unlike pow — then the share is pure
+    integer arithmetic: share_ppm = w·10⁶ // Σw. Output:
+    (stratum, n_docs, n_tokens, weight, share_ppm)."""
+    tok = F.size(_tokens(text_col)).cast("long")
+    per = (
+        df.select(F.col(strata_col).cast("string").alias("stratum"), tok.alias("__tok"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000.0)).cast(
+                "long"
+            ),
+        )
+    )
+    # |strata| rows: the unpartitioned window is over a handful of rows.
+    # share must be INTEGER division (w·10⁶ ~ 3·10¹⁶ exceeds double's
+    # 2⁵³ mantissa — float division would round differently per engine)
+    total = F.sum("weight").over(Window.partitionBy())
+    return per.withColumn("__total", total).select(
+        "stratum", "n_docs", "n_tokens", "weight",
+        F.expr("CAST((weight * 1000000) DIV __total AS LONG)").alias("share_ppm"),
+    )

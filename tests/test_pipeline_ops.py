@@ -120,3 +120,64 @@ def test_lm_doc_quality(spark):
     # the natural doc's transitions are all seen 8-9x; the shuffled
     # doc backs off on most transitions -> strictly lower mean logprob
     assert got[0].avg_logprob > got[8].avg_logprob
+
+
+def test_pack_sequences(spark):
+    """Packing invariants: offsets stay inside the budget, sequence
+    ids are non-decreasing in doc order per shard, token totals are
+    conserved, and layout is contiguous (cum math)."""
+    from lucenenet_spark.ops.sampling import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 30)),
+             "en" if i % 2 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(
+        pack_sequences(df, budget=64).collect(), key=lambda r: (r.shard, r.id)
+    )
+    total = sum(r.n_tokens for r in got)
+    assert total == sum(5 + (i * 7) % 30 for i in range(40))
+    for shard in ("en", "fr"):
+        cum = 0
+        for r in [x for x in got if x.shard == shard]:
+            assert r.seq == cum // 64 and r.seq_offset == cum % 64
+            assert 0 <= r.seq_offset < 64
+            cum += r.n_tokens
+
+
+def test_stratified_split(spark):
+    """Split partitions every doc exactly once, is deterministic, and
+    respects the hash thresholds."""
+    from lucenenet_spark.ops.sampling import stratified_split
+
+    rows = [(i, "a b c", "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = stratified_split(df).collect()
+    assert sum(r.n_docs for r in got) == 300
+    assert {r.split for r in got} == {"train", "val", "test"}
+    by_split = {}
+    for r in got:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    # 80/10/10 within hash noise at n=300
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+    again = stratified_split(df).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_temperature_mix(spark):
+    """sqrt flattening: the share ratio between strata equals the
+    sqrt ratio of token counts (integer-exact), shares sum to <= 1e6
+    and within rounding of it."""
+    from lucenenet_spark.ops.sampling import temperature_mix
+
+    rows = (
+        [(i, " ".join(["tok"] * 100), "big") for i in range(90)]
+        + [(1000 + i, " ".join(["tok"] * 100), "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.stratum: r for r in temperature_mix(df).collect()}
+    assert got["big"].n_tokens == 9000 and got["small"].n_tokens == 1000
+    # sqrt(9000)/sqrt(1000) = 3 exactly
+    assert abs(got["big"].share_ppm / got["small"].share_ppm - 3.0) < 1e-3
+    s = got["big"].share_ppm + got["small"].share_ppm
+    assert 999990 <= s <= 1000000
