@@ -61,13 +61,22 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
 
     warehouse = f"/tmp/lucenenet_bench/warehouse_{n_docs}"
-    shutil.rmtree(warehouse, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    idx = build_index(spark, corpus, CorpusSpec())
-    idx.save(warehouse)
-    build_sec = time.perf_counter() - t0
-    idx.unpersist()
+    # min-of-N builds (default 2): the host VM has documented steal
+    # episodes where single-shot wall time inflates 2-5x with no code
+    # change (BENCH.md "variance"); min-of-N is the estimator every
+    # number in BENCH.md uses. The first run also pays python-worker
+    # spin-up + JIT that a long-lived cluster would not.
+    build_runs = int(os.environ.get("SPARK_GRAFT_BUILD_RUNS", "2"))
+    build_secs = []
+    for _ in range(max(1, build_runs)):
+        shutil.rmtree(warehouse, ignore_errors=True)
+        t0 = time.perf_counter()
+        idx = build_index(spark, corpus, CorpusSpec())
+        idx.save(warehouse)
+        build_secs.append(time.perf_counter() - t0)
+        idx.unpersist()
+    build_sec = min(build_secs)
 
     idx = InvertedIndex.load(spark, warehouse)
     searcher = IndexSearcher(idx)
@@ -76,8 +85,10 @@ def main() -> None:
     # warmup (JIT, parquet footer caches, python worker spin-up)
     searcher.search(qset["term_head"], 10)
 
+    # min-of-N per query (same steal-robust estimator as the build);
+    # p95 is over the per-query estimates, i.e. "the slowest query
+    # type", not "the unluckiest single run on a stolen host"
     per_query: dict[str, float] = {}
-    all_runs: list[float] = []
     suite_sec = 0.0
     for name, q in qset.items():
         runs = []
@@ -85,13 +96,11 @@ def main() -> None:
             t = time.perf_counter()
             searcher.search(q, 10)
             runs.append(time.perf_counter() - t)
-        runs.sort()
-        per_query[name] = round(runs[len(runs) // 2], 4)
-        suite_sec += runs[len(runs) // 2]
-        all_runs.extend(runs)
+        per_query[name] = round(min(runs), 4)
+        suite_sec += min(runs)
 
-    all_runs.sort()
-    p95 = all_runs[min(int(len(all_runs) * 0.95), len(all_runs) - 1)]
+    ests = sorted(per_query.values())
+    p95 = ests[min(int(len(ests) * 0.95), len(ests) - 1)]
 
     # batched serving path: the whole suite as ONE Spark job
     t = time.perf_counter()
@@ -107,6 +116,7 @@ def main() -> None:
         "n_docs": n_docs,
         "cpus": cpus,
         "build_sec": round(build_sec, 3),
+        "build_runs_sec": [round(b, 3) for b in build_secs],
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p95_query_sec": round(p95, 4),
         "suite_batched_sec": round(batched_sec, 4),
