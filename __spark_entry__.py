@@ -1056,6 +1056,33 @@ def _q_ngram_contamination(spark, sf_dir):
     return tx.ngram_contamination(rest, bench, n=3)
 
 
+def _q_ngram_term(spark, sf_dir):
+    """NGram index (infix substring): 'ndow' (inside 'window') is an
+    exact index term — one pruned packed scan, no dictionary regex."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        ngram=(3, 4),
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="ndow"), 10))
+
+
+def _q_substring_search(spark, sf_dir):
+    """Long infix literal 'ustomer' (> max_gram) via the n-gram index:
+    AND over its distinct 4-grams (one pruned packed scan) + exact
+    contains() verify over ONLY the candidate docs."""
+    from lucenenet_spark.search.substring import substring_docs
+
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        ngram=(3, 4),
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return substring_docs(s, corpus, "ustomer", 3, 4).orderBy("docid")
+
+
 def _q_edge_ngram_term(spark, sf_dir):
     """EdgeNGram index (autocomplete): prefix 'spar' is an exact index
     term — one pruned packed scan, no dictionary expansion."""
@@ -1639,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stratified_split": _q_stratified_split,
         "temperature_mix": _q_temperature_mix,
+        "ngram_term_query": _q_ngram_term,
+        "substring_search": _q_substring_search,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1838,6 +1867,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oosql.pack_sequences_sql(512),
         "stratified_split": oosql.stratified_split_sql(),
         "temperature_mix": oosql.temperature_mix_sql(),
+        "ngram_term_query": osql.ngram_term_sql("ndow", 3, 4),
+        "substring_search": osql.substring_docs_sql("ustomer"),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -133,6 +133,12 @@ class CorpusSpec:
     # (JVM translate/replace — zero Python cost). Composes with every
     # other flag. NOTE: content_sha256 is computed over the FOLDED text.
     ascii_fold: bool = False
+    # NGramTokenFilter role (Analysis/NGram/NGramTokenFilter.cs:53,
+    # analysis/ngrams.py::ngrams): (min_gram, max_gram) — REPLACES
+    # every token with ALL its contiguous n-grams (infix-substring
+    # index); norms count source tokens with >= 1 gram, like
+    # edge_ngram. Exclusive with the other stream-shaping filters.
+    ngram: "tuple[int, int] | None" = None
     # code-aware sub-word splitting (WordDelimiterFilter role,
     # analysis/worddelim.py): the pinned boundary chain runs JVM-side
     # on the raw text BEFORE the standard pipeline, so "getUserName_42"
@@ -307,6 +313,7 @@ class _SegmentWriter:
         reverse: bool = False,
         payload_delim: "str | None" = None,
         common_grams: bool = False,
+        ngram=None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -335,6 +342,9 @@ class _SegmentWriter:
         self.common_grams = common_grams
         if common_grams and (stem or cjk or synonyms or shingle_size or edge_ngram or reverse or payload_delim):
             raise ValueError("common_grams is exclusive with the other analysis flags")
+        self.ngram = ngram
+        if ngram is not None and (synonyms or shingle_size or edge_ngram or reverse or payload_delim or common_grams):
+            raise ValueError("ngram replaces the token stream; it cannot combine with the other stream-shaping filters")
         # term -> (docids, freqs, norm_bytes, positions-per-doc,
         #          payloads-per-doc or None)
         self.terms: dict[str, tuple[list, list, list, list, list]] = {}
@@ -370,6 +380,12 @@ class _SegmentWriter:
                 lo, hi = self.edge_ngram
                 fls[i] = edge_field_length(pairs, lo)
                 pairs = edge_ngrams(pairs, lo, hi)
+            if self.ngram is not None:
+                from lucenenet_spark.analysis.ngrams import ngrams
+
+                lo, hi = self.ngram
+                fls[i] = edge_field_length(pairs, lo)
+                pairs = ngrams(pairs, lo, hi)
             if self.shingle_size is not None:
                 pairs = add_shingles(pairs, self.shingle_size)
             if self.synonyms is not None:
@@ -502,13 +518,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -839,7 +855,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram),
             schema=schema,
         )
     else:
@@ -851,7 +867,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram),
             schema=schema,
         )
     flat_all = flat_all.persist()

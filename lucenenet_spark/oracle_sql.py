@@ -60,6 +60,7 @@ def bm25_prelude(
     synonyms=None,
     shingles: int | None = None,
     edge_ngram: tuple[int, int] | None = None,
+    ngram: tuple[int, int] | None = None,
     source: str = "documents",
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
@@ -78,6 +79,29 @@ def bm25_prelude(
 tok AS (
   SELECT docid, substr(term, 1, i) AS term, pos
   FROM tok_base, UNNEST(range({lo}, least(length(term), {hi}) + 1)) AS u(i)
+),
+doclen_base AS (
+  SELECT docid, count(*) AS fl FROM tok_base
+  WHERE length(term) >= {lo} GROUP BY docid
+)"""
+        return f"""
+WITH {tok_ctes},
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM {source} d LEFT JOIN doclen_base t ON d.doc_id = t.docid
+),""" + _prelude_tail()
+    if ngram:
+        lo, hi = ngram
+        tok_ctes = f"""tok_base AS ({tok}),
+tok AS (
+  SELECT docid, substr(term, CAST(s AS INT), CAST(n AS INT)) AS term, pos
+  FROM tok_base,
+       UNNEST(range(1, length(term) - {lo} + 2)) AS us(s),
+       UNNEST(range({lo}, {hi} + 1)) AS un(n)
+  WHERE s + n - 1 <= length(term)
 ),
 doclen_base AS (
   SELECT docid, count(*) AS fl FROM tok_base
@@ -2178,6 +2202,31 @@ def edge_ngram_term_sql(
         + _term_scores_cte("t0", term)
         + _topk("t0", k)
     )
+
+
+def ngram_term_sql(
+    term: str, min_gram: int = 3, max_gram: int = 4, k: int = K
+) -> str:
+    """Term query over an NGramTokenFilter index — an in-range infix
+    literal as one exact term lookup."""
+    return (
+        bm25_prelude(ngram=(min_gram, max_gram))
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def substring_docs_sql(literal: str) -> str:
+    """First-principles substring match: the n-gram candidate+verify
+    pipeline is EXACT for in-token literals, so the oracle is a plain
+    contains() over the source text."""
+    lit = literal.lower().replace("'", "''")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docid
+FROM documents
+WHERE contains(lower(text), '{lit}')
+ORDER BY docid"""
 
 
 def all_group_heads_sql(term: str, group_col: str) -> str:
