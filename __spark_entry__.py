@@ -1083,6 +1083,45 @@ def _q_substring_search(spark, sf_dir):
     return substring_docs(s, corpus, "ustomer", 3, 4).orderBy("docid")
 
 
+def _q_xml_boolean(spark, sf_dir):
+    """CoreParser surface: XML BooleanQuery == the programmatic AND."""
+    from lucenenet_spark.search.xmlparser import parse_xml_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = parse_xml_query(
+        "<BooleanQuery>"
+        '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
+        '<Clause occurs="must"><TermQuery>hash</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_xml_dismax(spark, sf_dir):
+    from lucenenet_spark.search.xmlparser import parse_xml_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = parse_xml_query(
+        '<DisjunctionMaxQuery tieBreaker="0.1">'
+        "<TermQuery>merge</TermQuery><TermQuery>sort</TermQuery>"
+        "</DisjunctionMaxQuery>"
+    )
+    return _ranked(s.search_df(q, 10))
+
+
+def _q_xml_span_near(spark, sf_dir):
+    from lucenenet_spark.search.spans import span_query
+    from lucenenet_spark.search.xmlparser import parse_xml_query
+
+    _, s = _searcher(spark, sf_dir)
+    q = parse_xml_query(
+        '<SpanNear slop="2" inOrder="true">'
+        "<SpanTerm>table</SpanTerm><SpanTerm>hash</SpanTerm>"
+        "</SpanNear>"
+    )
+    return span_query(s, q).orderBy("docid")
+
+
 def _q_edge_ngram_term(spark, sf_dir):
     """EdgeNGram index (autocomplete): prefix 'spar' is an exact index
     term — one pruned packed scan, no dictionary expansion."""
@@ -1668,6 +1707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "ngram_term_query": _q_ngram_term,
         "substring_search": _q_substring_search,
+        "xml_boolean_query": _q_xml_boolean,
+        "xml_dismax_query": _q_xml_dismax,
+        "xml_span_near": _q_xml_span_near,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1869,6 +1911,10 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": oosql.temperature_mix_sql(),
         "ngram_term_query": osql.ngram_term_sql("ndow", 3, 4),
         "substring_search": osql.substring_docs_sql("ustomer"),
+        # XML-parsed queries mirror their programmatic twins' oracles
+        "xml_boolean_query": osql.boolean_and_sql("table", "hash"),
+        "xml_dismax_query": osql.dismax_sql("merge", "sort", 0.1),
+        "xml_span_near": osql.span_near_sql("table", "hash", 2, True),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(
