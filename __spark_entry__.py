@@ -1083,6 +1083,13 @@ def _q_substring_search(spark, sf_dir):
     return substring_docs(s, corpus, "ustomer", 3, 4).orderBy("docid")
 
 
+def _q_sampled_facets(spark, sf_dir):
+    """RandomSamplingFacetsCollector: deterministic 20% doc sample,
+    counts + integer-exact amortized estimates."""
+    _, s = _searcher(spark, sf_dir)
+    return coll.sampled_facet_counts(s, TermQuery(term="table"), "lang", 20)
+
+
 def _q_xml_boolean(spark, sf_dir):
     """CoreParser surface: XML BooleanQuery == the programmatic AND."""
     from lucenenet_spark.search.xmlparser import parse_xml_query
@@ -1710,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_boolean_query": _q_xml_boolean,
         "xml_dismax_query": _q_xml_dismax,
         "xml_span_near": _q_xml_span_near,
+        "sampled_facets": _q_sampled_facets,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1915,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_boolean_query": osql.boolean_and_sql("table", "hash"),
         "xml_dismax_query": osql.dismax_sql("merge", "sort", 0.1),
         "xml_span_near": osql.span_near_sql("table", "hash", 2, True),
+        "sampled_facets": osql.sampled_facet_sql("table", "lang", 20),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2204,6 +2204,30 @@ def edge_ngram_term_sql(
     )
 
 
+def sampled_facet_sql(term: str, facet_col: str, sample_pct: int = 10) -> str:
+    """RandomSamplingFacetsCollector mirror: md5-prefix sampled facet
+    counts + the integer-exact amortized correction."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql("CAST(h.docid AS VARCHAR)")
+    return (
+        bm25_prelude()
+        + f""",
+hits AS (SELECT DISTINCT docid FROM postings WHERE term = '{term}'),
+sampled AS (SELECT docid FROM hits h WHERE {h} % 100 < {sample_pct}),
+totals AS (
+  SELECT (SELECT count(*) FROM hits) AS total,
+         (SELECT count(*) FROM sampled) AS sample
+)
+SELECT d.{facet_col} AS {facet_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) * t.total) // t.sample AS BIGINT) AS est_docs
+FROM documents d JOIN sampled s ON s.docid = d.doc_id, totals t
+GROUP BY d.{facet_col}, t.total, t.sample
+ORDER BY n_docs DESC, {facet_col} ASC"""
+    )
+
+
 def ngram_term_sql(
     term: str, min_gram: int = 3, max_gram: int = 4, k: int = K
 ) -> str:

@@ -110,6 +110,56 @@ def facet_counts(
     return out.limit(top_n) if top_n else out
 
 
+def sampled_facet_counts(
+    searcher: IndexSearcher,
+    query: Query,
+    facet_col: str,
+    sample_pct: int = 10,
+    top_n: int | None = None,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector
+    (``Facet/RandomSamplingFacetsCollector.cs:47``): facet counts over
+    a sample of the matched docs, plus the reference's amortized
+    correction ``count / samplingRate`` (``:295``, with samplingRate =
+    sampleSize/totalHits, ``:165``) as an exact integer
+    ``floor(count * total_hits / sample_size)``.
+
+    The reference samples with a per-segment XorShift RNG; we pin a
+    VALUE-deterministic sampler instead — md5-prefix(docid) mod 100 <
+    pct — so the sampled set is identical at any cluster size,
+    partitioning, or retry (the same determinism rule as the docid
+    assignment and the stratified splitter).
+
+    Scale shape: one matched-docid scan; the facet aggregation and the
+    meta join then touch only sample_pct% of the matches — the whole
+    point at a 10^9-hit query. The totals row is a one-row broadcast
+    cross join, inside the same action.
+    """
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+
+    matched = searcher.matching_docids(query)
+    sampled = matched.where(
+        md5_prefix_int_col(F.col("docid").cast("string")) % 100 < sample_pct
+    )
+    totals = matched.agg(F.count("*").alias("__total")).crossJoin(
+        sampled.agg(F.count("*").alias("__sample"))
+    )
+    out = (
+        searcher.index.docs.join(sampled, "docid", "left_semi")
+        .groupBy(F.col(facet_col).alias(facet_col))
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            facet_col,
+            "n_docs",
+            # integer division: exact, no float rounding to disagree on
+            F.expr("(n_docs * __total) DIV __sample").alias("est_docs"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col(facet_col).asc())
+    )
+    return out.limit(top_n) if top_n else out
+
+
 def grouped_topk(
     searcher: IndexSearcher,
     query: Query,

@@ -191,3 +191,34 @@ def test_early_terminating_sorted_topk(spark):
     # the docid < k predicate reaches the scan (file/row-group pruning)
     plan = early_terminating_sorted_topk(idx, 5, ["n"])._jdf.queryExecution().executedPlan().toString()
     assert "docid" in plan
+
+
+def test_sampled_facet_counts(searcher, scored, spark_index):
+    """RandomSamplingFacetsCollector: sampled counts are the exact
+    facet counts over the deterministic md5 sample; est_docs is the
+    integer-exact amortized correction."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+    from pyspark.sql import functions as F
+
+    got = coll.sampled_facet_counts(searcher, Q, "lang", sample_pct=50).collect()
+    docs = {r["docid"]: r["lang"] for r in spark_index.docs.select("docid", "lang").collect()}
+    import hashlib
+
+    def sampled(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 100 < 50
+
+    sample = [d for d in scored if sampled(d)]
+    expect: dict[str, int] = {}
+    for d in sample:
+        expect[docs[d]] = expect.get(docs[d], 0) + 1
+    assert {r["lang"]: r["n_docs"] for r in got} == expect
+    total, n_sample = len(scored), len(sample)
+    assert {r["lang"]: r["est_docs"] for r in got} == {
+        lang: (c * total) // n_sample for lang, c in expect.items()
+    }
+    # sampling is a pure docid function: 100% sample == plain facets
+    full = coll.sampled_facet_counts(searcher, Q, "lang", sample_pct=100).collect()
+    plain = coll.facet_counts(searcher, Q, "lang").collect()
+    assert [(r["lang"], r["n_docs"], r["est_docs"]) for r in full] == [
+        (r["lang"], r["n_docs"], r["n_docs"]) for r in plain
+    ]
