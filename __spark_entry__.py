@@ -1090,6 +1090,22 @@ def _q_sampled_facets(spark, sf_dir):
     return coll.sampled_facet_counts(s, TermQuery(term="table"), "lang", 20)
 
 
+def _q_flt_terms(spark, sf_dir):
+    """FuzzyLikeThisQuery rewrite product: variants of the misspelled
+    'tabel hsah', edit-sim² × source-idf boosts, pinned clause order."""
+    from lucenenet_spark.search import flt
+
+    _, s = _searcher(spark, sf_dir)
+    return flt.fuzzy_like_this_terms(s, "tabel data1", 0.4, 0, 20)
+
+
+def _q_flt_topk(spark, sf_dir):
+    from lucenenet_spark.search import flt
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(flt.fuzzy_like_this_topk(s, "tabel data1", 0.4, 0, 20, 10))
+
+
 def _q_xml_boolean(spark, sf_dir):
     """CoreParser surface: XML BooleanQuery == the programmatic AND."""
     from lucenenet_spark.search.xmlparser import parse_xml_query
@@ -1718,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_dismax_query": _q_xml_dismax,
         "xml_span_near": _q_xml_span_near,
         "sampled_facets": _q_sampled_facets,
+        "fuzzy_like_this_terms": _q_flt_terms,
+        "fuzzy_like_this_topk": _q_flt_topk,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1924,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
         "xml_dismax_query": osql.dismax_sql("merge", "sort", 0.1),
         "xml_span_near": osql.span_near_sql("table", "hash", 2, True),
         "sampled_facets": osql.sampled_facet_sql("table", "lang", 20),
+        "fuzzy_like_this_terms": osql.fuzzy_like_this_terms_sql("tabel data1", 0.4, 0, 20),
+        "fuzzy_like_this_topk": osql.fuzzy_like_this_topk_sql("tabel data1", 0.4, 0, 20, 10),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -2204,6 +2204,112 @@ def edge_ngram_term_sql(
     )
 
 
+def _flt_variants_ctes(
+    query_string: str,
+    min_similarity: float,
+    prefix_length: int,
+    max_num_terms: int,
+) -> str:
+    """Shared CTEs mirroring search/flt.py::_fuzzy_variants: source
+    terms (analyzed HERE with the same pipeline), per-source fuzzy
+    variants with float32 similarity, per-source top-50, source-df (or
+    C#-int-division average), DefaultSimilarity idf, float32 boosts,
+    global top max_num_terms in the pinned clause order."""
+    from lucenenet_spark.analysis.analyzer import analyze
+
+    src = list(dict.fromkeys(t for t, _ in analyze(query_string)))
+    src_values = ", ".join(
+        f"('{t}', {i})" for i, t in enumerate(src)
+    )
+    pfx = (
+        f"substr(d.term, 1, {prefix_length}) = substr(s.sterm, 1, {prefix_length})"
+        if prefix_length > 0
+        else "TRUE"
+    )
+    return f""",
+src(sterm, sidx) AS (VALUES {src_values}),
+flt_cand AS (
+  SELECT s.sterm, s.sidx, d.term AS variant, d.df AS vdf,
+         CAST(1.0 AS REAL)
+           - CAST(levenshtein(d.term, s.sterm) AS REAL)
+             / CAST(least(length(d.term), length(s.sterm)) AS REAL) AS sim
+  FROM term_stats d JOIN src s ON {pfx}
+),
+flt_kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY sterm ORDER BY sim DESC, variant ASC
+    ) AS rn
+    FROM flt_cand WHERE sim > CAST({min_similarity!r} AS REAL)
+  ) WHERE rn <= 50
+),
+flt_df AS (
+  SELECT k.sterm,
+         coalesce(
+           nullif((SELECT df FROM term_stats t WHERE t.term = k.sterm), 0),
+           CAST(sum(k.vdf) AS BIGINT) // CAST(count(*) AS BIGINT)
+         ) AS df
+  FROM flt_kept k GROUP BY k.sterm
+),
+flt_boosted AS (
+  SELECT k.variant, k.sidx,
+         CAST(CAST(k.sim * k.sim AS REAL)
+              * CAST(ln(CAST((SELECT max_doc FROM cstats) AS DOUBLE)
+                        / CAST(f.df + 1 AS DOUBLE)) + 1.0 AS REAL)
+              AS REAL) AS boost
+  FROM flt_kept k JOIN flt_df f ON f.sterm = k.sterm
+),
+flt_clauses AS (
+  SELECT variant, boost,
+         row_number() OVER (ORDER BY boost DESC, variant ASC, sidx ASC) - 1 AS cidx
+  FROM flt_boosted
+  ORDER BY cidx
+  LIMIT {max_num_terms}
+)"""
+
+
+def fuzzy_like_this_terms_sql(
+    query_string: str,
+    min_similarity: float = 0.5,
+    prefix_length: int = 0,
+    max_num_terms: int = 50,
+) -> str:
+    """FuzzyLikeThisQuery rewrite product (flt.py pinned spec)."""
+    return (
+        bm25_prelude()
+        + _flt_variants_ctes(query_string, min_similarity, prefix_length, max_num_terms)
+        + """
+SELECT CAST(cidx AS BIGINT) AS cidx, variant, CAST(boost AS DOUBLE) AS boost
+FROM flt_clauses ORDER BY cidx"""
+    )
+
+
+def fuzzy_like_this_topk_sql(
+    query_string: str,
+    min_similarity: float = 0.5,
+    prefix_length: int = 0,
+    max_num_terms: int = 50,
+    k: int = K,
+) -> str:
+    """FuzzyLikeThisQuery top-k (ignoreTF mode): per doc, the float32
+    clause-order fold of its matching variants' boosts."""
+    return (
+        bm25_prelude()
+        + _flt_variants_ctes(query_string, min_similarity, prefix_length, max_num_terms)
+        + f""",
+flt_scores AS (
+  SELECT p.docid,
+         list_reduce(
+           list(CAST(c.boost AS REAL) ORDER BY c.cidx),
+           (a, b) -> CAST(a + b AS REAL)
+         ) AS s
+  FROM postings p JOIN flt_clauses c ON c.variant = p.term
+  GROUP BY p.docid
+)
+{_topk("flt_scores", k)}"""
+    )
+
+
 def sampled_facet_sql(term: str, facet_col: str, sample_pct: int = 10) -> str:
     """RandomSamplingFacetsCollector mirror: md5-prefix sampled facet
     counts + the integer-exact amortized correction."""
