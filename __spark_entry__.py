@@ -1106,6 +1106,14 @@ def _q_flt_topk(spark, sf_dir):
     return _ranked(flt.fuzzy_like_this_topk(s, "tabel data1", 0.4, 0, 20, 10))
 
 
+def _q_domain_cap(spark, sf_dir):
+    """RefinedWeb-style per-domain cap: deterministic hash-ranked keep
+    set, at most 40 docs per source domain."""
+    from lucenenet_spark.ops import sampling as smp
+
+    return smp.domain_cap(_docs(spark, sf_dir), cap=10)
+
+
 def _q_xml_boolean(spark, sf_dir):
     """CoreParser surface: XML BooleanQuery == the programmatic AND."""
     from lucenenet_spark.search.xmlparser import parse_xml_query
@@ -1736,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_facets": _q_sampled_facets,
         "fuzzy_like_this_terms": _q_flt_terms,
         "fuzzy_like_this_topk": _q_flt_topk,
+        "domain_cap": _q_domain_cap,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1944,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_facets": osql.sampled_facet_sql("table", "lang", 20),
         "fuzzy_like_this_terms": osql.fuzzy_like_this_terms_sql("tabel data1", 0.4, 0, 20),
         "fuzzy_like_this_topk": osql.fuzzy_like_this_topk_sql("tabel data1", 0.4, 0, 20, 10),
+        "domain_cap": oosql.domain_cap_sql(10),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
         "facet_ranges": osql.facet_ranges_sql(

@@ -1012,3 +1012,20 @@ w AS (
 SELECT stratum, n_docs, n_tokens, weight,
        (weight * 1000000) // (SELECT sum(weight) FROM w) AS share_ppm
 FROM w"""
+
+
+def domain_cap_sql(cap: int = 100) -> str:
+    """Oracle for ops/sampling.py::domain_cap — md5-prefix hash rank
+    per domain, keep rank <= cap."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT docid, domain, hrank FROM (
+  SELECT CAST(doc_id AS BIGINT) AS docid,
+         CAST(source AS VARCHAR) AS domain,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+         ) AS BIGINT) AS hrank
+  FROM documents
+) WHERE hrank <= {cap}"""

@@ -128,3 +128,36 @@ def temperature_mix(
         "stratum", "n_docs", "n_tokens", "weight",
         F.expr("CAST((weight * 1000000) DIV __total AS LONG)").alias("share_ppm"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    cap: int = 100,
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-spam rule: no
+    single host may dominate the training mix): keep at most ``cap``
+    docs per domain, selected by a VALUE-deterministic hash rank —
+    md5-prefix(docid) asc, docid tie-break — so the kept set is a pure
+    function of the data (stable across runs, cluster sizes, engines),
+    not a sample that reshuffles per execution.
+
+    Output: (docid, domain, hrank) for the kept docs.
+
+    Scale shape: one hash-partitioned window PER DOMAIN — the natural
+    parallelism (millions of domains = millions of independent
+    partitions); the widest task is the hottest domain's row count.
+    For a degenerate single-domain corpus pre-aggregate a per-bucket
+    count or raise cap — the window itself never funnels unrelated
+    domains through one task.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.col(domain_col).cast("string").alias("domain"),
+    )
+    h = md5_prefix_int_col(F.col("docid").cast("string"))
+    w = Window.partitionBy("domain").orderBy(h.asc(), F.col("docid").asc())
+    return base.withColumn("hrank", F.row_number().over(w).cast("long")).where(
+        F.col("hrank") <= cap
+    )

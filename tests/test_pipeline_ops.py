@@ -181,3 +181,32 @@ def test_temperature_mix(spark):
     assert abs(got["big"].share_ppm / got["small"].share_ppm - 3.0) < 1e-3
     s = got["big"].share_ppm + got["small"].share_ppm
     assert 999990 <= s <= 1000000
+
+
+def test_domain_cap(spark):
+    """Per-domain cap: keeps exactly min(cap, n) per domain, the kept
+    set is hash-deterministic (stable across calls), and hrank is the
+    md5-prefix order."""
+    import hashlib
+
+    from lucenenet_spark.ops.sampling import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(90)]  # 30 docs per domain
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = domain_cap(df, cap=7).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.domain, []).append((r.hrank, r.docid))
+    assert {d: len(v) for d, v in per.items()} == {"d0": 7, "d1": 7, "d2": 7}
+
+    def h(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+
+    for d, kept in per.items():
+        ids = [i for i in range(90) if f"d{i % 3}" == d]
+        want = sorted(ids, key=lambda i: (h(i), i))[:7]
+        assert [doc for _, doc in sorted(kept)] == want
+    again = domain_cap(df, cap=7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # a domain under the cap keeps everything
+    assert domain_cap(df, cap=100).count() == 90
