@@ -642,6 +642,19 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_direct_spell(spark, sf_dir):
+    """DirectSpellChecker.SuggestSimilar over a misspelled-word batch:
+    prefix/length-banded broadcast join against ONE dictionary scan,
+    score-desc/df-desc ranking, two-pass ed1/ed2 rule at count level
+    (DirectSpellChecker.cs:322; pinned plain-levenshtein dialect)."""
+    from lucenenet_spark.search import spell
+
+    _, s = _searcher(spark, sf_dir)
+    return spell.direct_spell_suggest(
+        s, ["tabel", "windoe", "strem", "batk", "table", "xyzq"], num_sug=5
+    )
+
+
 def _q_phonetic_terms(spark, sf_dir):
     """Dictionary expansion of a sounds-like query: every term with
     soundex('merj') = M620 (e.g. 'merge')."""
@@ -1745,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this_terms": _q_flt_terms,
         "fuzzy_like_this_topk": _q_flt_topk,
         "domain_cap": _q_domain_cap,
+        "direct_spell": _q_direct_spell,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1918,6 +1932,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "word_combinations": osql.word_combinations_sql(
             ("win", "dow", "cust", "omer", "big"), max_changes=2
+        ),
+        "direct_spell": osql.direct_spell_sql(
+            ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),

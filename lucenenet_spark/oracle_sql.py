@@ -3102,3 +3102,62 @@ scored AS (
 )"""
         + _topk("scored", k)
     )
+
+
+def direct_spell_sql(
+    words: tuple[str, ...],
+    num_sug: int = 5,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    min_query_length: int = 4,
+    max_query_frequency: float = 0.01,
+    accuracy: float = 0.5,
+    max_inspections: int = 5,
+) -> str:
+    """DirectSpellChecker.SuggestSimilar mirror (search/spell.py::
+    direct_spell_suggest) — when_not_in_index mode, pinned plain-
+    levenshtein dialect, INTERNAL_LEVENSHTEIN score formula."""
+    vals = ",".join(f"('{w.lower()}')" for w in words)
+    inspections = num_sug * max_inspections
+    return (
+        bm25_prelude()
+        + f""",
+words(word) AS (VALUES {vals}),
+qgate AS (
+  SELECT w.word FROM words w
+  LEFT JOIN term_stats t ON t.term = w.word
+  CROSS JOIN cstats
+  WHERE length(w.word) >= {min_query_length}
+    AND coalesce(t.df, 0) = 0
+    AND coalesce(t.df, 0) <= CAST(ceil({max_query_frequency} * max_doc) AS BIGINT)
+),
+cand AS (
+  SELECT q.word, t.term AS suggestion,
+         levenshtein(t.term, q.word) AS dist, CAST(t.df AS BIGINT) AS df
+  FROM qgate q, term_stats t
+  WHERE t.term != q.word
+    AND substring(t.term, 1, {min_prefix}) = substring(q.word, 1, {min_prefix})
+    AND levenshtein(t.term, q.word) <= {max_edits}
+),
+scored AS (
+  SELECT word, suggestion, dist, df,
+         CAST(CAST(1.0 AS REAL) - CAST(CAST(dist AS REAL)
+              / CAST(least(length(word), length(suggestion)) AS REAL) AS REAL)
+              AS REAL) AS s
+  FROM cand
+),
+gated AS (SELECT * FROM scored WHERE s >= {_f32_lit(accuracy)}),
+counted AS (
+  SELECT *, sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY word) AS n_ed1
+  FROM gated
+),
+ranked AS (
+  SELECT word, suggestion, s, df,
+         CAST(row_number() OVER (PARTITION BY word
+              ORDER BY s DESC, df DESC, suggestion ASC) AS BIGINT) AS rank
+  FROM counted WHERE n_ed1 < {inspections} OR dist <= 1
+)
+SELECT word, rank, suggestion, CAST(s AS DOUBLE) AS score, df
+FROM ranked WHERE rank <= {num_sug}"""
+    )

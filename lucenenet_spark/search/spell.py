@@ -169,3 +169,127 @@ def suggest_word_combinations(
         .limit(max_suggestions)
     )
     return out
+
+
+def direct_spell_suggest(
+    searcher,
+    words: list[str] | tuple[str, ...] | str,
+    num_sug: int = 5,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    min_query_length: int = 4,
+    max_query_frequency: float = 0.01,
+    accuracy: float = 0.5,
+    max_inspections: int = 5,
+    suggest_mode: str = "when_not_in_index",
+) -> DataFrame:
+    """DirectSpellChecker.SuggestSimilar, batched (reference
+    ``Lucene.Net.Suggest/Spell/DirectSpellChecker.cs:322``).
+
+    Gates mirrored from the reference:
+
+    - queries shorter than ``min_query_length`` code points get no
+      suggestions (``:326``);
+    - ``when_not_in_index`` mode drops queries already in the
+      dictionary (``:338``), ``always`` keeps them;
+    - queries whose own df exceeds ``ceil(max_query_frequency *
+      max_doc)`` are considered correctly spelled (``:349``);
+    - candidates must share the first ``min_prefix`` characters
+      (FuzzyTermsEnum's non-fuzzy prefix, ``:431``: prefix =
+      max(minPrefix, editDistance-1) = 1 for the default 1/2 passes),
+      differ from the query, and have df > 0 (thresholdFrequency=0);
+    - score >= ``accuracy`` (``:480``), ranked score desc, df desc,
+      term asc (SuggestWordScoreComparator.cs), top ``num_sug``.
+    - the reference tries edit distance 1 first and only falls back
+      to ``max_edits`` when that pass returned fewer than
+      ``num_sug * max_inspections`` candidates (``:371-379``);
+      mirrored here at the count level: when a word has >= that many
+      distance<=1 candidates, its distance-2 candidates are dropped.
+
+    PINNED DIALECT: distance = plain Levenshtein (the reference's
+    selectable ``LevensteinDistance.cs`` / ``Distance`` property),
+    scored with INTERNAL_LEVENSHTEIN's formula ``1 - d/min(len)``
+    (LuceneLevenshteinDistance.cs:76). The default internal distance
+    also counts adjacent transpositions as one edit (restricted OSA),
+    which neither Spark's ``levenshtein`` nor DuckDB's (full-DL)
+    ``damerau_levenshtein`` reproduces — so the transposition-free
+    dialect is pinned on all three engines rather than approximated.
+
+    The Spark shape is BATCH: the word list broadcasts against ONE
+    term-dictionary scan; prefix + length-band filters run JVM-side
+    before the levenshtein, so a million-word spellcheck batch is one
+    dictionary pass. Columns: word, rank, suggestion, score, df.
+    """
+    if isinstance(words, str):
+        words = [words]
+    spark = searcher.index.term_stats.sparkSession
+    empty = "word string, rank long, suggestion string, score double, df long"
+    qdf = {w: 0 for w in (w.lower() for w in words)}
+    if qdf:
+        for r in (
+            searcher.index.term_stats.where(F.col("term").isin(list(qdf)))
+            .select("term", "df")
+            .collect()
+        ):
+            qdf[r["term"]] = r["df"]
+    import math
+
+    from pyspark.sql import Window
+
+    max_doc = searcher.index.max_doc
+    live = [
+        w
+        for w in qdf
+        if len(w) >= min_query_length
+        and not (suggest_mode == "when_not_in_index" and qdf[w] > 0)
+        and not (qdf[w] > int(math.ceil(max_query_frequency * max_doc)))
+    ]
+    if not live:
+        return spark.createDataFrame([], empty)
+    wdf = spark.createDataFrame([(w,) for w in live], "word string")
+    d = F.levenshtein(F.col("term"), F.col("word"))
+    cand = (
+        F.broadcast(wdf)
+        .crossJoin(searcher.index.term_stats.select("term", "df"))
+        .where(
+            (F.col("term") != F.col("word"))
+            & (
+                F.substring(F.col("term"), 1, min_prefix)
+                == F.substring(F.col("word"), 1, min_prefix)
+            )
+            & (F.abs(F.length("term") - F.length("word")) <= max_edits)
+            & (d <= max_edits)
+        )
+        .select(
+            "word",
+            F.col("term").alias("suggestion"),
+            d.alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+    score = (
+        F.lit(1.0).cast("float")
+        - (
+            F.col("dist").cast("float")
+            / F.least(F.length("word"), F.length("suggestion")).cast("float")
+        ).cast("float")
+    ).cast("float")
+    cand = cand.withColumn("score", score).where(
+        F.col("score") >= F.lit(float(accuracy)).cast("float")
+    )
+    inspections = num_sug * max_inspections
+    w_word = Window.partitionBy("word")
+    w_rank = Window.partitionBy("word").orderBy(
+        F.col("score").desc(), F.col("df").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cand.withColumn(
+            "n_ed1", F.sum((F.col("dist") <= 1).cast("long")).over(w_word)
+        )
+        .where((F.col("n_ed1") < inspections) | (F.col("dist") <= 1))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= num_sug)
+        .select(
+            "word", "rank", "suggestion", F.col("score").cast("double").alias("score"), "df"
+        )
+    )

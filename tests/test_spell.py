@@ -69,3 +69,32 @@ def test_word_combinations(sp):
     # 'table' (tab+le) and 'scan' (sc+an) combine; 'lesc', 'ankey' etc do not
     got = {(r.start, r.length, r.combined) for r in out}
     assert got == {(0, 2, "table"), (2, 2, "scan")}
+
+
+def test_direct_spell(sp):
+    out = spell.direct_spell_suggest(
+        sp, ["tabel", "windoe", "tab", "table"], num_sug=5
+    ).collect()
+    by_word = {}
+    for r in out:
+        by_word.setdefault(r.word, []).append((r.rank, r.suggestion, r.score, r.df))
+    # lev("tabel","table")=2, min len 5 -> score 0.6 >= accuracy
+    assert by_word["tabel"][0][1] == "table"
+    assert abs(by_word["tabel"][0][2] - (1.0 - 2.0 / 5.0)) < 1e-6
+    # single substitution
+    assert by_word["windoe"][0][1] == "window"
+    # below min_query_length -> no suggestions
+    assert "tab" not in by_word
+    # already in the dictionary -> when_not_in_index drops it
+    assert "table" not in by_word
+
+
+def test_direct_spell_always_mode_and_accuracy(sp):
+    # always mode suggests for in-dictionary words too (excluding self)
+    out = spell.direct_spell_suggest(
+        sp, ["table"], num_sug=5, suggest_mode="always", max_query_frequency=1.0
+    ).collect()
+    assert all(r.suggestion != "table" for r in out)
+    # accuracy gate: raising it above the best score empties the result
+    out2 = spell.direct_spell_suggest(sp, ["tabel"], num_sug=5, accuracy=0.9).collect()
+    assert out2 == []
