@@ -642,6 +642,21 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_chained_filter_xor(spark, sf_dir):
+    """ChainedFilter fold [lang=='en' AND, term('table') XOR,
+    source=='src1' ANDNOT] — the XOR step is the set-algebra op the
+    boolean query surface doesn't cover (ChainedFilter.cs:120)."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    out = coll.chained_filter(
+        s,
+        [F.col("lang") == "en", TermQuery(term="table"), F.col("source") == "src1"],
+        ["and", "xor", "andnot"],
+    )
+    return out.select(F.col("docid").cast("long").alias("docid"))
+
+
 def _q_direct_spell(spark, sf_dir):
     """DirectSpellChecker.SuggestSimilar over a misspelled-word batch:
     prefix/length-banded broadcast join against ONE dictionary scan,
@@ -1759,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this_topk": _q_flt_topk,
         "domain_cap": _q_domain_cap,
         "direct_spell": _q_direct_spell,
+        "chained_filter_xor": _q_chained_filter_xor,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1933,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "word_combinations": osql.word_combinations_sql(
             ("win", "dow", "cust", "omer", "big"), max_changes=2
         ),
+        "chained_filter_xor": osql.chained_filter_xor_sql("en", "table", "src1"),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

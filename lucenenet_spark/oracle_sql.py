@@ -3161,3 +3161,24 @@ ranked AS (
 SELECT word, rank, suggestion, CAST(s AS DOUBLE) AS score, df
 FROM ranked WHERE rank <= {num_sug}"""
     )
+
+
+def chained_filter_xor_sql(lang: str, term: str, source: str) -> str:
+    """ChainedFilter mirror (collectors.py::chained_filter) for the
+    chain [lang==X AND, term XOR, source ANDNOT]: acc = lang-set,
+    acc = acc XOR term-docid-set, acc = acc ANDNOT source-set."""
+    return (
+        bm25_prelude()
+        + f""",
+f0 AS (SELECT doc_id AS docid FROM documents WHERE lang = '{lang}'),
+f1 AS (SELECT DISTINCT docid FROM postings WHERE term = '{term}'),
+f2 AS (SELECT doc_id AS docid FROM documents WHERE source = '{source}'),
+acc1 AS (
+  (SELECT docid FROM f0 UNION SELECT docid FROM f1)
+  EXCEPT
+  (SELECT docid FROM f0 INTERSECT SELECT docid FROM f1)
+)
+SELECT CAST(docid AS BIGINT) AS docid FROM acc1
+EXCEPT
+SELECT CAST(docid AS BIGINT) AS docid FROM f2"""
+    )

@@ -885,3 +885,61 @@ def early_terminating_sorted_topk(index, k: int, fields: list[str]) -> DataFrame
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "docid", *fields
     )
+
+
+def chained_filter(
+    searcher: IndexSearcher, filters: list, ops: list[str]
+) -> DataFrame:
+    """ChainedFilter (reference ``Lucene.Net.Queries/ChainedFilter.cs``):
+    fold a list of filters into one DocIdSet with a per-step logic op
+    from {or, and, andnot, xor}.
+
+    Initial-result semantics mirror ``InitialResult`` (:70): when the
+    FIRST op is ``and`` the accumulator starts as filter 0's set; when
+    it is ``andnot`` it starts as the COMPLEMENT of filter 0 (all live
+    docids minus the set); otherwise the fold starts from the empty
+    set (so a leading ``or``/``xor`` both reduce to the set itself).
+
+    Each filter is either a pyspark Column predicate over the docs
+    table (pushed to the parquet scan) or a Query (non-scoring
+    ``matching_docids`` view). Set algebra runs as distinct docid-set
+    joins — at cluster scale each step is one hash join co-partitioned
+    on docid, never a driver-side bitset; the reference's FixedBitSet
+    per segment becomes Spark's distributed set ops.
+
+    Output: the final docid set, one ``docid`` column.
+    """
+    if len(filters) != len(ops):
+        raise ValueError("Invalid number of elements in logic array")
+
+    def to_set(f) -> DataFrame:
+        if isinstance(f, Query):
+            return searcher.matching_docids(f)
+        return searcher.index.docs.where(f).select("docid")
+
+    all_docs = searcher.index.docs.select("docid")
+    first = ops[0].lower()
+    if first == "and":
+        acc, start = to_set(filters[0]), 1
+    elif first == "andnot":
+        acc, start = all_docs.exceptAll(to_set(filters[0])), 1
+    else:
+        acc, start = None, 0
+    for i in range(start, len(filters)):
+        s = to_set(filters[i])
+        op = ops[i].lower()
+        if acc is None:
+            # fold from the empty set: or/xor yield s, and/andnot empty
+            acc = s if op in ("or", "xor") else s.limit(0)
+            continue
+        if op == "or":
+            acc = acc.union(s).distinct()
+        elif op == "and":
+            acc = acc.intersect(s)
+        elif op == "andnot":
+            acc = acc.exceptAll(s)
+        elif op == "xor":
+            acc = acc.union(s).distinct().exceptAll(acc.intersect(s))
+        else:
+            raise ValueError(f"unknown chained-filter op: {op}")
+    return acc

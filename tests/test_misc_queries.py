@@ -121,3 +121,24 @@ def test_to_parent_join_with_children(ms):
     for r in rows:
         assert r.child_rank == 1  # capped at one child per parent
         assert r.child % 2 == 1  # children are the odd docids here
+
+
+def test_chained_filter_ops(ms):
+    from pyspark.sql import functions as F
+
+    def ids(filters, ops):
+        return sorted(
+            r.docid for r in coll.chained_filter(ms, filters, ops).collect()
+        )
+
+    spark_q, merge_q = TermQuery(term="spark"), TermQuery(term="merge")
+    # leading OR folds from the empty set
+    assert ids([spark_q, merge_q], ["or", "or"]) == [0, 1, 2, 3]
+    # leading AND starts from filter 0's set (InitialResult :70)
+    assert ids([F.col("repo") == "g1", spark_q], ["and", "xor"]) == [2]
+    # leading ANDNOT starts from the complement of filter 0
+    assert ids([spark_q, merge_q], ["andnot", "and"]) == [3]
+    # leading XOR == the set itself
+    assert ids([spark_q], ["xor"]) == [0, 1, 2]
+    with pytest.raises(ValueError):
+        coll.chained_filter(ms, [spark_q], ["or", "and"])
