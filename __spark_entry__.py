@@ -642,6 +642,25 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_custom_score(spark, sf_dir):
+    """CustomScoreQuery default provider: BM25 subquery × two value
+    sources (sqrt(field_length), 1+(docid%7)/8), f32 fold in clause
+    order (CustomScoreProvider.cs:70)."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    out = coll.custom_score_topk(
+        s,
+        TermQuery(term="table"),
+        [
+            F.sqrt(F.col("field_length")),
+            F.lit(1.0) + (F.col("docid") % 7) / F.lit(8.0),
+        ],
+        k=10,
+    )
+    return _ranked(out)
+
+
 def _q_chained_filter_xor(spark, sf_dir):
     """ChainedFilter fold [lang=='en' AND, term('table') XOR,
     source=='src1' ANDNOT] — the XOR step is the set-algebra op the
@@ -1775,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "direct_spell": _q_direct_spell,
         "chained_filter_xor": _q_chained_filter_xor,
+        "custom_score_query": _q_custom_score,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1950,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
             ("win", "dow", "cust", "omer", "big"), max_changes=2
         ),
         "chained_filter_xor": osql.chained_filter_xor_sql("en", "table", "src1"),
+        "custom_score_query": osql.custom_score_sql("table", k=10),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

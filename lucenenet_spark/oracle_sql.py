@@ -3182,3 +3182,27 @@ SELECT CAST(docid AS BIGINT) AS docid FROM acc1
 EXCEPT
 SELECT CAST(docid AS BIGINT) AS docid FROM f2"""
     )
+
+
+def custom_score_sql(term: str, k: int = K) -> str:
+    """CustomScoreQuery mirror (collectors.py::custom_score_topk) for
+    value sources [sqrt(field_length), 1 + (docid % 7)/8]: score =
+    f32(f32(s * v0) * v1) — sqrt and /8 are IEEE-exact in both
+    engines, so every bit matches."""
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+vals AS (
+  SELECT t0.docid, t0.s,
+         CAST(sqrt(n.fl) AS REAL) AS v0,
+         CAST(1.0 + (t0.docid % 7) / 8.0 AS REAL) AS v1
+  FROM t0 JOIN norms n ON n.docid = t0.docid
+),
+folded AS (
+  SELECT docid, CAST(CAST(s * v0 AS REAL) * v1 AS REAL) AS s FROM vals
+)
+"""
+        + _topk("folded", k)
+    )

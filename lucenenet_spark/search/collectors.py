@@ -943,3 +943,33 @@ def chained_filter(
         else:
             raise ValueError(f"unknown chained-filter op: {op}")
     return acc
+
+
+def custom_score_topk(
+    searcher: IndexSearcher, query: Query, value_exprs: list, k: int = 10
+) -> DataFrame:
+    """CustomScoreQuery with the default provider (reference
+    ``Lucene.Net.Queries/CustomScoreQuery.cs`` +
+    ``CustomScoreProvider.cs:70``): ModifiedScore = subQueryScore ×
+    valSrcScores[0] × valSrcScores[1] × … — one float32 multiply per
+    value source, folded left-to-right in clause order.
+
+    ``value_exprs`` are Column expressions over the docs table (the
+    FunctionQuery/ValueSource analogs); each is truncated to float32
+    before the fold so the arithmetic is bit-deterministic. The plan
+    is one scored scan joined once against the docs table — the value
+    sources ride the same join, never extra scans.
+    """
+    scored = searcher.scored_docs(query)
+    vals = [e.cast("float").alias(f"__v{i}") for i, e in enumerate(value_exprs)]
+    joined = scored.join(
+        searcher.index.docs.select("docid", *vals), "docid"
+    )
+    s = F.col("score").cast("float")
+    for i in range(len(value_exprs)):
+        s = (s * F.col(f"__v{i}")).cast("float")
+    return (
+        joined.select("docid", s.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

@@ -142,3 +142,25 @@ def test_chained_filter_ops(ms):
     assert ids([spark_q], ["xor"]) == [0, 1, 2]
     with pytest.raises(ValueError):
         coll.chained_filter(ms, [spark_q], ["or", "and"])
+
+
+def test_custom_score_matches_manual_fold(ms):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    base = {r.docid: np.float32(r.score) for r in ms.search_df(
+        TermQuery(term="spark"), k=None).collect()}
+    fl = {r.docid: r.field_length for r in ms.index.docs.select(
+        "docid", "field_length").collect()}
+    out = coll.custom_score_topk(
+        ms,
+        TermQuery(term="spark"),
+        [F.sqrt(F.col("field_length")),
+         F.lit(1.0) + (F.col("docid") % 3) / F.lit(4.0)],
+        k=10,
+    ).collect()
+    for r in out:
+        v0 = np.float32(np.sqrt(np.float64(fl[r.docid])))
+        v1 = np.float32(1.0 + (r.docid % 3) / 4.0)
+        exp = np.float32(np.float32(base[r.docid] * v0) * v1)
+        assert np.float32(r.score) == exp
