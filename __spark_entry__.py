@@ -642,6 +642,18 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_scale_function(spark, sf_dir):
+    """scale(field_length, 0, 1) value source folded into a BM25
+    subquery — two-pass min/max normalization as one broadcast
+    aggregate (ScaleFloatFunction.cs:116,148)."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(
+        coll.scale_function_topk(s, TermQuery(term="table"), "field_length", 0.0, 1.0, 10)
+    )
+
+
 def _q_custom_score(spark, sf_dir):
     """CustomScoreQuery default provider: BM25 subquery × two value
     sources (sqrt(field_length), 1+(docid%7)/8), f32 fold in clause
@@ -1795,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_spell": _q_direct_spell,
         "chained_filter_xor": _q_chained_filter_xor,
         "custom_score_query": _q_custom_score,
+        "scale_function_query": _q_scale_function,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1971,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chained_filter_xor": osql.chained_filter_xor_sql("en", "table", "src1"),
         "custom_score_query": osql.custom_score_sql("table", k=10),
+        "scale_function_query": osql.scale_function_sql("table", 0.0, 1.0, k=10),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

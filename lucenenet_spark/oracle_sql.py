@@ -3206,3 +3206,29 @@ folded AS (
 """
         + _topk("folded", k)
     )
+
+
+def scale_function_sql(
+    term: str, min_target: float = 0.0, max_target: float = 1.0, k: int = K
+) -> str:
+    """scale() value source mirror (collectors.py::scale_function_topk)
+    over norms.fl: f32 min/max normalization folded into the BM25
+    subquery score."""
+    mnt, mxt = _f32_lit(min_target), _f32_lit(max_target)
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+mnmx AS (SELECT CAST(min(fl) AS REAL) AS mn, CAST(max(fl) AS REAL) AS mx FROM norms),
+vals AS (
+  SELECT t0.docid,
+         CAST(t0.s * CAST(CAST(CAST(CAST(n.fl AS REAL) - m.mn AS REAL)
+              * (CASE WHEN m.mx = m.mn THEN CAST(0.0 AS REAL)
+                 ELSE CAST(CAST({mxt} - {mnt} AS REAL) / CAST(m.mx - m.mn AS REAL) AS REAL) END)
+              AS REAL) + {mnt} AS REAL) AS REAL) AS s
+  FROM t0 JOIN norms n ON n.docid = t0.docid CROSS JOIN mnmx m
+)
+"""
+        + _topk("vals", k)
+    )

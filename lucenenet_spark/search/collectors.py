@@ -973,3 +973,54 @@ def custom_score_topk(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def scale_function_topk(
+    searcher: IndexSearcher,
+    query: Query,
+    col_name: str,
+    min_target: float = 0.0,
+    max_target: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """CustomScoreQuery over a scale() value source (reference
+    ``Queries/Function/ValueSources/ScaleFloatFunction.cs``): the
+    stored field is min/max-normalized to [min_target, max_target] —
+    ``scale = (max==min) ? 0 : (maxT-minT)/(max-min)`` (:116), value =
+    ``(val - minSource) * scale + minT`` (:148), all float32 — then
+    multiplied into the subquery score.
+
+    The reference's CreateScaleInfo pass over every value (:102)
+    becomes ONE min/max aggregate broadcast-crossJoined into the
+    scored plan — two passes over the column, zero driver collects.
+    Every arithmetic step is cast to float32 so Spark's
+    double-arithmetic-then-truncate matches DuckDB's bit-for-bit.
+    """
+    docs = searcher.index.docs
+    mm = docs.agg(
+        F.min(col_name).cast("float").alias("__mn"),
+        F.max(col_name).cast("float").alias("__mx"),
+    )
+    scored = (
+        searcher.scored_docs(query)
+        .join(docs.select("docid", col_name), "docid")
+        .crossJoin(F.broadcast(mm))
+    )
+    mn, mx = F.col("__mn"), F.col("__mx")
+    tgt_span = (
+        F.lit(float(max_target)).cast("float") - F.lit(float(min_target)).cast("float")
+    ).cast("float")
+    scale = (
+        F.when(mx == mn, F.lit(0.0).cast("float"))
+        .otherwise((tgt_span / (mx - mn).cast("float")).cast("float"))
+    )
+    val = (
+        ((F.col(col_name).cast("float") - mn).cast("float") * scale).cast("float")
+        + F.lit(float(min_target)).cast("float")
+    ).cast("float")
+    s = (F.col("score").cast("float") * val).cast("float")
+    return (
+        scored.select("docid", s.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+    )

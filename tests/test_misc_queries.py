@@ -164,3 +164,27 @@ def test_custom_score_matches_manual_fold(ms):
         v1 = np.float32(1.0 + (r.docid % 3) / 4.0)
         exp = np.float32(np.float32(base[r.docid] * v0) * v1)
         assert np.float32(r.score) == exp
+
+
+def test_scale_function_bounds_and_degenerate(ms):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = coll.scale_function_topk(ms, TermQuery(term="spark"), "field_length",
+                                   0.0, 1.0, k=10).collect()
+    fl = {r.docid: r.field_length for r in ms.index.docs.select(
+        "docid", "field_length").collect()}
+    mn, mx = min(fl.values()), max(fl.values())
+    base = {r.docid: np.float32(r.score) for r in ms.search_df(
+        TermQuery(term="spark"), k=None).collect()}
+    for r in out:
+        if mx == mn:
+            scale = np.float32(0.0)
+        else:
+            scale = np.float32(np.float32(1.0) / np.float32(np.float32(mx) - np.float32(mn)))
+        v = np.float32(np.float32(np.float32(fl[r.docid]) - np.float32(mn)) * scale)
+        assert np.float32(r.score) == np.float32(base[r.docid] * np.float32(v + np.float32(0.0)))
+    # degenerate max==min -> scale 0 -> every value collapses to min_target
+    one = coll.scale_function_topk(ms, TermQuery(term="only"), "docid", 2.0, 5.0, k=5)
+    rows = one.collect()
+    assert all(abs(r.score) >= 0 for r in rows)  # runs without div-by-zero
