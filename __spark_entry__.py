@@ -642,6 +642,23 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_grouped_topk_expr(spark, sf_dir):
+    """GroupingSearch.ByFunction: two-pass grouping keyed by a
+    computed ValueSource (floor(field_length/16)) instead of a stored
+    column — the function key rides the same docs join."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    out = coll.grouped_topk(
+        s,
+        TermQuery(term="hash"),
+        F.floor(F.col("field_length") / F.lit(16.0)).cast("long"),
+        k_groups=10,
+        k_per_group=3,
+    )
+    return out.withColumn("grp", F.col("grp").cast("long"))
+
+
 def _q_scale_function(spark, sf_dir):
     """scale(field_length, 0, 1) value source folded into a BM25
     subquery — two-pass min/max normalization as one broadcast
@@ -1808,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chained_filter_xor": _q_chained_filter_xor,
         "custom_score_query": _q_custom_score,
         "scale_function_query": _q_scale_function,
+        "grouped_topk_expr": _q_grouped_topk_expr,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -1985,6 +2003,9 @@ def oracle_sql() -> dict[str, str]:
         "chained_filter_xor": osql.chained_filter_xor_sql("en", "table", "src1"),
         "custom_score_query": osql.custom_score_sql("table", k=10),
         "scale_function_query": osql.scale_function_sql("table", 0.0, 1.0, k=10),
+        "grouped_topk_expr": osql.grouped_topk_expr_sql(
+            "hash", "CAST(floor(n.fl / 16.0) AS BIGINT)", 10, 3
+        ),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

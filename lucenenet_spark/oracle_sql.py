@@ -3232,3 +3232,36 @@ vals AS (
 """
         + _topk("vals", k)
     )
+
+
+def grouped_topk_expr_sql(
+    term: str, expr_sql: str, k_groups: int = 10, k_per_group: int = 3
+) -> str:
+    """GroupingSearch.ByFunction mirror: grouped_topk with the group
+    key computed by ``expr_sql`` over norms (alias n) — the
+    ValueSource-grouping variant."""
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("t0", term)
+        + f""",
+wg AS (
+  SELECT s.docid, s.s, {expr_sql} AS grp
+  FROM t0 s JOIN norms n ON n.docid = s.docid
+),
+ranked AS (
+  SELECT docid, s, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY s DESC, docid ASC) AS doc_rank
+  FROM wg
+),
+best AS (SELECT grp, s AS best, docid AS bd FROM ranked WHERE doc_rank = 1),
+topg AS (
+  SELECT grp, rk AS group_rank FROM (
+    SELECT grp, row_number() OVER (ORDER BY best DESC, bd ASC) AS rk FROM best
+  ) WHERE rk <= {k_groups}
+)
+SELECT CAST(r.grp AS BIGINT) AS grp, CAST(t.group_rank AS BIGINT) AS group_rank,
+       CAST(r.doc_rank AS BIGINT) AS doc_rank, r.docid,
+       CAST(r.s AS DOUBLE) AS score
+FROM ranked r JOIN topg t ON r.grp = t.grp
+WHERE r.doc_rank <= {k_per_group}"""
+    )

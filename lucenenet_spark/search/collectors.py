@@ -171,6 +171,12 @@ def grouped_topk(
     then top-k docs per group. Output: (group, group_rank, doc_rank,
     docid, score).
 
+    ``group_col`` may also be a Column EXPRESSION over the docs table
+    — the GroupingSearch.ByFunction / ValueSource-grouping variant
+    (reference ``Grouping/Function/FunctionFirstPassGroupingCollector.cs``):
+    the computed key rides the same docs join, so grouping by a
+    function costs exactly what grouping by a stored column does.
+
     Scale shape: pass 1 is a hash aggregate (map-side combined) to one
     row per group, then a bounded top-k of groups via
     TakeOrderedAndProject — never a global single-partition window over
@@ -178,8 +184,9 @@ def grouped_topk(
     ranks docs only inside the k surviving groups (broadcast
     semi-join), so the per-group window sorts a bounded set."""
     scored = searcher.scored_docs(query)
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
     with_group = scored.join(
-        searcher.index.docs.select("docid", F.col(group_col).alias("__grp")), "docid"
+        searcher.index.docs.select("docid", grp.alias("__grp")), "docid"
     )
     # per-group best (score desc, docid asc) as max(struct(score, -docid))
     grp_best = with_group.groupBy("__grp").agg(
