@@ -642,6 +642,16 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 top-50 fused with cosine
+    top-50 by reciprocal rank (1/(60+rank) each, lexical-first double
+    sum) — the no-score-normalization fusion a RAG/serving tier runs."""
+    from lucenenet_spark.ops.hybrid import hybrid_rrf
+
+    _, s = _searcher(spark, sf_dir)
+    return hybrid_rrf(s, _emb(spark, sf_dir), TermQuery(term="table"), [1.0] * 64)
+
+
 def _q_grouped_topk_expr(spark, sf_dir):
     """GroupingSearch.ByFunction: two-pass grouping keyed by a
     computed ValueSource (floor(field_length/16)) instead of a stored
@@ -1826,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_score_query": _q_custom_score,
         "scale_function_query": _q_scale_function,
         "grouped_topk_expr": _q_grouped_topk_expr,
+        "hybrid_rrf": _q_hybrid_rrf,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2006,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk_expr": osql.grouped_topk_expr_sql(
             "hash", "CAST(floor(n.fl / 16.0) AS BIGINT)", 10, 3
         ),
+        "hybrid_rrf": osql.hybrid_rrf_sql("table", [1.0] * 64),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

@@ -3265,3 +3265,58 @@ SELECT CAST(r.grp AS BIGINT) AS grp, CAST(t.group_rank AS BIGINT) AS group_rank,
 FROM ranked r JOIN topg t ON r.grp = t.grp
 WHERE r.doc_rank <= {k_per_group}"""
     )
+
+
+def hybrid_rrf_sql(
+    term: str,
+    query_vec: list[float],
+    n_each: int = 50,
+    k: int = 10,
+    k0: int = 60,
+) -> str:
+    """Reciprocal-rank fusion mirror (ops/hybrid.py::hybrid_rrf):
+    BM25 top-n for ``term`` fused with cosine top-n for ``query_vec``,
+    contributions summed lexical-first in IEEE doubles."""
+    import numpy as np
+
+    dot = "CAST(0.0 AS DOUBLE)"
+    nrm = "CAST(0.0 AS DOUBLE)"
+    for i, qv in enumerate(query_vec):
+        e = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        dot = f"({dot} + {e} * CAST({float(qv)!r} AS DOUBLE))"
+        nrm = f"({nrm} + {e} * {e})"
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+bmr AS (
+  SELECT id, rk AS r_bm25 FROM (
+    SELECT docid AS id, row_number() OVER (ORDER BY s DESC, docid ASC) AS rk FROM t0
+  ) WHERE rk <= {n_each}
+),
+annscored AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         {dot} / (sqrt({nrm}) * CAST({qnorm!r} AS DOUBLE)) AS sim
+  FROM embeddings
+),
+annr AS (
+  SELECT id, rk AS r_ann FROM (
+    SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk FROM annscored
+  ) WHERE rk <= {n_each}
+),
+fused AS (
+  SELECT coalesce(b.id, a.id) AS id,
+         (CASE WHEN b.r_bm25 IS NULL THEN 0.0
+               ELSE 1.0 / ({float(k0)!r} + CAST(b.r_bm25 AS DOUBLE)) END)
+         + (CASE WHEN a.r_ann IS NULL THEN 0.0
+                 ELSE 1.0 / ({float(k0)!r} + CAST(a.r_ann AS DOUBLE)) END) AS rrf,
+         CAST(coalesce(b.r_bm25, 0) AS BIGINT) AS r_bm25,
+         CAST(coalesce(a.r_ann, 0) AS BIGINT) AS r_ann
+  FROM bmr b FULL OUTER JOIN annr a ON a.id = b.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank,
+       id, rrf, r_bm25, r_ann
+FROM fused ORDER BY rrf DESC, id ASC LIMIT {k}"""
+    )

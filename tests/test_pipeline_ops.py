@@ -210,3 +210,33 @@ def test_domain_cap(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
     # a domain under the cap keeps everything
     assert domain_cap(df, cap=100).count() == 90
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    """A doc in both lists sums both contributions; single-list docs
+    get exactly one; ranks use 0 for 'absent'."""
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search.searcher import IndexSearcher
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.ops.hybrid import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [("r", str(i), "c", "alpha beta" if i < 2 else "gamma delta")
+         for i in range(4)],
+        "repo string, path string, commit string, content string",
+    )
+    idx = build_index(spark, docs, CorpusSpec(order_cols=("repo", "path", "commit"))).cache()
+    s = IndexSearcher(idx)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.id: r for r in hybrid_rrf(
+        s, emb, TermQuery(term="alpha"), [1.0, 0.0], n_each=2, k=4, k0=60
+    ).collect()}
+    # BM25 list = docs {0,1}; ANN top-2 = ids {0,2}
+    assert out[0].r_bm25 > 0 and out[0].r_ann > 0
+    assert abs(out[0].rrf - (1.0 / (60 + out[0].r_bm25) + 1.0 / (60 + out[0].r_ann))) == 0.0
+    assert out[1].r_ann == 0 and abs(out[1].rrf - 1.0 / (60 + out[1].r_bm25)) == 0.0
+    assert out[2].r_bm25 == 0 and abs(out[2].rrf - 1.0 / (60 + out[2].r_ann)) == 0.0
+    assert 3 not in out
