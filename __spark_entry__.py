@@ -642,6 +642,15 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed uni+bigram features, fixed-
+    point log-ratio of target (lang='en') vs source distributions —
+    integer sums, partition-invariant."""
+    from lucenenet_spark.ops.sampling import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid lexical+vector retrieval: BM25 top-50 fused with cosine
     top-50 by reciprocal rank (1/(60+rank) each, lexical-first double
@@ -1837,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_function_query": _q_scale_function,
         "grouped_topk_expr": _q_grouped_topk_expr,
         "hybrid_rrf": _q_hybrid_rrf,
+        "dsir_weights": _q_dsir_weights,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2018,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
             "hash", "CAST(floor(n.fl / 16.0) AS BIGINT)", 10, 3
         ),
         "hybrid_rrf": osql.hybrid_rrf_sql("table", [1.0] * 64),
+        "dsir_weights": oosql.dsir_weights_sql("lang = 'en'", 4096),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

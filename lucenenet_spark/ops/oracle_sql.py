@@ -1029,3 +1029,51 @@ SELECT docid, domain, hrank FROM (
          ) AS BIGINT) AS hrank
   FROM documents
 ) WHERE hrank <= {cap}"""
+
+
+def dsir_weights_sql(target_sql: str = "lang = 'en'", n_buckets: int = 4096) -> str:
+    """Mirror of ops/sampling.py::dsir_weights — hashed uni+bigram
+    features, add-1 smoothed fixed-point log-ratio per bucket,
+    integer per-doc sums."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql("feat")
+    return f"""
+WITH {_TOKS},
+tagged AS (
+  SELECT t.id, t.toks, (CASE WHEN {target_sql} THEN TRUE ELSE FALSE END) AS tgt
+  FROM toks t JOIN documents d ON CAST(d.doc_id AS BIGINT) = t.id
+),
+uni AS (SELECT id, tgt, unnest(toks) AS feat FROM tagged),
+bi AS (
+  SELECT id, tgt, z[1] || ' ' || z[2] AS feat
+  FROM tagged, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(z)
+  WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT id, tgt, {h} % {n_buckets} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+doc_counts AS (SELECT id, bucket, CAST(count(*) AS BIGINT) AS c
+               FROM feats GROUP BY id, bucket),
+marg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS src_f,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_f
+  FROM feats GROUP BY bucket
+),
+totals AS (SELECT CAST(sum(src_f) AS DOUBLE) AS s, CAST(sum(tgt_f) AS DOUBLE) AS t FROM marg),
+ratios AS (
+  SELECT m.bucket,
+         CAST(floor(ln((CAST(m.tgt_f AS DOUBLE) + 1.0) / (tt.t + {float(n_buckets)!r})) * 1000000) AS BIGINT)
+         - CAST(floor(ln((CAST(m.src_f AS DOUBLE) + 1.0) / (tt.s + {float(n_buckets)!r})) * 1000000) AS BIGINT)
+         AS r_fp
+  FROM marg m CROSS JOIN totals tt
+),
+weights AS (
+  SELECT dc.id, CAST(sum(dc.c * r.r_fp) AS BIGINT) AS w
+  FROM doc_counts dc JOIN ratios r ON r.bucket = dc.bucket
+  GROUP BY dc.id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS id,
+       CAST(coalesce(w.w, 0) AS BIGINT) AS weight_fp
+FROM documents d LEFT JOIN weights w ON w.id = CAST(d.doc_id AS BIGINT)"""

@@ -23,6 +23,8 @@ aggregates; the mixture's final normalization runs over
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,4 +162,93 @@ def domain_cap(
     w = Window.partitionBy("domain").orderBy(h.asc(), F.col("docid").asc())
     return base.withColumn("hrank", F.row_number().over(w).cast("long")).where(
         F.col("hrank") <= cap
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method):
+    score each document by how much more likely its hashed n-gram
+    features are under a TARGET distribution than under the full
+    SOURCE corpus, for importance resampling of pretraining data.
+
+    ``target`` is a boolean Column over ``df`` marking the target
+    subset (e.g. a high-quality language slice). Features are the
+    pinned ops-tokenizer unigrams plus adjacent bigrams, hashed into
+    ``n_buckets`` md5-prefix buckets. Per-bucket log-ratio
+    ``ln((tgt_f+1)/(T+B)) - ln((src_f+1)/(S+B))`` (add-1 smoothing)
+    is converted to fixed-point 1e-6 units — floor(ln(p)*1e6) as
+    int64, the nb_classify idiom — so the per-doc weight is an
+    INTEGER sum: partition-invariant, cluster-size-invariant, and
+    bit-identical to the DuckDB oracle.
+
+    Scale shape: two hash aggregates (doc×bucket counts, bucket
+    marginals), one broadcast of the <=n_buckets-row ratio table, one
+    integer sum — no window, no driver collect. The Arrow UDF runs
+    over n_buckets rows only, never over the corpus.
+
+    Output: (id, weight_fp) for EVERY input doc (docs with no
+    features weigh 0).
+    """
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        target.cast("boolean").alias("__tgt"),
+        toks.alias("__toks"),
+    )
+    uni = base.select("id", "__tgt", F.explode("__toks").alias("feat"))
+    bi_expr = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select("id", "__tgt", F.explode(bi_expr).alias("feat"))
+    feats = uni.unionByName(bi).select(
+        "id", "__tgt", (md5_prefix_int_col(F.col("feat")) % n_buckets).alias("bucket")
+    )
+    doc_counts = feats.groupBy("id", "bucket").agg(F.count("*").alias("c"))
+    marg = feats.groupBy("bucket").agg(
+        F.count("*").alias("src_f"),
+        F.sum(F.col("__tgt").cast("long")).alias("tgt_f"),
+    )
+    totals = marg.agg(
+        F.sum("src_f").alias("__s"), F.sum("tgt_f").alias("__t")
+    )
+    b = float(n_buckets)
+
+    @F.pandas_udf("long")
+    def fp_ratio(tgt: pd.Series, src: pd.Series, t: pd.Series, s: pd.Series) -> pd.Series:
+        tg = tgt.to_numpy(dtype=np.float64)
+        sr = src.to_numpy(dtype=np.float64)
+        tt = t.to_numpy(dtype=np.float64)
+        ss = s.to_numpy(dtype=np.float64)
+        a = np.floor(np.log((tg + 1.0) / (tt + b)) * 1_000_000).astype(np.int64)
+        c = np.floor(np.log((sr + 1.0) / (ss + b)) * 1_000_000).astype(np.int64)
+        return pd.Series(a - c)
+
+    ratios = marg.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        fp_ratio(F.col("tgt_f"), F.col("src_f"), F.col("__t"), F.col("__s")).alias(
+            "r_fp"
+        ),
+    )
+    weights = (
+        doc_counts.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("r_fp")).alias("w"))
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(weights, "id", "left")
+        .select("id", F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("weight_fp"))
     )

@@ -240,3 +240,23 @@ def test_hybrid_rrf_fusion_math(spark):
     assert out[1].r_ann == 0 and abs(out[1].rrf - 1.0 / (60 + out[1].r_bm25)) == 0.0
     assert out[2].r_bm25 == 0 and abs(out[2].rrf - 1.0 / (60 + out[2].r_ann)) == 0.0
     assert 3 not in out
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    from lucenenet_spark.ops.sampling import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "quantum flux capacitor entangle", "tgt") for i in range(10)]
+        + [(i + 10, "mundane filler words everywhere", "src") for i in range(10)]
+        + [(20, "quantum flux capacitor entangle", "src"),  # target-like text
+           (21, "mundane filler words everywhere", "src"),  # source-like text
+           (22, None, "src")]                                # null text -> 0
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {r.id: r.weight_fp for r in dsir_weights(
+        df, F.col("grp") == "tgt", n_buckets=512).collect()}
+    assert len(out) == 23
+    # the doc that looks like the target outweighs the one that doesn't
+    assert out[20] > out[21]
+    assert out[22] == 0
