@@ -642,6 +642,16 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr dedup spans (Lee et al. 2022): 8-token windows
+    occurring >1 time anywhere in the corpus, merged per doc into
+    maximal token-index spans — one window-hash aggregate, no
+    all-pairs, no global sort."""
+    from lucenenet_spark.ops.text import exact_substr_spans
+
+    return exact_substr_spans(_docs(spark, sf_dir), k=8)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: hashed uni+bigram features, fixed-
     point log-ratio of target (lang='en') vs source distributions —
@@ -1847,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk_expr": _q_grouped_topk_expr,
         "hybrid_rrf": _q_hybrid_rrf,
         "dsir_weights": _q_dsir_weights,
+        "exact_substr_spans": _q_exact_substr_spans,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2029,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_rrf": osql.hybrid_rrf_sql("table", [1.0] * 64),
         "dsir_weights": oosql.dsir_weights_sql("lang = 'en'", 4096),
+        "exact_substr_spans": oosql.exact_substr_spans_sql(k=8),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

@@ -1077,3 +1077,37 @@ weights AS (
 SELECT CAST(d.doc_id AS BIGINT) AS id,
        CAST(coalesce(w.w, 0) AS BIGINT) AS weight_fp
 FROM documents d LEFT JOIN weights w ON w.id = CAST(d.doc_id AS BIGINT)"""
+
+
+def exact_substr_spans_sql(k: int = 8) -> str:
+    """Mirror of ops/text.py::exact_substr_spans — k-token window
+    hashes with corpus count > 1, merged per doc into maximal spans."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql(f"array_to_string(toks[i:i + {k - 1}], ' ')")
+    return f"""
+WITH {_TOKS},
+wins AS (
+  SELECT id, CAST(i - 1 AS BIGINT) AS start, {h} AS h
+  FROM toks, UNNEST(range(1, len(toks) - {k} + 2)) AS r(i)
+  WHERE len(toks) >= {k}
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+dw AS (SELECT w.id, w.start, w.start + {k} AS e FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT id, start, e,
+         CASE WHEN max(e) OVER (PARTITION BY id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(e) OVER (PARTITION BY id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM dw
+),
+isl2 AS (
+  SELECT *, sum(ni) OVER (PARTITION BY id ORDER BY start
+            ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT id, CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end
+FROM isl2 GROUP BY id, island"""

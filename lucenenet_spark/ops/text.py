@@ -10,7 +10,7 @@ use the md5-prefix integer (ops/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucenenet_spark.analysis.analyzer import ENGLISH_STOP_WORDS, TOKEN_PATTERN
@@ -416,5 +416,80 @@ def lm_doc_quality(
             "id",
             F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    public method; the suffix-array pass re-expressed as distributed
+    window hashing): every ``k``-token window whose exact token
+    sequence occurs MORE THAN ONCE in the corpus (any document,
+    including the same one) marks its token range as duplicated;
+    per document, overlapping duplicated windows merge into maximal
+    spans.
+
+    Shape at 100 TB: one tokenize pass emits (doc, start, window-hash)
+    rows; ONE hash aggregate keyed by the 60-bit md5-prefix window
+    hash finds hashes with total count > 1 (map-side combined — the
+    suffix array's "repeated substring" test without any global
+    sort); the duplicated window starts semi-join back and a per-doc
+    gaps-and-islands pass (window over each doc's own bounded start
+    list) merges them. No all-pairs step anywhere.
+
+    Output: (id, span_start, span_end) token-index spans
+    [span_start, span_end) — exclusive end — one row per maximal span.
+    """
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).cast("long").alias("id"), toks.alias("__toks"))
+    wins = base.where(F.size("__toks") >= k).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("start"),
+                    md5_prefix_int_col(
+                        F.concat_ws(" ", F.slice("__toks", i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    dup_hashes = (
+        wins.groupBy("h").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    )
+    dup_wins = wins.join(dup_hashes.select("h"), "h", "left_semi").select(
+        "id", "start", (F.col("start") + k).alias("end")
+    )
+    # gaps-and-islands: a window starts a new island when it begins
+    # after the running max end of everything before it
+    w_doc = Window.partitionBy("id").orderBy("start")
+    w_prev = Window.partitionBy("id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    islands = (
+        dup_wins.withColumn("prev_max_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            (F.col("prev_max_end").isNull() | (F.col("start") > F.col("prev_max_end"))).cast("long"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            "id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
         )
     )

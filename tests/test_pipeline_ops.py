@@ -260,3 +260,26 @@ def test_dsir_weights_favor_target_distribution(spark):
     # the doc that looks like the target outweighs the one that doesn't
     assert out[20] > out[21]
     assert out[22] == 0
+
+
+def test_exact_substr_spans_merge_and_threshold(spark):
+    from lucenenet_spark.ops.text import exact_substr_spans
+
+    shared = "one two three four"  # 4-token run repeated across docs
+    rows = [
+        (0, f"{shared} unique0 tailA tailB tailC"),
+        (1, f"prefix1 {shared} tailX tailY tailZ"),
+        (2, "totally different words here nothing repeats at all ok"),
+        # same-doc repetition also counts (count > 1 overall)
+        (3, "alpha beta gamma delta pad1 pad2 alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in exact_substr_spans(df, k=4).collect():
+        out.setdefault(r.id, []).append((r.span_start, r.span_end))
+    # the shared 4-token window marks exactly its token range
+    assert out[0] == [(0, 4)]
+    assert out[1] == [(1, 5)]
+    assert 2 not in out
+    # same-doc repeat: both occurrences flagged
+    assert out[3] == [(0, 4), (6, 10)]
