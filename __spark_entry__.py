@@ -642,6 +642,16 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_dsir_resample(spark, sf_dir):
+    """Gumbel-top-k resampling over DSIR weights: softmax-proportional
+    sample without replacement, noise a pure function of (seed, id) —
+    deterministic across cluster sizes and engines."""
+    from lucenenet_spark.ops.sampling import dsir_weights, gumbel_topk_sample
+
+    w = dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+    return gumbel_topk_sample(w, n=50)
+
+
 def _q_exact_substr_spans(spark, sf_dir):
     """ExactSubstr dedup spans (Lee et al. 2022): 8-token windows
     occurring >1 time anywhere in the corpus, merged per doc into
@@ -1858,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "dsir_weights": _q_dsir_weights,
         "exact_substr_spans": _q_exact_substr_spans,
+        "dsir_resample": _q_dsir_resample,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2041,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": osql.hybrid_rrf_sql("table", [1.0] * 64),
         "dsir_weights": oosql.dsir_weights_sql("lang = 'en'", 4096),
         "exact_substr_spans": oosql.exact_substr_spans_sql(k=8),
+        "dsir_resample": oosql.gumbel_topk_sample_sql(50, "lang = 'en'", 4096),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

@@ -1111,3 +1111,27 @@ isl2 AS (
 SELECT id, CAST(min(start) AS BIGINT) AS span_start,
        CAST(max(e) AS BIGINT) AS span_end
 FROM isl2 GROUP BY id, island"""
+
+
+def gumbel_topk_sample_sql(
+    n: int, target_sql: str = "lang = 'en'", n_buckets: int = 4096,
+    seed: str = "gumbel-v1",
+) -> str:
+    """Mirror of ops/sampling.py::gumbel_topk_sample composed over
+    dsir_weights_sql — softmax sampling via deterministic Gumbel keys."""
+    from lucenenet_spark.ops.hashing import md5_prefix_int_sql
+
+    base = dsir_weights_sql(target_sql, n_buckets)
+    h = md5_prefix_int_sql(f"'{seed}:' || CAST(id AS VARCHAR)")
+    two60 = float(1 << 60)
+    return f"""
+WITH dsir AS ({base}),
+keyed AS (
+  SELECT id, weight_fp,
+         weight_fp + CAST(floor(-ln(-ln((CAST({h} AS DOUBLE) + 1.0) / {two60!r}))
+                          * 1000000) AS BIGINT) AS key_fp
+  FROM dsir
+)
+SELECT CAST(row_number() OVER (ORDER BY key_fp DESC, id ASC) AS BIGINT) AS rank,
+       id, weight_fp, key_fp
+FROM keyed ORDER BY key_fp DESC, id ASC LIMIT {n}"""

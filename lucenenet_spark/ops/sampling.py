@@ -252,3 +252,49 @@ def dsir_weights(
         .join(weights, "id", "left")
         .select("id", F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("weight_fp"))
     )
+
+
+def gumbel_topk_sample(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "id",
+    weight_col: str = "weight_fp",
+    seed: str = "gumbel-v1",
+) -> DataFrame:
+    """Sample ``n`` rows without replacement with probability
+    proportional to softmax(weight) — the Gumbel-top-k trick (public
+    method; the resampling step DSIR pairs with its importance
+    weights): key = weight + Gumbel noise, take the n largest keys.
+
+    Determinism: the "noise" is a pure function of (seed, id) — u =
+    (md5-prefix(seed||id)+1) / 2^60 ∈ (0,1], g = -ln(-ln(u)) — in the
+    same fixed-point 1e-6 integer units as the weights, so the sample
+    is cluster-size/retry/partition invariant and the DuckDB oracle
+    reproduces it bit-for-bit. floor() of an engine-computed double
+    keeps the nb_classify ln idiom.
+
+    Shape: one projection + TakeOrdered(n) — no shuffle beyond the
+    bounded top-k. Output: (rank, id, weight_fp, key_fp).
+    """
+    h = md5_prefix_int_col(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    two60 = float(1 << 60)
+
+    @F.pandas_udf("long")
+    def gumbel_fp(hs: pd.Series) -> pd.Series:
+        u = (hs.to_numpy(dtype=np.float64) + 1.0) / two60
+        g = -np.log(-np.log(u))
+        return pd.Series(np.floor(g * 1_000_000).astype(np.int64))
+
+    keyed = weights.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(weight_col).cast("long").alias("weight_fp"),
+        (F.col(weight_col).cast("long") + gumbel_fp(h)).alias("key_fp"),
+    )
+    top = keyed.orderBy(F.col("key_fp").desc(), F.col("id").asc()).limit(n)
+    w = Window.orderBy(F.col("key_fp").desc(), F.col("id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "id",
+        "weight_fp",
+        "key_fp",
+    )

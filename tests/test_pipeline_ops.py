@@ -283,3 +283,22 @@ def test_exact_substr_spans_merge_and_threshold(spark):
     assert 2 not in out
     # same-doc repeat: both occurrences flagged
     assert out[3] == [(0, 4), (6, 10)]
+
+
+def test_gumbel_topk_sample_is_deterministic_and_weight_sensitive(spark):
+    from lucenenet_spark.ops.sampling import gumbel_topk_sample
+
+    # two strata of ids with wildly different weights: the heavy
+    # stratum should dominate the sample
+    rows = [(i, 5_000_000) for i in range(50)] + [
+        (i + 50, -5_000_000) for i in range(50)
+    ]
+    w = spark.createDataFrame(rows, "id long, weight_fp long")
+    a = [(r.id, r.key_fp) for r in gumbel_topk_sample(w, 20).collect()]
+    b = [(r.id, r.key_fp) for r in gumbel_topk_sample(w, 20).collect()]
+    assert a == b  # pure function of (seed, id, weight)
+    heavy = sum(1 for i, _ in a if i < 50)
+    assert heavy >= 18  # e^10 odds ratio: light stratum ~never wins
+    # different seed -> different permutation (keys change)
+    c = [(r.id, r.key_fp) for r in gumbel_topk_sample(w, 20, seed="other").collect()]
+    assert dict(a) != dict(c)
