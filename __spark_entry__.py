@@ -642,6 +642,23 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_pk_split_search(spark, sf_dir):
+    """PKIndexSplitter: one shared index masked into (lang=='en',
+    rest) parts via the tombstone surface — fake-delete semantics, so
+    per-part scores are bit-identical to the unsplit index."""
+    from lucenenet_spark.index.splitter import pk_split
+
+    idx, _ = _searcher(spark, sf_dir)
+    passing, failing = pk_split(idx, F.col("lang") == "en")
+    q = TermQuery(term="table")
+    parts = []
+    for name, s in (("pass", passing), ("fail", failing)):
+        parts.append(
+            _ranked(s.search_df(q, 10)).withColumn("part", F.lit(name))
+        )
+    return parts[0].unionByName(parts[1]).select("part", "rank", "docid", "score")
+
+
 def _q_dsir_resample(spark, sf_dir):
     """Gumbel-top-k resampling over DSIR weights: softmax-proportional
     sample without replacement, noise a pure function of (seed, id) —
@@ -1869,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "exact_substr_spans": _q_exact_substr_spans,
         "dsir_resample": _q_dsir_resample,
+        "pk_split_search": _q_pk_split_search,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2053,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": oosql.dsir_weights_sql("lang = 'en'", 4096),
         "exact_substr_spans": oosql.exact_substr_spans_sql(k=8),
         "dsir_resample": oosql.gumbel_topk_sample_sql(50, "lang = 'en'", 4096),
+        "pk_split_search": osql.pk_split_search_sql("table", "d.lang = 'en'", k=10),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

@@ -85,3 +85,31 @@ def split_index(index: InvertedIndex, n_parts: int) -> list[InvertedIndex]:
             )
         )
     return parts
+
+
+def pk_split(index: InvertedIndex, predicate):
+    """PKIndexSplitter (reference
+    ``Lucene.Net.Misc/Index/PKIndexSplitter.cs:30``): split one index
+    into (docs passing the filter, docs failing it). The reference
+    wraps each pass in a DocumentFilteredAtomicIndexReader — a reader
+    whose liveDocs mask hides the other part WITHOUT rewriting
+    postings or collection statistics (fake deletes, exactly like
+    MultiPassIndexSplitter's FakeDeleteIndexReader).
+
+    The Spark analog is the engine's own tombstone surface: each part
+    is an IndexSearcher over the SAME shared index (zero data copied,
+    zero repack) with the complement docid set anti-joined out of
+    every result. Scores therefore match the unsplit index bit for
+    bit — Lucene semantics, where deletes don't touch df/ttf until a
+    merge folds them in.
+
+    Returns (passing_searcher, failing_searcher).
+    """
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    keep = index.docs.where(predicate).select("docid")
+    drop = index.docs.select("docid").exceptAll(keep)
+    return (
+        IndexSearcher(index, tombstones=drop),
+        IndexSearcher(index, tombstones=keep),
+    )

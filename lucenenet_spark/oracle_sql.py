@@ -3320,3 +3320,28 @@ SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank,
        id, rrf, r_bm25, r_ann
 FROM fused ORDER BY rrf DESC, id ASC LIMIT {k}"""
     )
+
+
+def pk_split_search_sql(term: str, predicate_sql: str, k: int = K) -> str:
+    """PKIndexSplitter mirror (index/splitter.py::pk_split): the same
+    term query on both parts; fake-delete semantics mean scores equal
+    the unsplit index's, so the oracle is the full scored set split by
+    the predicate and re-ranked per part."""
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+tagged AS (
+  SELECT t0.docid, t0.s,
+         (CASE WHEN {predicate_sql} THEN 'pass' ELSE 'fail' END) AS part
+  FROM t0 JOIN documents d ON CAST(d.doc_id AS BIGINT) = t0.docid
+),
+ranked AS (
+  SELECT part, docid, s,
+         row_number() OVER (PARTITION BY part ORDER BY s DESC, docid ASC) AS rk
+  FROM tagged
+)
+SELECT part, CAST(rk AS BIGINT) AS rank, docid, CAST(s AS DOUBLE) AS score
+FROM ranked WHERE rk <= {k}"""
+    )

@@ -73,3 +73,31 @@ def test_split_straddler_blocks_repack_exactly(big_idx):
         for r in p.postings.groupBy("term").count().collect():
             merged[r.term] = merged.get(r.term, 0) + r["count"]
     assert merged == whole_m
+
+
+def test_pk_split_fake_delete_semantics(spark):
+    """Split parts return disjoint docs covering the full result set,
+    with scores bit-identical to the unsplit index (stats untouched)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.index.splitter import pk_split
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [("r", str(i), "c", "spark table scan" if i % 2 else "spark merge join")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(
+        spark, df, CorpusSpec(order_cols=("repo", "path", "commit"), meta_cols=("path",))
+    ).cache()
+    full = {h.docid: h.score for h in IndexSearcher(idx).search(TermQuery(term="spark"), 20)}
+    p, f = pk_split(idx, F.col("docid") % 2 == 0)
+    hp = {h.docid: h.score for h in p.search(TermQuery(term="spark"), 20)}
+    hf = {h.docid: h.score for h in f.search(TermQuery(term="spark"), 20)}
+    assert set(hp) == {d for d in full if d % 2 == 0}
+    assert set(hf) == {d for d in full if d % 2 == 1}
+    for d, s in {**hp, **hf}.items():
+        assert s == full[d]
