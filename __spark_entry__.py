@@ -642,6 +642,18 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_phrase_snippets(spark, sf_dir):
+    """FastVectorHighlighter role: char spans of WHOLE-phrase
+    occurrences (not per-term windows) in the phrase query's top-k
+    docs, offsets re-analyzed from stored text."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    return coll.phrase_snippets(
+        s, ["table", "hash"], _docs(spark, sf_dir), k=10
+    )
+
+
 def _q_pk_split_search(spark, sf_dir):
     """PKIndexSplitter: one shared index masked into (lang=='en',
     rest) parts via the tombstone surface — fake-delete semantics, so
@@ -1887,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": _q_exact_substr_spans,
         "dsir_resample": _q_dsir_resample,
         "pk_split_search": _q_pk_split_search,
+        "phrase_snippets": _q_phrase_snippets,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2072,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_spans": oosql.exact_substr_spans_sql(k=8),
         "dsir_resample": oosql.gumbel_topk_sample_sql(50, "lang = 'en'", 4096),
         "pk_split_search": osql.pk_split_search_sql("table", "d.lang = 'en'", k=10),
+        "phrase_snippets": osql.phrase_snippets_sql("table", "hash", k=10),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

@@ -3345,3 +3345,64 @@ ranked AS (
 SELECT part, CAST(rk AS BIGINT) AS rank, docid, CAST(s AS DOUBLE) AS score
 FROM ranked WHERE rk <= {k}"""
     )
+
+
+def phrase_snippets_sql(t0: str, t1: str, k: int = K) -> str:
+    """Phrase-accurate highlight mirror (collectors.py::
+    phrase_snippets): top-k docs of the exact 2-term phrase, then char
+    spans of every phrase occurrence reconstructed from cumulative
+    separator/token lengths (the highlight_snippets offsets CTE)."""
+    from lucenenet_spark.analysis.analyzer import (
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+        _sql_quote_regex,
+    )
+
+    pat = _sql_quote_regex(TOKEN_PATTERN)
+    idf0 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t0}')")
+    idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t1}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        bm25_prelude(with_positions=True)
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         (SELECT w FROM w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+),
+top AS (SELECT docid FROM scored ORDER BY s DESC, docid ASC LIMIT {k}),
+raw AS (
+  SELECT d.doc_id AS docid, lower(d.text) AS lt,
+         regexp_extract_all(lower(d.text), '{pat}') AS rtoks,
+         regexp_split_to_array(lower(d.text), '{pat}') AS seps
+  FROM documents d JOIN top ON top.docid = d.doc_id
+),
+rt AS (
+  SELECT docid, lt, z[1] AS tok, CAST(z[2] AS INT) AS i,
+         CAST(coalesce(list_sum(list_transform(seps[1:CAST(z[2] AS INT)],
+                                               x -> length(x))), 0)
+              + coalesce(list_sum(list_transform(rtoks[1:CAST(z[2] AS INT) - 1],
+                                                 x -> length(x))), 0)
+              AS BIGINT) AS s
+  FROM raw, UNNEST(list_zip(rtoks, range(1, len(rtoks) + 1))) AS u(z)
+),
+ft AS (
+  SELECT docid, lt, tok, s, s + length(tok) AS e,
+         row_number() OVER (PARTITION BY docid ORDER BY i) - 1 AS pos
+  FROM rt WHERE length(tok) <= {MAX_TOKEN_LENGTH}
+)
+SELECT a.docid, CAST(a.pos AS BIGINT) AS pos,
+       CAST(a.s AS BIGINT) AS start_char, CAST(b.e AS BIGINT) AS end_char,
+       substring(a.lt, CAST(a.s AS INT) + 1, CAST(b.e - a.s AS INT)) AS matched
+FROM ft a JOIN ft b ON b.docid = a.docid AND b.pos = a.pos + 1
+WHERE a.tok = '{t0}' AND b.tok = '{t1}'"""
+    )

@@ -1031,3 +1031,71 @@ def scale_function_topk(
         .orderBy(F.col("score").desc(), F.col("docid").asc())
         .limit(k)
     )
+
+
+def phrase_snippets(
+    searcher: IndexSearcher,
+    terms: list[str],
+    source_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Phrase-accurate highlighting — the FastVectorHighlighter role
+    (reference ``Highlighter/VectorHighlight/FieldTermStack.cs`` +
+    ``FieldPhraseList.cs``: rebuild the term stack for one doc, walk
+    it for positions where the WHOLE phrase matches, emit char spans).
+    Term-window highlighters mark every member term anywhere; this
+    marks only real phrase occurrences.
+
+    The top-k docs come from the normal PhraseQuery plan; their k
+    stored texts re-analyze with offsets inside one Arrow batch (the
+    TokenSources idiom highlight_snippets already uses — the index
+    stays positions-only). A match is the full term sequence at
+    consecutive positions (stopword gaps break adjacency, same as the
+    index's exact-phrase semantics).
+
+    Output: (docid, pos, start_char, end_char, matched) — one row per
+    occurrence, offsets over the lowercased text.
+    """
+    from lucenenet_spark.search.queries import PhraseQuery
+
+    terms = [t.lower() for t in terms]
+    q = PhraseQuery(phrase_terms=tuple(terms))
+    top_ids = [
+        int(r["docid"]) for r in searcher.search_df(q, k).select("docid").collect()
+    ]
+    spark = searcher.index.docs.sparkSession
+    empty_schema = (
+        "docid long, pos long, start_char long, end_char long, matched string"
+    )
+    if not top_ids:
+        return spark.createDataFrame([], empty_schema)
+    want = spark.createDataFrame([(d,) for d in top_ids], "docid long")
+    texts = source_docs.select(
+        F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("__text")
+    ).join(F.broadcast(want), "docid", "left_semi")
+    L = len(terms)
+
+    def matches(iterator):
+        from lucenenet_spark.analysis.analyzer import analyze_offsets
+
+        for pdf in iterator:
+            rows = []
+            for docid, text in zip(pdf["docid"], pdf["__text"]):
+                lt = (text or "").lower()
+                posmap = {p: (t, s, e) for t, p, s, e in analyze_offsets(text or "")}
+                for p, (t, s, _e) in posmap.items():
+                    if t != terms[0]:
+                        continue
+                    tail = [posmap.get(p + j) for j in range(1, L)]
+                    if any(x is None or x[0] != terms[j + 1] for j, x in enumerate(tail)):
+                        continue
+                    end = tail[-1][2] if L > 1 else _e
+                    rows.append((int(docid), int(p), int(s), int(end), lt[s:end]))
+            yield pd.DataFrame(
+                rows,
+                columns=["docid", "pos", "start_char", "end_char", "matched"],
+            )
+
+    return texts.mapInPandas(matches, schema=empty_schema)

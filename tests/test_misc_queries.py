@@ -188,3 +188,27 @@ def test_scale_function_bounds_and_degenerate(ms):
     one = coll.scale_function_topk(ms, TermQuery(term="only"), "docid", 2.0, 5.0, k=5)
     rows = one.collect()
     assert all(abs(r.score) >= 0 for r in rows)  # runs without div-by-zero
+
+
+def test_phrase_snippets_marks_only_real_occurrences(spark):
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search import collectors as c2
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [
+        (0, "Merge Sort beats bubble merge sort again"),
+        (1, "merge everything then sort later"),          # terms apart, no phrase
+        (2, "sort merge is the reverse phrase"),          # reversed, no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        spark, docs, CorpusSpec(text_col="text", id_col="doc_id")
+    ).cache()
+    s = IndexSearcher(idx)
+    out = c2.phrase_snippets(s, ["merge", "sort"], docs).collect()
+    assert {r.docid for r in out} == {0}
+    spans = sorted((r.pos, r.matched) for r in out)
+    assert spans == [(0, "merge sort"), (4, "merge sort")]
+    for r in out:
+        lt = rows[0][1].lower()
+        assert lt[r.start_char:r.end_char] == r.matched
