@@ -237,12 +237,18 @@ def direct_spell_suggest(
     from pyspark.sql import Window
 
     max_doc = searcher.index.max_doc
+    # maxQueryFrequency >= 1 is an ABSOLUTE docfreq ceiling, < 1 a
+    # corpus fraction (DirectSpellChecker.cs:345-351)
+    if max_query_frequency >= 1.0:
+        df_ceiling = int(max_query_frequency)
+    else:
+        df_ceiling = int(math.ceil(max_query_frequency * max_doc))
     live = [
         w
         for w in qdf
         if len(w) >= min_query_length
         and not (suggest_mode == "when_not_in_index" and qdf[w] > 0)
-        and not (qdf[w] > int(math.ceil(max_query_frequency * max_doc)))
+        and not (qdf[w] > df_ceiling)
     ]
     if not live:
         return spark.createDataFrame([], empty)

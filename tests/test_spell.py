@@ -92,9 +92,18 @@ def test_direct_spell(sp):
 def test_direct_spell_always_mode_and_accuracy(sp):
     # always mode suggests for in-dictionary words too (excluding self)
     out = spell.direct_spell_suggest(
-        sp, ["table"], num_sug=5, suggest_mode="always", max_query_frequency=1.0
+        sp, ["table"], num_sug=5, suggest_mode="always", max_query_frequency=100.0
     ).collect()
     assert all(r.suggestion != "table" for r in out)
     # accuracy gate: raising it above the best score empties the result
     out2 = spell.direct_spell_suggest(sp, ["tabel"], num_sug=5, accuracy=0.9).collect()
     assert out2 == []
+
+
+def test_direct_spell_absolute_max_query_frequency(sp):
+    # mqf >= 1 is an absolute docfreq ceiling: 'table' (df=2) is
+    # "common enough to be correct" under mqf=1 even in always mode
+    out = spell.direct_spell_suggest(
+        sp, ["table"], num_sug=5, suggest_mode="always", max_query_frequency=1.0
+    ).collect()
+    assert out == []
