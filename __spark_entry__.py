@@ -642,6 +642,16 @@ def _q_word_combinations(spark, sf_dir):
     )
 
 
+def _q_time_limited(spark, sf_dir):
+    """TimeLimitingCollector analog: deterministic work budget (docid
+    prefix) instead of a wall clock; budget prunes the parquet scan,
+    results flagged partial."""
+    from lucenenet_spark.search import collectors as coll
+
+    _, s = _searcher(spark, sf_dir)
+    return coll.time_limited_topk(s, TermQuery(term="table"), doc_budget=300, k=10)
+
+
 def _q_phrase_snippets(spark, sf_dir):
     """FastVectorHighlighter role: char spans of WHOLE-phrase
     occurrences (not per-term windows) in the phrase query's top-k
@@ -1900,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "pk_split_search": _q_pk_split_search,
         "phrase_snippets": _q_phrase_snippets,
+        "time_limited_topk": _q_time_limited,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2086,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": oosql.gumbel_topk_sample_sql(50, "lang = 'en'", 4096),
         "pk_split_search": osql.pk_split_search_sql("table", "d.lang = 'en'", k=10),
         "phrase_snippets": osql.phrase_snippets_sql("table", "hash", k=10),
+        "time_limited_topk": osql.time_limited_topk_sql("table", 300, k=10),
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),

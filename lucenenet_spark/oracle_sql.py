@@ -3406,3 +3406,24 @@ SELECT a.docid, CAST(a.pos AS BIGINT) AS pos,
 FROM ft a JOIN ft b ON b.docid = a.docid AND b.pos = a.pos + 1
 WHERE a.tok = '{t0}' AND b.tok = '{t1}'"""
     )
+
+
+def time_limited_topk_sql(term: str, doc_budget: int, k: int = K) -> str:
+    """TimeLimitingCollector-analog mirror (collectors.py::
+    time_limited_topk): the term query scored over the docid <
+    doc_budget prefix only, partial = budget < max_doc."""
+    return (
+        bm25_prelude()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + f""",
+lim AS (SELECT docid, s FROM t0 WHERE docid < {doc_budget}),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY s DESC, docid ASC) AS BIGINT) AS rank,
+         docid, CAST(s AS DOUBLE) AS score
+  FROM lim ORDER BY s DESC, docid ASC LIMIT {k}
+)
+SELECT rank, docid, score,
+       ({doc_budget} < (SELECT max_doc FROM cstats)) AS partial
+FROM ranked"""
+    )

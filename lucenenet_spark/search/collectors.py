@@ -1099,3 +1099,38 @@ def phrase_snippets(
             )
 
     return texts.mapInPandas(matches, schema=empty_schema)
+
+
+def time_limited_topk(
+    searcher: IndexSearcher, query: Query, doc_budget: int, k: int = 10
+) -> DataFrame:
+    """TimeLimitingCollector analog (reference
+    ``Search/TimeLimitingCollector.cs:30``: abort collection when a
+    wall-clock budget expires, surfacing the hits gathered so far as
+    partial results). A distributed batch engine has no per-row clock
+    to poll — and a wall-clock cutoff would make results
+    non-deterministic across runs and cluster sizes — so the analog
+    bounds WORK instead of time: only docids < ``doc_budget`` are
+    visited, exactly the prefix a single-threaded reference collector
+    would have scored before its timer fired (docids are assigned in
+    corpus order, the reference's collection order).
+
+    Rank-safe within the visited prefix, and the ``docid <
+    doc_budget`` predicate reaches the parquet scan, where the fused
+    writer's docid-range-disjoint files turn the budget into file-level
+    pruning — the smaller the budget, the less is read, which is the
+    entire point of the reference class.
+
+    Output: (rank, docid, score, partial) — ``partial`` mirrors
+    TimeExceededException's "these are partial results" signal.
+    """
+    scored = searcher.scored_docs(query).where(F.col("docid") < doc_budget)
+    partial = bool(doc_budget < searcher.index.max_doc)
+    top = scored.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "docid",
+        F.col("score").cast("double").alias("score"),
+        F.lit(partial).alias("partial"),
+    )

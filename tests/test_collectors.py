@@ -222,3 +222,25 @@ def test_sampled_facet_counts(searcher, scored, spark_index):
     assert [(r["lang"], r["n_docs"], r["est_docs"]) for r in full] == [
         (r["lang"], r["n_docs"], r["n_docs"]) for r in plain
     ]
+
+
+def test_time_limited_topk_prefix_and_partial_flag(searcher):
+    """Budgeted collection: scores equal the full search's for docids
+    inside the budget, nothing outside it, partial flag honest."""
+    from lucenenet_spark.search import collectors as coll
+    from lucenenet_spark.search.queries import TermQuery
+
+    s = searcher
+    head = s.index.term_stats.orderBy("df", ascending=False).first()["term"]
+    q = TermQuery(term=head)
+    full = {h.docid: h.score for h in s.search(q, 1000)}
+    budget = max(d for d in full) // 2 + 1
+    out = coll.time_limited_topk(s, q, doc_budget=budget, k=1000).collect()
+    assert out, "budget should still cover some hits"
+    for r in out:
+        assert r.docid < budget
+        assert r.score == full[r.docid]
+        assert r.partial is True
+    done = coll.time_limited_topk(s, q, doc_budget=10**9, k=1000).collect()
+    assert {r.docid for r in done} == set(full)
+    assert all(r.partial is False for r in done)
