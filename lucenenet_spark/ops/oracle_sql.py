@@ -1128,7 +1128,7 @@ def gumbel_topk_sample_sql(
 WITH dsir AS ({base}),
 keyed AS (
   SELECT id, weight_fp,
-         weight_fp + CAST(floor(-ln(-ln((CAST({h} AS DOUBLE) + 1.0) / {two60!r}))
+         weight_fp + CAST(floor(-ln(-ln(least((CAST({h} AS DOUBLE) + 1.0) / {two60!r}, 0.9999999999999999)))
                           * 1000000) AS BIGINT) AS key_fp
   FROM dsir
 )

@@ -281,7 +281,12 @@ def gumbel_topk_sample(
 
     @F.pandas_udf("long")
     def gumbel_fp(hs: pd.Series) -> pd.Series:
-        u = (hs.to_numpy(dtype=np.float64) + 1.0) / two60
+        # clamp below 1.0: an id whose 60-bit hash sits in the last
+        # ~128 integers would round u to exactly 1.0 and blow the
+        # double-log up to +inf (same clamp literal in the SQL mirror)
+        u = np.minimum(
+            (hs.to_numpy(dtype=np.float64) + 1.0) / two60, 0.9999999999999999
+        )
         g = -np.log(-np.log(u))
         return pd.Series(np.floor(g * 1_000_000).astype(np.int64))
 
