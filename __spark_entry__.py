@@ -1516,6 +1516,54 @@ def _q_fuzzy_suggest(spark, sf_dir):
     return _analyzing_suggester(spark, sf_dir).fuzzy_lookup("marge", n=5, max_edits=1)
 
 
+def _infix_suggester(spark, sf_dir):
+    from lucenenet_spark.search.suggest import AnalyzingInfixSuggester
+
+    key = ("infix", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _SUGGESTER_CACHE:
+        entries = (
+            _docs(spark, sf_dir)
+            .select(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias(
+                    "surface"
+                ),
+                F.col("n_chars").cast("long").alias("w"),
+            )
+            .groupBy("surface")
+            .agg(F.max("w").alias("weight"))
+        )
+        _SUGGESTER_CACHE[key] = AnalyzingInfixSuggester(entries, "surface", "weight")
+    return _SUGGESTER_CACHE[key]
+
+
+def _q_infix_suggest(spark, sf_dir):
+    # "sort ta": finished token "sort" (MUST) + unfinished prefix "ta"
+    return _infix_suggester(spark, sf_dir).lookup("sort ta", n=5)
+
+
+def _q_infix_suggest_any(spark, sf_dir):
+    # trailing space -> both tokens finished; OR semantics
+    return _infix_suggester(spark, sf_dir).lookup(
+        "merge window ", n=5, all_terms_required=False
+    )
+
+
+def _q_infix_suggest_highlight(spark, sf_dir):
+    return _infix_suggester(spark, sf_dir).lookup("sort ta", n=5, do_highlight=True)
+
+
+def _q_blended_infix_linear(spark, sf_dir):
+    return _infix_suggester(spark, sf_dir).lookup_blended(
+        "customer", n=5, blender="linear"
+    )
+
+
+def _q_blended_infix_reciprocal(spark, sf_dir):
+    return _infix_suggester(spark, sf_dir).lookup_blended(
+        "filter str", n=5, blender="reciprocal"
+    )
+
+
 def _q_function_query(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return _ranked(coll.boost_by_value(s, TermQuery(term="spark"), "field_length", 10))
@@ -1839,6 +1887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_term_query": _q_ib_spl_term,
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "infix_suggest": _q_infix_suggest,
+        "infix_suggest_any": _q_infix_suggest_any,
+        "infix_suggest_highlight": _q_infix_suggest_highlight,
+        "blended_infix_linear": _q_blended_infix_linear,
+        "blended_infix_reciprocal": _q_blended_infix_reciprocal,
         "percolate": _q_percolate,
         "synonym_index_term": _q_synonym_index_term,
         "synonym_expand_or": _q_synonym_expand_or,
@@ -2149,6 +2202,19 @@ def oracle_sql() -> dict[str, str]:
         "prefix_suggest": osql.prefix_suggest_sql("s", 5),
         "analyzing_suggest": osql.analyzing_suggest_sql("merge", 5),
         "fuzzy_suggest": osql.fuzzy_suggest_sql("marge", 5, 1),
+        # infix keys pre-analyzed with suggest_stop_analyze:
+        #   "sort ta" -> (["sort"], "ta"); "merge window " -> (["merge",
+        #   "window"], None); "customer" -> ([], "customer");
+        #   "filter str" -> (["filter"], "str")
+        "infix_suggest": osql.infix_suggest_sql(["sort"], "ta", 5),
+        "infix_suggest_any": osql.infix_suggest_sql(
+            ["merge", "window"], None, 5, all_required=False
+        ),
+        "infix_suggest_highlight": osql.infix_highlight_sql(["sort"], "ta", 5),
+        "blended_infix_linear": osql.blended_infix_sql([], "customer", "linear", 5),
+        "blended_infix_reciprocal": osql.blended_infix_sql(
+            ["filter"], "str", "reciprocal", 5
+        ),
         "function_query": osql.boost_by_value_sql("spark"),
         "facet_counts": osql.facet_sql("spark", "lang"),
         "filtered_query": osql.filtered_query_sql("spark", "lang", "en"),

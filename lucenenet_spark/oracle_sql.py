@@ -1216,6 +1216,135 @@ ORDER BY distance ASC, weight DESC, surface ASC LIMIT {n}"""
     )
 
 
+def _infix_table_cte(surface_chars: int = 40) -> str:
+    """CTEs ``surf(surface, weight)`` + ``tok(docid, term, pos)`` for
+    the infix suggesters: weight-deduped leading-chars surfaces
+    (weight = MAX n_chars) with their analyzed tokens+positions —
+    mirrors the driver's AnalyzingInfixSuggester feed exactly."""
+    tok = duckdb_token_sql("surf", "surface", "surface", with_positions=True)
+    return f"""
+WITH surf AS (
+  SELECT surface, MAX(weight) AS weight FROM (
+    SELECT substring(text, 1, {surface_chars}) AS surface,
+           CAST(n_chars AS BIGINT) AS weight
+    FROM documents
+  ) GROUP BY surface
+),
+tok AS ({tok})"""
+
+
+def _infix_where(full: list[str], prefix: str | None, all_required: bool) -> str:
+    """Token-set predicate over ``surf``/``tok``: each finished token
+    must (AND) or may (OR) appear exactly; the unfinished token by
+    prefix — AnalyzingInfixSuggester.DoLookup's BooleanQuery."""
+    clauses = [
+        f"EXISTS (SELECT 1 FROM tok t WHERE t.docid = s.surface AND t.term = '{t}')"
+        for t in full
+    ]
+    if prefix is not None:
+        clauses.append(
+            f"EXISTS (SELECT 1 FROM tok t WHERE t.docid = s.surface"
+            f" AND starts_with(t.term, '{prefix}'))"
+        )
+    joiner = " AND " if all_required else " OR "
+    return joiner.join(clauses) if clauses else "FALSE"
+
+
+def infix_suggest_sql(
+    full: list[str],
+    prefix: str | None,
+    n: int = 5,
+    all_required: bool = True,
+) -> str:
+    """AnalyzingInfixSuggester.DoLookup mirror: token-set match ranked
+    purely by weight. ``full``/``prefix`` are the ALREADY-analyzed
+    query tokens (query analysis is a driver-side literal op on both
+    engines)."""
+    return (
+        _infix_table_cte()
+        + f"""
+SELECT s.surface, s.weight FROM surf s
+WHERE {_infix_where(full, prefix, all_required)}
+ORDER BY s.weight DESC, s.surface ASC LIMIT {n}"""
+    )
+
+
+def infix_highlight_sql(
+    full: list[str],
+    prefix: str | None,
+    n: int = 5,
+    all_required: bool = True,
+) -> str:
+    """Infix lookup with the reference's Highlight: whole matched
+    tokens wrapped ``<b>tok</b>``, the prefix portion of prefix-matched
+    tokens wrapped ``<b>pre</b>fix`` (AddWholeMatch/AddPrefixMatch).
+    The surfaces are lowercase ``\\w``-word text, so RE2 word-boundary
+    replaces reproduce the engine's offset walk exactly; callers must
+    pick a prefix that is not a prefix of any full token (else the
+    second replace would re-match inside the inserted tags)."""
+    assert prefix is None or not any(t.startswith(prefix) for t in full)
+    expr = "s.surface"
+    if full:
+        alts = "|".join(full)
+        expr = rf"regexp_replace({expr}, '\b({alts})\b', '<b>\1</b>', 'g')"
+    if prefix is not None:
+        expr = (
+            rf"regexp_replace({expr}, '\b({prefix})([a-z0-9_]*)',"
+            rf" '<b>\1</b>\2', 'g')"
+        )
+    return (
+        _infix_table_cte()
+        + f"""
+SELECT s.surface, s.weight, {expr} AS highlighted FROM surf s
+WHERE {_infix_where(full, prefix, all_required)}
+ORDER BY s.weight DESC, s.surface ASC LIMIT {n}"""
+    )
+
+
+def blended_infix_sql(
+    full: list[str],
+    prefix: str | None,
+    blender: str = "linear",
+    n: int = 5,
+    num_factor: int = 10,
+    all_required: bool = True,
+) -> str:
+    """BlendedInfixSuggester mirror: stage 1 cuts the top
+    ``n * num_factor`` by raw weight, stage 2 re-ranks by
+    ``trunc(weight * coefficient)`` from the FIRST matching analyzed
+    position — POSITION_LINEAR ``1 - 0.10*p`` / POSITION_RECIPROCAL
+    ``1/(1+p)``. trunc() before the BIGINT cast mirrors Spark's
+    truncate-toward-zero double→long cast (DuckDB's bare CAST
+    rounds)."""
+    parts = [f"t.term IN ({', '.join(repr(t) for t in full)})"] if full else []
+    if prefix is not None:
+        parts.append(f"starts_with(t.term, '{prefix}')")
+    match_any = " OR ".join(parts)
+    if blender == "linear":
+        coeff = "(1.0 - 0.1 * CAST(first_pos AS DOUBLE))"
+    elif blender == "reciprocal":
+        coeff = "(1.0 / (CAST(first_pos AS DOUBLE) + 1.0))"
+    else:
+        raise ValueError(f"unknown blender: {blender!r}")
+    return (
+        _infix_table_cte()
+        + f""",
+stage1 AS (
+  SELECT s.surface, s.weight,
+         CAST((SELECT MIN(t.pos) FROM tok t
+               WHERE t.docid = s.surface AND ({match_any})) AS INTEGER)
+           AS first_pos
+  FROM surf s
+  WHERE {_infix_where(full, prefix, all_required)}
+  ORDER BY s.weight DESC, s.surface ASC LIMIT {n * num_factor}
+)
+SELECT surface, weight, first_pos,
+       CAST(trunc(CAST(weight AS DOUBLE) * {coeff}) AS BIGINT) AS score
+FROM stage1
+ORDER BY score DESC, surface ASC LIMIT {n}"""
+    )
+
+
 def boost_by_value_sql(term: str, k: int = K) -> str:
     """FunctionQuery mirror: score' = score * float32(ln(1 + fl))."""
     return (

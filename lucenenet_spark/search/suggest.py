@@ -225,3 +225,225 @@ def free_text_suggest(
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def suggest_stop_analyze(key: str) -> tuple[list[str], str | None]:
+    """Query-side analysis for the infix suggesters: tokenize +
+    lowercase the key, then apply SuggestStopFilter semantics
+    (``Suggest/Analyzing/SuggestStopFilter.cs:42``): stopwords are
+    removed EXCEPT a trailing token that reaches the very end of the
+    key (the user is still typing it — "find the" keeps "the").
+
+    The trailing-token split is AnalyzingInfixSuggester.DoLookup's
+    maxEndOffset rule (``AnalyzingInfixSuggester.cs:533``): when the
+    last token's end offset equals the key length (no trailing
+    discarded chars such as whitespace), it is an unfinished PREFIX
+    token; otherwise it is a finished exact term (and stop-filters
+    like the rest).
+
+    Returns ``(full_tokens, prefix_token)`` — full tokens match
+    exactly, prefix_token (or None) matches by startswith.
+    """
+    from lucenenet_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        analyze_offsets,
+    )
+
+    toks = analyze_offsets(key or "")
+    if not toks:
+        return [], None
+    last_term, _, _, last_end = toks[-1]
+    ends_mid_token = last_end == len(key)
+    if ends_mid_token:
+        full = [t for t, _, _, _ in toks[:-1] if t not in ENGLISH_STOP_WORDS]
+        return full, last_term
+    full = [t for t, _, _, _ in toks if t not in ENGLISH_STOP_WORDS]
+    return full, None
+
+
+class AnalyzingInfixSuggester:
+    """Infix suggester (``Suggest/Analyzing/AnalyzingInfixSuggester.cs:75``):
+    suggestions match when EVERY (allTermsRequired) or ANY query token
+    appears ANYWHERE in the suggestion's analyzed token stream — the
+    finished tokens exactly, the unfinished last token as a prefix of
+    any token — ranked purely by suggestion weight (the reference's
+    ``SORT`` on the weight field, ``:120``), NOT by score.
+
+    The reference indexes suggestions into a private Lucene index
+    (text + exacttext fields) sorted by weight for early termination;
+    here the (surface, weight, toks, poss) table is a DataFrame and a
+    lookup is a token-set predicate + bounded TakeOrderedAndProject —
+    entirely JVM-side (``array_contains`` / ``exists``), one scan of
+    the suggestion table, no shuffle. At scale the table partitions
+    like any dimension table; the per-row token arrays keep the match
+    a row-local predicate so filter parallelism is perfect.
+
+    ``lookup_blended`` is BlendedInfixSuggester
+    (``Suggest/Analyzing/BlendedInfixSuggester.cs:37``): retrieve
+    ``n * num_factor`` hits by weight, then re-rank by
+    ``trunc(weight * coefficient)`` where the coefficient derives from
+    the FIRST analyzed position at which any query token matches —
+    POSITION_LINEAR ``1 - 0.10*p`` (``:50,80``) or POSITION_RECIPROCAL
+    ``1/(1+p)`` (``:84``).
+
+    Determinism note: the reference breaks weight ties by index
+    docid; this build pins (weight desc, surface asc) — documented
+    divergence, and driver entries feed weight-deduped surfaces.
+    """
+
+    def __init__(self, entries: DataFrame, surface_col: str, weight_col: str):
+        src = entries.select(
+            F.col(surface_col).alias("surface"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+
+        def tokenized(iterator):
+            from lucenenet_spark.analysis.analyzer import analyze
+
+            for pdf in iterator:
+                rows = [analyze(s or "") for s in pdf["surface"]]
+                out = pdf.copy()
+                out["toks"] = [[t for t, _ in r] for r in rows]
+                out["poss"] = [[p for _, p in r] for r in rows]
+                yield out[[len(r) > 0 for r in rows]]
+
+        self.table = src.mapInPandas(
+            tokenized,
+            schema="surface string, weight long, toks array<string>, poss array<int>",
+        ).persist()
+
+    @staticmethod
+    def _tok_match(full: list[str], prefix: str | None):
+        """Per-token predicate: exact member of ``full`` or startswith
+        ``prefix`` — the union the blended coefficient scan needs."""
+        def pred(tok):
+            cond = F.lit(False)
+            if full:
+                cond = cond | tok.isin(full)
+            if prefix is not None:
+                cond = cond | tok.startswith(prefix)
+            return cond
+
+        return pred
+
+    def _where(self, full: list[str], prefix: str | None, all_required: bool):
+        clauses = [F.array_contains(F.col("toks"), t) for t in full]
+        if prefix is not None:
+            p = prefix
+            clauses.append(
+                F.exists(F.col("toks"), lambda tok: tok.startswith(p))
+            )
+        if not clauses:
+            return F.lit(False)
+        out = clauses[0]
+        for c in clauses[1:]:
+            out = (out & c) if all_required else (out | c)
+        return out
+
+    def lookup(
+        self,
+        key: str,
+        n: int = 5,
+        all_terms_required: bool = True,
+        do_highlight: bool = False,
+    ) -> DataFrame:
+        """Output (surface, weight[, highlighted]) ranked (weight desc,
+        surface asc) — AnalyzingInfixSuggester.DoLookup with the SORT
+        on weight. ``do_highlight`` rebuilds the surface with matched
+        whole tokens wrapped ``<b>tok</b>`` and the prefix portion of
+        prefix-matched tokens wrapped ``<b>pre</b>fix`` (the
+        reference's Highlight/AddWholeMatch/AddPrefixMatch,
+        ``AnalyzingInfixSuggester.cs:708,775,792``)."""
+        full, prefix = suggest_stop_analyze(key)
+        hits = (
+            self.table.where(self._where(full, prefix, all_terms_required))
+            .select("surface", "weight")
+            .orderBy(F.col("weight").desc(), F.col("surface").asc())
+            .limit(n)
+        )
+        if not do_highlight:
+            return hits
+
+        full_set = set(full)
+        pfx = prefix
+
+        def highlighted(iterator):
+            from lucenenet_spark.analysis.analyzer import analyze_offsets
+
+            for pdf in iterator:
+                out_rows = []
+                for text in pdf["surface"]:
+                    sb, upto = [], 0
+                    for tok, _, start, end in analyze_offsets(text or ""):
+                        if upto < start:
+                            sb.append(text[upto:start])
+                            upto = start
+                        elif upto > start:
+                            continue
+                        if tok in full_set:
+                            sb.append("<b>" + text[start:end] + "</b>")
+                            upto = end
+                        elif pfx is not None and tok.startswith(pfx):
+                            cut = start + len(pfx)
+                            sb.append("<b>" + text[start:cut] + "</b>")
+                            sb.append(text[cut:end])
+                            upto = end
+                    sb.append(text[upto:])
+                    out_rows.append("".join(sb))
+                out = pdf.copy()
+                out["highlighted"] = out_rows
+                yield out
+
+        return hits.mapInPandas(
+            highlighted, schema="surface string, weight long, highlighted string"
+        )
+
+    def lookup_blended(
+        self,
+        key: str,
+        n: int = 5,
+        blender: str = "linear",
+        num_factor: int = 10,
+        all_terms_required: bool = True,
+    ) -> DataFrame:
+        """BlendedInfixSuggester two-stage lookup: stage 1 takes the
+        top ``n * num_factor`` hits by raw weight (the reference's
+        ``DoLookup(num * numFactor)``, ``BlendedInfixSuggester.cs:143``),
+        stage 2 re-ranks those by ``score = trunc(weight * coefficient)``
+        with the coefficient from the first matching analyzed position
+        and returns ``n``. Output (surface, weight, first_pos, score).
+
+        The position scan is a row-local array fold (zip toks/poss →
+        filter matching → min position) — no extra join, exactly the
+        term-vector walk of ``CreateCoefficient`` (``:252``) turned
+        into a Column expression."""
+        full, prefix = suggest_stop_analyze(key)
+        stage1 = (
+            self.table.where(self._where(full, prefix, all_terms_required))
+            .orderBy(F.col("weight").desc(), F.col("surface").asc())
+            .limit(n * num_factor)
+        )
+        pred = self._tok_match(full, prefix)
+        zipped = F.arrays_zip(F.col("toks"), F.col("poss"))
+        first_pos = F.array_min(
+            F.transform(
+                F.filter(zipped, lambda s: pred(s["toks"])),
+                lambda s: s["poss"],
+            )
+        ).cast("int")
+        if blender == "linear":
+            coeff = F.lit(1.0) - F.lit(0.10) * F.col("first_pos").cast("double")
+        elif blender == "reciprocal":
+            coeff = F.lit(1.0) / (F.col("first_pos").cast("double") + F.lit(1.0))
+        else:
+            raise ValueError(f"unknown blender: {blender!r}")
+        return (
+            stage1.withColumn("first_pos", first_pos)
+            .withColumn(
+                "score",
+                (F.col("weight").cast("double") * coeff).cast("long"),
+            )
+            .select("surface", "weight", "first_pos", "score")
+            .orderBy(F.col("score").desc(), F.col("surface").asc())
+            .limit(n)
+        )
