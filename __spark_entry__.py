@@ -1338,6 +1338,24 @@ def _q_quality_metrics(spark, sf_dir):
     )
 
 
+def _q_quality_summary(spark, sf_dir):
+    """QualityStats.Average analog: one summary row (MAP, mean P@10,
+    mean MRR, mean NDCG, mean recall) over the judged query set."""
+    from lucenenet_spark.quality import (
+        freq_judgments,
+        quality_metrics,
+        quality_summary,
+    )
+
+    _, s = _searcher(spark, sf_dir)
+    terms = {"q_dup": "dup", "q_spark": "spark"}
+    judg = freq_judgments(s, terms, cap=3)
+    per_q = quality_metrics(
+        s, {qid: TermQuery(term=t) for qid, t in terms.items()}, judg, 10
+    )
+    return quality_summary(per_q)
+
+
 def _q_span_position_range(spark, sf_dir):
     from lucenenet_spark.search import spans as sp
 
@@ -1909,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_term": _q_edge_ngram_term,
         "all_group_heads": _q_all_group_heads,
         "quality_metrics": _q_quality_metrics,
+        "quality_summary": _q_quality_summary,
         "span_position_range": _q_span_position_range,
         "free_text_suggest": _q_free_text_suggest,
         "free_text_suggest3": _q_free_text_suggest3,
@@ -2119,6 +2138,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_ngram_term": osql.edge_ngram_term_sql("spar", 2, 4),
         "all_group_heads": osql.all_group_heads_sql("spark", "lang"),
         "quality_metrics": osql.quality_metrics_sql(
+            {"q_dup": "dup", "q_spark": "spark"}, 10, 3
+        ),
+        "quality_summary": osql.quality_summary_sql(
             {"q_dup": "dup", "q_spark": "spark"}, 10, 3
         ),
         "span_position_range": osql.span_position_range_sql("table", 5, 20),

@@ -2540,7 +2540,10 @@ jd AS (
 {judg}
 ),
 hits AS (
-  SELECT r.query_id, r.rank, coalesce(j.rel, 0) AS rel
+  SELECT r.query_id, r.rank, coalesce(j.rel, 0) AS rel,
+         sum(CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY r.query_id ORDER BY r.rank
+         ) AS good_so_far
   FROM ranked r LEFT JOIN jd j
     ON j.query_id = r.query_id AND j.docid = r.docid
 ),
@@ -2548,10 +2551,18 @@ perq AS (
   SELECT query_id,
          CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE)
            / CAST({k} AS DOUBLE) AS p_at_k,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
          min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
          sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
-             / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+             / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg,
+         sum(CASE WHEN rel > 0 THEN
+               CAST(good_so_far AS DOUBLE) / CAST(rank AS DOUBLE)
+             END) AS prec_sum
   FROM hits GROUP BY query_id
+),
+totals AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS max_good
+  FROM jd WHERE rel > 0 GROUP BY query_id
 ),
 ideal AS (
   SELECT query_id,
@@ -2574,10 +2585,38 @@ SELECT p.query_id,
             THEN 1.0 / CAST(p.first_rel AS DOUBLE) ELSE 0.0 END AS mrr,
        CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
             THEN CAST(CAST(p.dcg / i.idcg AS REAL) AS DOUBLE)
-            ELSE 0.0 END AS ndcg
-FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+            ELSE 0.0 END AS ndcg,
+       CASE WHEN t.max_good IS NOT NULL AND t.max_good > 0
+            THEN CAST(p.n_good AS DOUBLE) / CAST(t.max_good AS DOUBLE)
+            ELSE 0.0 END AS recall,
+       CASE WHEN t.max_good IS NOT NULL AND t.max_good > 0
+                 AND p.prec_sum IS NOT NULL
+            THEN CAST(CAST(p.prec_sum / CAST(t.max_good AS DOUBLE)
+                           AS REAL) AS DOUBLE)
+            ELSE 0.0 END AS avp
+FROM perq p
+LEFT JOIN ideal i ON i.query_id = p.query_id
+LEFT JOIN totals t ON t.query_id = p.query_id
 ORDER BY p.query_id"""
     )
+
+
+def quality_summary_sql(terms: dict[str, str], k: int = 10, cap: int = 3) -> str:
+    """QualityStats.Average mirror: wrap quality_metrics_sql and
+    average every per-query metric (MAP = mean avp), float32-truncated
+    like the engine."""
+    inner = quality_metrics_sql(terms, k, cap)
+    return f"""
+WITH perq AS (
+{inner}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(CAST(avg(avp) AS REAL) AS DOUBLE) AS map,
+       CAST(CAST(avg(p_at_k) AS REAL) AS DOUBLE) AS mean_p_at_k,
+       CAST(CAST(avg(mrr) AS REAL) AS DOUBLE) AS mean_mrr,
+       CAST(CAST(avg(ndcg) AS REAL) AS DOUBLE) AS mean_ndcg,
+       CAST(CAST(avg(recall) AS REAL) AS DOUBLE) AS mean_recall
+FROM perq"""
 
 
 def free_text_suggest_sql(

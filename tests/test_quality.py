@@ -58,6 +58,29 @@ def test_quality_metrics_hand_computed(qs, spark):
     idcg = dcg  # ideal ordering equals actual here
     assert r.ndcg == pytest.approx(dcg / idcg)
     assert r.ndcg == 1.0
+    # 2 of 2 judged-relevant docs retrieved -> recall 1
+    assert r.recall == 1.0
+    # AvP: relevant at ranks 1,2 -> (1/1 + 2/2) / maxGood(2) = 1
+    assert r.avp == 1.0
+
+
+def test_avp_recall_partial(qs, spark):
+    """GetAvp with a miss: judge doc1 and the never-retrieved doc3
+    relevant; retrieved ranking is doc0(rel0), doc1(rel1), doc2(rel0)
+    -> AvP = (1/2) / 2, recall = 1/2."""
+    from lucenenet_spark.quality import quality_metrics, quality_summary
+
+    judg = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 2)], "query_id string, docid long, rel int"
+    )
+    per_q = quality_metrics(qs, {"q": TermQuery(term="spark")}, judg, 3)
+    r = per_q.collect()[0]
+    assert r.recall == pytest.approx(0.5)
+    assert r.avp == pytest.approx((1.0 / 2.0) / 2.0)
+    s = quality_summary(per_q).collect()[0]
+    assert s.n_queries == 1
+    assert s.map == pytest.approx(r.avp)
+    assert s.mean_recall == pytest.approx(0.5)
 
 
 def test_quality_metrics_no_relevant(qs):
@@ -69,3 +92,4 @@ def test_quality_metrics_no_relevant(qs):
     r = quality_metrics(qs, {"q": TermQuery(term="spark")}, judg, 3).collect()[0]
     # doc 3 is judged relevant but never retrieved
     assert r.p_at_k == 0.0 and r.mrr == 0.0 and r.ndcg == 0.0
+    assert r.recall == 0.0 and r.avp == 0.0
