@@ -1474,6 +1474,19 @@ def _q_highlight_snippets(spark, sf_dir):
     )
 
 
+def _q_postings_highlight(spark, sf_dir):
+    """PostingsHighlighter analog: top-2 PassageScorer-ranked sentence
+    passages per top-10 hit of OR(table, hash)."""
+    _, s = _searcher(spark, sf_dir)
+    q = BooleanQuery.of(
+        (TermQuery(term="table"), Occur.SHOULD), (TermQuery(term="hash"), Occur.SHOULD)
+    )
+    return coll.postings_highlight(
+        s, q, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        k=10, max_passages=2,
+    )
+
+
 def _q_drill_sideways(spark, sf_dir):
     _, s = _searcher(spark, sf_dir)
     return coll.drill_sideways(
@@ -1891,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_children": _q_block_join_children,
         "classic_phrase_query": _q_classic_phrase,
         "highlight_snippets": _q_highlight_snippets,
+        "postings_highlight": _q_postings_highlight,
         "lm_term_query": _q_lm_term,
         "dfr_term_query": _q_dfr_term,
         "nb_classify": _q_nb_classify,
@@ -2213,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": oosql.domain_cap_sql(10),
         "highlight": osql.highlight_sql("table", "hash", 10, 10),
         "highlight_snippets": osql.highlight_snippets_sql("table", "hash", 10, 10),
+        "postings_highlight": osql.postings_highlight_sql("table", "hash", 10, 2),
         "facet_ranges": osql.facet_ranges_sql(
             "spark", [("short", 0, 20), ("mid", 20, 40), ("long", 40, 100000)]
         ),

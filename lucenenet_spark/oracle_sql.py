@@ -3595,3 +3595,107 @@ SELECT rank, docid, score,
        ({doc_budget} < (SELECT max_doc FROM cstats)) AS partial
 FROM ranked"""
     )
+
+
+def postings_highlight_sql(
+    t0: str,
+    t1: str,
+    k: int = K,
+    max_passages: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 87.0,
+) -> str:
+    """Mirror of collectors.postings_highlight (PassageScorer formulas)
+    for OR(t0, t1): sentence chunks + char starts reproduced with the
+    same regex, weight/tf/norm float32-truncated at the same nodes,
+    weighted sum folded in sorted-term order."""
+    from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN, _sql_quote_regex
+
+    tok_re = _sql_quote_regex(TOKEN_PATTERN)
+    sent_re = "[^.!?]*[.!?]+|[^.!?]+"
+    ts = sorted({t0.lower(), t1.lower()})
+    kp1 = repr(float(k1) + 1.0)
+    one_minus_b = repr(1.0 - float(b))
+    bl, pv = repr(float(b)), repr(float(pivot))
+
+    def tf_expr(i, t):
+        n = (
+            f"CAST(len(list_filter(regexp_extract_all(lower(passage), '{tok_re}'),"
+            f" x -> x = '{t}')) AS DOUBLE)"
+        )
+        return (
+            f"CAST(CAST({n} / ({n} + {repr(float(k1))} * ({one_minus_b}"
+            f" + ({bl} * CAST(length(passage) AS DOUBLE)) / {pv})) AS REAL)"
+            f" AS DOUBLE) AS tf{i},\n         {n} AS n{i}"
+        )
+
+    tf_cols = ",\n         ".join(tf_expr(i, t) for i, t in enumerate(ts))
+    w_cases = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN w END) AS w{i}" for i, t in enumerate(ts)
+    )
+    total = " + ".join(f"coalesce(wp.w{i}, 0.0) * s.tf{i}" for i in range(len(ts)))
+    any_hit = " OR ".join(f"s.n{i} > 0" for i in range(len(ts)))
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + f""",
+merged AS (
+  SELECT coalesce(c0.docid, c1.docid) AS docid,
+         ({_f32_lit(0.0)} + coalesce(c0.s, {_f32_lit(0.0)}))
+           + coalesce(c1.s, {_f32_lit(0.0)}) AS s
+  FROM c0 FULL OUTER JOIN c1 ON c0.docid = c1.docid
+),
+top AS (SELECT docid FROM merged ORDER BY s DESC, docid ASC LIMIT {k}),
+texts AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS docid, d.text
+  FROM documents d JOIN top ON top.docid = d.doc_id
+),
+wt AS (
+  SELECT p.docid, p.term,
+         CAST(CAST({kp1} * ln(1.0 + ((1.0 + CAST(length(t.text) AS DOUBLE) / {pv})
+                + 0.5) / (CAST(p.freq AS DOUBLE) + 0.5)) AS REAL) AS DOUBLE) AS w
+  FROM postings p JOIN texts t ON t.docid = p.docid
+  WHERE p.term IN ({', '.join(f"'{t}'" for t in ts)})
+),
+wp AS (
+  SELECT docid,
+         {w_cases}
+  FROM wt GROUP BY docid
+),
+sent0 AS (
+  SELECT docid, arr, unnest(range(1, len(arr) + 1)) AS snum
+  FROM (SELECT docid, regexp_extract_all(text, '{sent_re}') AS arr FROM texts)
+),
+sent AS (
+  SELECT docid, snum, arr[snum] AS passage,
+         CAST(coalesce(sum(length(arr[snum])) OVER (
+           PARTITION BY docid ORDER BY snum
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS pstart
+  FROM sent0
+),
+scored AS (
+  SELECT s.docid, s.pstart, s.passage,
+         CAST(CAST(
+           CAST(CAST(1.0 + 1.0 / ln({pv} + CAST(s.pstart AS DOUBLE)) AS REAL) AS DOUBLE)
+           * ({total}) AS REAL) AS DOUBLE) AS score
+  FROM (
+    SELECT docid, snum, passage, pstart,
+         {tf_cols}
+    FROM sent
+  ) s JOIN wp ON wp.docid = s.docid
+  WHERE {any_hit}
+),
+ranked AS (
+  SELECT docid, pstart, passage, score,
+         CAST(row_number() OVER (
+           PARTITION BY docid ORDER BY score DESC, pstart ASC
+         ) AS BIGINT) AS passage_rank
+  FROM scored
+)
+SELECT docid, passage_rank, pstart, score, passage
+FROM ranked WHERE passage_rank <= {max_passages}
+ORDER BY docid, passage_rank"""
+    )

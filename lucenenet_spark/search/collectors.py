@@ -1134,3 +1134,140 @@ def time_limited_topk(
         F.col("score").cast("double").alias("score"),
         F.lit(partial).alias("partial"),
     )
+
+
+# Sentence-chunk regex for passage highlighting: a run without
+# terminators followed by its terminators, or a trailing fragment.
+# Same leftmost-first semantics in Java regex (engine) and RE2
+# (DuckDB oracle), so passage boundaries match bit-for-bit.
+SENTENCE_PATTERN = r"[^.!?]*[.!?]+|[^.!?]+"
+
+
+def postings_highlight(
+    searcher: IndexSearcher,
+    query: Query,
+    source_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_passages: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 87.0,
+) -> DataFrame:
+    """PostingsHighlighter role (``Highlighter/PostingsHighlight/
+    PostingsHighlighter.cs``): split each top-k hit's text into
+    sentence passages and rank passages as miniature documents with
+    the reference's exact PassageScorer formulas
+    (``PassageScorer.cs:77-111``):
+
+    - ``weight(term) = (k1+1) * ln(1 + (numDocs+0.5)/(ttf+0.5))``
+      with ``numDocs = 1 + contentLength/pivot`` (char-length proxy)
+    - ``tf(freq, plen) = freq / (freq + k1*((1-b) + b*plen/pivot))``
+    - ``norm(start) = 1 + 1/ln(pivot + start)``
+    - passage score = ``norm * Σ_terms weight * tf``
+
+    Transcendentals are float32-truncated at each node so the oracle's
+    libm cannot flip the hash; the weighted sum folds in sorted-term
+    order on both engines.
+
+    All JVM Column ops — sentence split, offsets, per-passage tf —
+    run on exactly the k hit documents (broadcast semi-join), so the
+    stage is O(k · doc_length) regardless of corpus size. Output:
+    (docid, passage_rank, pstart, score, passage).
+    """
+    from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN
+
+    top_ids = [
+        int(r["docid"]) for r in searcher.search_df(query, k).select("docid").collect()
+    ]
+    spark = searcher.index.docs.sparkSession
+    empty = "docid long, passage_rank long, pstart long, score double, passage string"
+    if not top_ids:
+        return spark.createDataFrame([], empty)
+    terms = sorted({t.lower() for t in query.terms()})
+    want = spark.createDataFrame([(d,) for d in top_ids], "docid long")
+
+    def f32(c):
+        return c.cast("float").cast("double")
+
+    texts = source_docs.select(
+        F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("__text")
+    ).join(F.broadcast(want), "docid", "left_semi")
+
+    # per-(doc,term) importance from DOC-level stats (postings tf +
+    # char length): term-IN pushdown on the postings scan, k-doc semi
+    ttf = (
+        searcher.index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(want), "docid", "left_semi")
+        .select("docid", "term", F.col("freq").alias("ttf"))
+    )
+    num_docs = F.lit(1.0) + F.col("clen").cast("double") / F.lit(float(pivot))
+    weight = f32(
+        F.lit(float(k1 + 1.0))
+        * F.log(
+            F.lit(1.0)
+            + (num_docs + F.lit(0.5)) / (F.col("ttf").cast("double") + F.lit(0.5))
+        )
+    )
+    wtab = (
+        texts.select("docid", F.length("__text").alias("clen"))
+        .join(ttf, "docid")
+        .select("docid", "term", weight.alias("w"))
+    )
+    wcols = (
+        wtab.groupBy("docid")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, F.col("w"))).alias(f"__w{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+
+    sent = texts.select(
+        "docid",
+        F.posexplode(
+            F.regexp_extract_all(F.col("__text"), F.lit(SENTENCE_PATTERN), F.lit(0))
+        ).alias("snum", "passage"),
+    )
+    ow = (
+        Window.partitionBy("docid")
+        .orderBy("snum")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sent = sent.withColumn(
+        "pstart", F.coalesce(F.sum(F.length("passage")).over(ow), F.lit(0)).cast("long")
+    )
+    toks = F.regexp_extract_all(F.lower("passage"), F.lit(TOKEN_PATTERN), F.lit(0))
+    plen = F.length("passage").cast("double")
+    tf_norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * plen / F.lit(float(pivot))
+    )
+    for i, t in enumerate(terms):
+        freq = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        sent = sent.withColumn(
+            f"__tf{i}", f32(freq / (freq + tf_norm))
+        ).withColumn(f"__n{i}", freq)
+    norm = f32(
+        F.lit(1.0)
+        + F.lit(1.0) / F.log(F.lit(float(pivot)) + F.col("pstart").cast("double"))
+    )
+    scored = sent.join(F.broadcast(wcols), "docid")
+    total = None
+    any_hit = None
+    for i in range(len(terms)):
+        part = F.coalesce(F.col(f"__w{i}"), F.lit(0.0)) * F.col(f"__tf{i}")
+        total = part if total is None else total + part
+        hit = F.col(f"__n{i}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    scored = scored.where(any_hit).withColumn("score", f32(norm * total))
+    rw = Window.partitionBy("docid").orderBy(
+        F.col("score").desc(), F.col("pstart").asc()
+    )
+    return (
+        scored.withColumn("passage_rank", F.row_number().over(rw).cast("long"))
+        .where(F.col("passage_rank") <= max_passages)
+        .select("docid", "passage_rank", "pstart", "score", "passage")
+        .orderBy("docid", "passage_rank")
+    )

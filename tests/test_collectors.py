@@ -244,3 +244,60 @@ def test_time_limited_topk_prefix_and_partial_flag(searcher):
     done = coll.time_limited_topk(s, q, doc_budget=10**9, k=1000).collect()
     assert {r.docid for r in done} == set(full)
     assert all(r.partial is False for r in done)
+
+
+def test_postings_highlight_passages(spark, searcher, corpus_rows):
+    """PostingsHighlighter analog: passages are exact char slices of
+    the source text, every passage contains a query term, and the
+    top passage's score reproduces PassageScorer.Weight/Tf/Norm."""
+    import re
+
+    import numpy as np
+
+    from lucenenet_spark.analysis.analyzer import TOKEN_PATTERN
+
+    src = sorted(corpus_rows, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    ordered = spark.createDataFrame(
+        [{"doc_id": i, "text": r["content"]} for i, r in enumerate(src)]
+    )
+    q = BooleanQuery.of(
+        (TermQuery(term="return"), Occur.SHOULD),
+        (TermQuery(term="value"), Occur.SHOULD),
+    )
+    rows = coll.postings_highlight(
+        searcher, q, ordered, text_col="text", id_col="doc_id",
+        k=5, max_passages=2,
+    ).collect()
+    assert rows
+    texts = {i: r["content"] for i, r in enumerate(src)}
+    tok = re.compile(TOKEN_PATTERN, re.ASCII)
+    k1, b, pivot = 1.2, 0.75, 87.0
+    for r in rows:
+        text = texts[r["docid"]]
+        # exact char slice: the passage starts at pstart in the source
+        assert text[r["pstart"]:r["pstart"] + len(r["passage"])] == r["passage"]
+        low = r["passage"].lower()
+        toks = tok.findall(low)
+        assert ("return" in toks) or ("value" in toks)
+        assert r["passage_rank"] in (1, 2)
+        # recompute the PassageScorer score (float32-truncated nodes)
+        full = text
+        score = np.float64(0.0)
+        for t in ("return", "value"):
+            ttf = tok.findall(full.lower()).count(t)
+            if ttf == 0:
+                continue
+            num_docs = 1.0 + len(full) / pivot
+            w = np.float32((k1 + 1.0) * np.log(1.0 + (num_docs + 0.5) / (ttf + 0.5)))
+            n = float(toks.count(t))
+            tf = np.float32(n / (n + k1 * ((1 - b) + b * len(r["passage"]) / pivot)))
+            score += np.float64(w) * np.float64(tf)
+        norm = np.float32(1.0 + 1.0 / np.log(pivot + r["pstart"]))
+        assert np.float32(np.float64(norm) * score) == np.float32(r["score"])
+    # per-doc ranking: rank-1 score >= rank-2 score
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["docid"], {})[r["passage_rank"]] = r["score"]
+    for ranks in by_doc.values():
+        if 2 in ranks:
+            assert ranks[1] >= ranks[2]
