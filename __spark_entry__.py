@@ -1547,6 +1547,19 @@ def _q_fuzzy_suggest(spark, sf_dir):
     return _analyzing_suggester(spark, sf_dir).fuzzy_lookup("marge", n=5, max_edits=1)
 
 
+def _q_doc_value_suggest(spark, sf_dir):
+    """DocumentValueSourceDictionary role: suggester weight computed
+    per document by an expression instead of a stored field."""
+    from lucenenet_spark.search.suggest import AnalyzingSuggester
+
+    entries = _docs(spark, sf_dir).select(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias("surface"),
+        (F.col("n_chars").cast("long") * 2 + F.col("doc_id").cast("long") % 97
+         ).alias("w"),
+    )
+    return AnalyzingSuggester(entries, "surface", F.col("w")).lookup("merge", n=5)
+
+
 def _infix_suggester(spark, sf_dir):
     from lucenenet_spark.search.suggest import AnalyzingInfixSuggester
 
@@ -1919,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_spl_term_query": _q_ib_spl_term,
         "analyzing_suggest": _q_analyzing_suggest,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "doc_value_suggest": _q_doc_value_suggest,
         "infix_suggest": _q_infix_suggest,
         "infix_suggest_any": _q_infix_suggest_any,
         "infix_suggest_highlight": _q_infix_suggest_highlight,
@@ -2238,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest": osql.suggest_sql("sparc", 5, 2, 1),
         "prefix_suggest": osql.prefix_suggest_sql("s", 5),
         "analyzing_suggest": osql.analyzing_suggest_sql("merge", 5),
+        "doc_value_suggest": osql.doc_value_suggest_sql("merge", 5),
         "fuzzy_suggest": osql.fuzzy_suggest_sql("marge", 5, 1),
         # infix keys pre-analyzed with suggest_stop_analyze:
         #   "sort ta" -> (["sort"], "ta"); "merge window " -> (["merge",

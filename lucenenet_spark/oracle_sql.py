@@ -1168,10 +1168,14 @@ ORDER BY df DESC, term ASC LIMIT {max_suggestions}"""
     )
 
 
-def _analyzing_keys_cte(surface_chars: int = 40) -> str:
+def _analyzing_keys_cte(
+    surface_chars: int = 40, weight_sql: str = "CAST(d.n_chars AS BIGINT)"
+) -> str:
     """CTE ``keys(surface, key, weight)``: surfaces = the documents'
     leading chars, key = space-joined analyzed tokens (the
-    AnalyzingSuggester key function), weight = n_chars."""
+    AnalyzingSuggester key function), weight = ``weight_sql`` (a
+    stored field for DocumentDictionary, any per-doc expression for
+    DocumentValueSourceDictionary)."""
     tok = duckdb_token_sql(
         "documents", "doc_id", f"substring(text, 1, {surface_chars})",
         with_positions=True,
@@ -1182,9 +1186,23 @@ keys AS (
   SELECT substring(d.text, 1, {surface_chars}) AS surface,
          coalesce((SELECT string_agg(t.term, ' ' ORDER BY t.pos)
                    FROM tok t WHERE t.docid = d.doc_id), '') AS key,
-         CAST(d.n_chars AS BIGINT) AS weight
+         {weight_sql} AS weight
   FROM documents d
 )"""
+
+
+def doc_value_suggest_sql(prefix_key: str, n: int = 5) -> str:
+    """DocumentValueSourceDictionary mirror: same lookup as
+    analyzing_suggest but weight = a computed per-doc expression."""
+    return (
+        _analyzing_keys_cte(
+            weight_sql="CAST(d.n_chars * 2 + d.doc_id % 97 AS BIGINT)"
+        )
+        + f"""
+SELECT surface, key, weight FROM keys
+WHERE key != '' AND starts_with(key, '{prefix_key}')
+ORDER BY weight DESC, surface ASC LIMIT {n}"""
+    )
 
 
 def analyzing_suggest_sql(prefix_key: str, n: int = 5) -> str:

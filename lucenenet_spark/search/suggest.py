@@ -74,12 +74,18 @@ class AnalyzingSuggester:
     same-length prefix (the automaton's edit budget applied to the
     analyzed form, not the surface)."""
 
-    def __init__(self, entries: DataFrame, surface_col: str, weight_col: str):
+    def __init__(self, entries: DataFrame, surface_col: str, weight_col):
+        """``weight_col`` may be a column NAME (DocumentDictionary,
+        ``Suggest/DocumentDictionary.cs:40`` — weight from a stored
+        field) or a Column EXPRESSION (DocumentValueSourceDictionary,
+        ``Suggest/DocumentValueSourceDictionary.cs:36`` — weight
+        computed per document by a ValueSource)."""
         import pandas as pd
 
+        wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
         src = entries.select(
             F.col(surface_col).alias("surface"),
-            F.col(weight_col).cast("long").alias("weight"),
+            wcol.cast("long").alias("weight"),
         )
 
         def keyed(iterator):
