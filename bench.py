@@ -99,6 +99,23 @@ def main() -> None:
         per_query[name] = round(min(runs), 4)
         suite_sec += min(runs)
 
+    # span family rides the same per-bucket block-grouped plan as
+    # phrase; benched since round 3 (round-2 VERDICT flagged the old
+    # full-index-decode span plan as the unbenched scale-killer)
+    from lucenenet_spark.search import spans as sp
+
+    span_q = sp.SpanNearQuery(
+        (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")),
+        slop=2, in_order=True,
+    )
+    runs = []
+    for _ in range(N_ITER):
+        t = time.perf_counter()
+        sp.span_query(searcher, span_q).collect()
+        runs.append(time.perf_counter() - t)
+    per_query["span_near"] = round(min(runs), 4)
+    suite_sec += min(runs)
+
     ests = sorted(per_query.values())
     p95 = ests[min(int(len(ests) * 0.95), len(ests) - 1)]
 

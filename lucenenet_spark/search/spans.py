@@ -413,6 +413,40 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
                 (t, u, np.searchsorted(u, bases),
                  np.searchsorted(u, bases + SHIFT))
             )
+        # 2-term ordered fast walk (the phrase scorer's idiom): a
+        # valid start p1 is one whose MINIMAL same-doc successor
+        # p2 >= p1+1 satisfies p2 - p1 - 1 <= slop (greedy minimizes
+        # the chain end, so "greedy fits" <=> "some chain fits" —
+        # identical to _enumerate's per-start spec). One searchsorted
+        # over the doc-encoded global position arrays replaces the
+        # per-doc Python loop; n_spans = valid starts per doc.
+        if (
+            not scored
+            and isinstance(qq, SpanNearQuery)
+            and qq.in_order
+            and len(qq.clauses) == 2
+            and all(isinstance(c, SpanTermQuery) for c in qq.clauses)
+        ):
+            tu = {t: u for t, u, _, _ in unions}
+            g1 = tu.get(qq.clauses[0].term)
+            g2 = tu.get(qq.clauses[1].term)
+            if g1 is None or g2 is None or g1.size == 0 or g2.size == 0:
+                return empty
+            nxt = np.searchsorted(g2, g1 + 1)
+            ok = nxt < g2.size
+            p2 = g2[np.minimum(nxt, g2.size - 1)]
+            valid = (
+                ok
+                & ((p2 // SHIFT) == (g1 // SHIFT))
+                & (p2 - g1 - 1 <= qq.slop)
+            )
+            if not valid.any():
+                return empty
+            vd, vc = np.unique(g1[valid] // SHIFT, return_counts=True)
+            return pd.DataFrame(
+                {"docid": vd.astype(np.int64), "n_spans": vc.astype(np.int64)}
+            )
+
         docs_out: list[int] = []
         vals: list = []
         for j, doc in enumerate(cand):
