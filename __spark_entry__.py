@@ -576,6 +576,21 @@ def _code_searcher(spark, sf_dir) -> IndexSearcher:
     return _CODE_CACHE[key]
 
 
+def _q_limit_tokens_term(spark, sf_dir):
+    """LimitTokenCountFilter role: index only the first 64 emitted
+    tokens per doc; scores reflect both the truncated tf AND the
+    truncated norms."""
+    key = ("limit64", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        idx = build_index(
+            spark, corpus,
+            CorpusSpec(text_col="text", id_col="doc_id", max_tokens=64),
+        ).cache()
+        _CODE_CACHE[key] = IndexSearcher(idx)
+    return _ranked(_CODE_CACHE[key].search_df(TermQuery(term="table"), 10))
+
+
 def _q_code_term(spark, sf_dir):
     """TermQuery('usr') hits docs only via sub-word splits — 'usr'
     never appears as a standalone word in the raw identifiers."""
@@ -1959,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_position_range": _q_span_position_range,
         "free_text_suggest": _q_free_text_suggest,
         "free_text_suggest3": _q_free_text_suggest3,
+        "limit_tokens_term": _q_limit_tokens_term,
         "code_term_query": _q_code_term,
         "code_phrase_query": _q_code_phrase,
         "sweetspot_term_query": _q_sweetspot_term,
@@ -2174,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "span_position_range": osql.span_position_range_sql("table", 5, 20),
         "free_text_suggest": osql.free_text_suggest_sql(["table"], "ha", 5, 2),
         "free_text_suggest3": osql.free_text_suggest_sql(["value", "table"], "", 5, 3),
+        "limit_tokens_term": osql.limit_tokens_term_query_sql("table", 64),
         "code_term_query": osql.code_term_query_sql("usr"),
         "code_phrase_query": osql.code_phrase_query_sql("get", "set"),
         "sweetspot_term_query": osql.sweetspot_term_query_sql(

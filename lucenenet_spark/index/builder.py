@@ -146,6 +146,14 @@ class CorpusSpec:
     # shingles (it is a text transform, not a token filter). NOTE:
     # content_sha256 is then computed over the TRANSFORMED text.
     code: bool = False
+    # LimitTokenCountFilter role (Analysis/Miscellaneous/
+    # LimitTokenCountFilter.cs:29, consumeAllTokens=false): index only
+    # the first N EMITTED tokens per document (post stop-filter, gaps
+    # preserved); field_length/norms count the kept tokens. The
+    # canonical 100 TB use: cap pathological documents so one giant
+    # doc cannot skew a partition's posting payload. Composes with
+    # stem; exclusive with the stream-shaping filters.
+    max_tokens: "int | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -314,6 +322,7 @@ class _SegmentWriter:
         payload_delim: "str | None" = None,
         common_grams: bool = False,
         ngram=None,
+        max_tokens: "int | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -345,6 +354,9 @@ class _SegmentWriter:
         self.ngram = ngram
         if ngram is not None and (synonyms or shingle_size or edge_ngram or reverse or payload_delim or common_grams):
             raise ValueError("ngram replaces the token stream; it cannot combine with the other stream-shaping filters")
+        self.max_tokens = max_tokens
+        if max_tokens is not None and (cjk or synonyms or shingle_size or edge_ngram or reverse or payload_delim or common_grams or ngram):
+            raise ValueError("max_tokens truncates the base emitted stream; it composes with stem only")
         # term -> (docids, freqs, norm_bytes, positions-per-doc,
         #          payloads-per-doc or None)
         self.terms: dict[str, tuple[list, list, list, list, list]] = {}
@@ -375,6 +387,10 @@ class _SegmentWriter:
                 # field_length counts BASE tokens only — injected synonyms
                 # are posIncrement-0 overlaps, discounted from norms
                 # (discountOverlaps, BM25Similarity.cs:133)
+                if self.max_tokens is not None and len(pairs) > self.max_tokens:
+                    # LimitTokenCountFilter: keep the first N emitted
+                    # tokens; norms count what was indexed
+                    pairs = pairs[: self.max_tokens]
                 fls[i] = len(pairs)
             if self.edge_ngram is not None:
                 lo, hi = self.edge_ngram
@@ -518,13 +534,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -828,6 +844,13 @@ def build_index(
     spec = spec or CorpusSpec()
     if spec.stem and spec.cjk:  # fail on the driver, not inside workers
         raise ValueError("stem and cjk analyzers are mutually exclusive")
+    if spec.max_tokens is not None and (
+        spec.cjk or spec.synonyms or spec.shingle_size or spec.edge_ngram
+        or spec.reverse or spec.payload_delim or spec.common_grams or spec.ngram
+    ):
+        raise ValueError(
+            "max_tokens truncates the base emitted stream; it composes with stem only"
+        )
     if spec.ascii_fold:
         from lucenenet_spark.analysis.folding import fold_col
 
@@ -855,7 +878,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens),
             schema=schema,
         )
     else:
@@ -867,7 +890,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -62,6 +62,7 @@ def bm25_prelude(
     edge_ngram: tuple[int, int] | None = None,
     ngram: tuple[int, int] | None = None,
     source: str = "documents",
+    limit_tokens: int | None = None,
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
@@ -157,6 +158,19 @@ tok AS (
   )
 )"""
         doclen_src = "tok_base"
+    elif limit_tokens is not None:
+        # LimitTokenCountFilter mirror: keep the first N EMITTED
+        # tokens (emission order = pos order, stop-gaps preserved);
+        # doc length counts the kept tokens
+        tok_ctes = f"""tok_all AS ({tok}),
+tok AS (
+  SELECT docid, term, pos FROM (
+    SELECT docid, term, pos,
+           row_number() OVER (PARTITION BY docid ORDER BY pos) AS emit
+    FROM tok_all
+  ) WHERE emit <= {limit_tokens}
+)"""
+        doclen_src = "tok"
     else:
         tok_ctes = f"tok AS ({tok})"
         doclen_src = "tok"
@@ -278,6 +292,18 @@ def corpus_stats_sql() -> str:
 def term_query_sql(term: str, k: int = K, source: str = "documents") -> str:
     return (
         bm25_prelude(source=source)
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def limit_tokens_term_query_sql(term: str, n_tokens: int, k: int = K) -> str:
+    """TermQuery over a LimitTokenCountFilter index: only the first
+    ``n_tokens`` emitted tokens per doc are searchable, and norms
+    reflect the truncated length."""
+    return (
+        bm25_prelude(limit_tokens=n_tokens)
         + ",\n"
         + _term_scores_cte("t0", term)
         + _topk("t0", k)

@@ -88,3 +88,33 @@ def test_content_sha256_per_row(spark_index, corpus_rows):
     rows = spark_index.docs.select("docid", "content_sha256").orderBy("docid").collect()
     for r, src in zip(rows, corpus_rows):
         assert r["content_sha256"] == hashlib.sha256(src["content"].encode()).hexdigest()
+
+
+def test_limit_token_count(spark):
+    """LimitTokenCountFilter (max_tokens): a term emitted only beyond
+    the cap is unsearchable; norms count the kept tokens."""
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search.queries import TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    text = " ".join(["alpha"] * 10) + " needle " + " ".join(["beta"] * 5)
+    rows = [("r", "a", "c", text), ("r", "b", "c", "needle early " + "pad " * 20)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    spec = CorpusSpec(order_cols=("repo", "path", "commit"), max_tokens=8)
+    s = IndexSearcher(build_index(spark, df, spec).cache())
+    # doc0's 'needle' is the 11th emitted token -> truncated away;
+    # doc1's is first -> kept
+    hits = [h.docid for h in s.search(TermQuery(term="needle"), 10)]
+    assert hits == [1]
+    # field_length reflects the cap
+    fls = {r["docid"]: r["field_length"] for r in s.index.docs.collect()}
+    assert fls == {0: 8, 1: 8}
+    # exclusivity guard
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_index(spark, df, CorpusSpec(
+            order_cols=("repo", "path", "commit"), max_tokens=8, reverse=True
+        ))
