@@ -591,6 +591,20 @@ def _q_limit_tokens_term(spark, sf_dir):
     return _ranked(_CODE_CACHE[key].search_df(TermQuery(term="table"), 10))
 
 
+def _q_length_filter_term(spark, sf_dir):
+    """LengthFilter role: index only tokens of length 4-8 (position
+    gaps preserved); norms count the kept tokens."""
+    key = ("len48", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        idx = build_index(
+            spark, corpus,
+            CorpusSpec(text_col="text", id_col="doc_id", token_length=(4, 8)),
+        ).cache()
+        _CODE_CACHE[key] = IndexSearcher(idx)
+    return _ranked(_CODE_CACHE[key].search_df(TermQuery(term="table"), 10))
+
+
 def _q_code_term(spark, sf_dir):
     """TermQuery('usr') hits docs only via sub-word splits — 'usr'
     never appears as a standalone word in the raw identifiers."""
@@ -1975,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "free_text_suggest": _q_free_text_suggest,
         "free_text_suggest3": _q_free_text_suggest3,
         "limit_tokens_term": _q_limit_tokens_term,
+        "length_filter_term": _q_length_filter_term,
         "code_term_query": _q_code_term,
         "code_phrase_query": _q_code_phrase,
         "sweetspot_term_query": _q_sweetspot_term,
@@ -2191,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "free_text_suggest": osql.free_text_suggest_sql(["table"], "ha", 5, 2),
         "free_text_suggest3": osql.free_text_suggest_sql(["value", "table"], "", 5, 3),
         "limit_tokens_term": osql.limit_tokens_term_query_sql("table", 64),
+        "length_filter_term": osql.length_filter_term_query_sql("table", 4, 8),
         "code_term_query": osql.code_term_query_sql("usr"),
         "code_phrase_query": osql.code_phrase_query_sql("get", "set"),
         "sweetspot_term_query": osql.sweetspot_term_query_sql(

@@ -154,6 +154,13 @@ class CorpusSpec:
     # doc cannot skew a partition's posting payload. Composes with
     # stem; exclusive with the stream-shaping filters.
     max_tokens: "int | None" = None
+    # LengthFilter role (Analysis/Miscellaneous/LengthFilter.cs:30,
+    # enablePositionIncrements=true): keep only tokens whose length is
+    # in [min, max]; removed tokens leave POSITION GAPS (unlike the
+    # built-in 255-char tokenizer cap, which drops before numbering).
+    # norms count kept tokens. Applied before max_tokens. Composes
+    # with stem; exclusive with the stream-shaping filters.
+    token_length: "tuple[int, int] | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -323,6 +330,7 @@ class _SegmentWriter:
         common_grams: bool = False,
         ngram=None,
         max_tokens: "int | None" = None,
+        token_length: "tuple[int, int] | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -357,6 +365,9 @@ class _SegmentWriter:
         self.max_tokens = max_tokens
         if max_tokens is not None and (cjk or synonyms or shingle_size or edge_ngram or reverse or payload_delim or common_grams or ngram):
             raise ValueError("max_tokens truncates the base emitted stream; it composes with stem only")
+        self.token_length = token_length
+        if token_length is not None and (cjk or synonyms or shingle_size or edge_ngram or reverse or payload_delim or common_grams or ngram):
+            raise ValueError("token_length filters the base emitted stream; it composes with stem only")
         # term -> (docids, freqs, norm_bytes, positions-per-doc,
         #          payloads-per-doc or None)
         self.terms: dict[str, tuple[list, list, list, list, list]] = {}
@@ -387,6 +398,11 @@ class _SegmentWriter:
                 # field_length counts BASE tokens only — injected synonyms
                 # are posIncrement-0 overlaps, discounted from norms
                 # (discountOverlaps, BM25Similarity.cs:133)
+                if self.token_length is not None:
+                    # LengthFilter: drop out-of-range tokens, keep
+                    # their position gaps; norms count kept tokens
+                    lo, hi = self.token_length
+                    pairs = [(t, p) for t, p in pairs if lo <= len(t) <= hi]
                 if self.max_tokens is not None and len(pairs) > self.max_tokens:
                     # LimitTokenCountFilter: keep the first N emitted
                     # tokens; norms count what was indexed
@@ -534,13 +550,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -851,6 +867,13 @@ def build_index(
         raise ValueError(
             "max_tokens truncates the base emitted stream; it composes with stem only"
         )
+    if spec.token_length is not None and (
+        spec.cjk or spec.synonyms or spec.shingle_size or spec.edge_ngram
+        or spec.reverse or spec.payload_delim or spec.common_grams or spec.ngram
+    ):
+        raise ValueError(
+            "token_length filters the base emitted stream; it composes with stem only"
+        )
     if spec.ascii_fold:
         from lucenenet_spark.analysis.folding import fold_col
 
@@ -878,7 +901,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length),
             schema=schema,
         )
     else:
@@ -890,7 +913,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -63,6 +63,7 @@ def bm25_prelude(
     ngram: tuple[int, int] | None = None,
     source: str = "documents",
     limit_tokens: int | None = None,
+    length_range: tuple[int, int] | None = None,
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
@@ -158,17 +159,27 @@ tok AS (
   )
 )"""
         doclen_src = "tok_base"
-    elif limit_tokens is not None:
-        # LimitTokenCountFilter mirror: keep the first N EMITTED
-        # tokens (emission order = pos order, stop-gaps preserved);
-        # doc length counts the kept tokens
-        tok_ctes = f"""tok_all AS ({tok}),
-tok AS (
+    elif limit_tokens is not None or length_range is not None:
+        # LengthFilter mirror (out-of-range tokens dropped, position
+        # gaps kept) then LimitTokenCountFilter mirror (first N of the
+        # KEPT stream); doc length counts what survived both
+        lf = (
+            f"WHERE length(term) BETWEEN {length_range[0]} AND {length_range[1]}"
+            if length_range is not None
+            else ""
+        )
+        if limit_tokens is not None:
+            body = f"""
   SELECT docid, term, pos FROM (
     SELECT docid, term, pos,
            row_number() OVER (PARTITION BY docid ORDER BY pos) AS emit
-    FROM tok_all
-  ) WHERE emit <= {limit_tokens}
+    FROM tok_all {lf}
+  ) WHERE emit <= {limit_tokens}"""
+        else:
+            body = f"""
+  SELECT docid, term, pos FROM tok_all {lf}"""
+        tok_ctes = f"""tok_all AS ({tok}),
+tok AS ({body}
 )"""
         doclen_src = "tok"
     else:
@@ -304,6 +315,19 @@ def limit_tokens_term_query_sql(term: str, n_tokens: int, k: int = K) -> str:
     reflect the truncated length."""
     return (
         bm25_prelude(limit_tokens=n_tokens)
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
+def length_filter_term_query_sql(
+    term: str, lo: int, hi: int, k: int = K
+) -> str:
+    """TermQuery over a LengthFilter index: only terms with length in
+    [lo, hi] are indexed; norms count kept tokens."""
+    return (
+        bm25_prelude(length_range=(lo, hi))
         + ",\n"
         + _term_scores_cte("t0", term)
         + _topk("t0", k)

@@ -118,3 +118,26 @@ def test_limit_token_count(spark):
         build_index(spark, df, CorpusSpec(
             order_cols=("repo", "path", "commit"), max_tokens=8, reverse=True
         ))
+
+
+def test_length_filter(spark):
+    """LengthFilter (token_length): out-of-range tokens unsearchable,
+    position gaps preserved (phrase adjacency NOT created by removal)."""
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search.queries import PhraseQuery, TermQuery
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    rows = [("r", "a", "c", "alpha xy gamma"), ("r", "b", "c", "alpha gamma pad")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    spec = CorpusSpec(order_cols=("repo", "path", "commit"), token_length=(3, 10))
+    s = IndexSearcher(build_index(spark, df, spec).cache())
+    # 'xy' (len 2) is filtered out of doc0
+    assert s.search(TermQuery(term="xy"), 10) == []
+    # but its position gap remains: alpha..gamma NOT adjacent in doc0
+    hits = [h.docid for h in s.search(
+        PhraseQuery(phrase_terms=("alpha", "gamma")), 10)]
+    assert hits == [1]
+    fls = {r["docid"]: r["field_length"] for r in s.index.docs.collect()}
+    assert fls == {0: 2, 1: 3}
