@@ -274,3 +274,46 @@ def test_span_plans_filter_packed_before_unpack(searcher):
     assert plan.find("FlatMapGroupsInPandas") < has_term_filter(plan), plan
     # (the one-Exchange property holds on a persisted warehouse; the
     # cached fixture's plan also prints the build lineage's shuffles)
+
+
+def test_near_spans_ordered_reference_fixture(spark):
+    """Reference fixture port: TestNearSpansOrdered.cs:71 docFields +
+    MakeQuery('w1','w2','w3', slop=1, ordered) must match docs {0,1}
+    with exactly one span each — s(0,0,3) and s(1,0,4)
+    (TestNearSpansNext expectations). Also drives the 2-term ordered
+    fast walk against the same corpus."""
+    from lucenenet_spark.index.builder import CorpusSpec, build_index
+    from lucenenet_spark.search import spans as sp
+    from lucenenet_spark.search.searcher import IndexSearcher
+
+    doc_fields = [
+        "w1 w2 w3 w4 w5",
+        "w1 w3 w2 w3 zz",
+        "w1 xx w2 yy w3",
+        "w1 w3 xx w2 yy w3 zz",
+    ]
+    df = spark.createDataFrame(
+        [("r", f"d{i}", "c", t) for i, t in enumerate(doc_fields)],
+        "repo string, path string, commit string, content string",
+    )
+    s = IndexSearcher(build_index(
+        spark, df, CorpusSpec(order_cols=("repo", "path", "commit"))
+    ).cache())
+
+    q3 = sp.SpanNearQuery(
+        (sp.SpanTermQuery("w1"), sp.SpanTermQuery("w2"), sp.SpanTermQuery("w3")),
+        slop=1, in_order=True,
+    )
+    got = {r["docid"]: r["n_spans"] for r in sp.span_query(s, q3).collect()}
+    assert got == {0: 1, 1: 1}
+
+    # 2-term ordered (fast walk): w1..w2 slop 0 -> only doc0 adjacent;
+    # slop 1 adds docs 1 ("w1 w3 w2") and 2 ("w1 xx w2")
+    q2 = sp.SpanNearQuery(
+        (sp.SpanTermQuery("w1"), sp.SpanTermQuery("w2")), slop=0, in_order=True
+    )
+    assert {r["docid"] for r in sp.span_query(s, q2).collect()} == {0}
+    q2s = sp.SpanNearQuery(
+        (sp.SpanTermQuery("w1"), sp.SpanTermQuery("w2")), slop=1, in_order=True
+    )
+    assert {r["docid"] for r in sp.span_query(s, q2s).collect()} == {0, 1, 2}
