@@ -1883,6 +1883,10 @@ def _q_embedding_dups_lsh(spark, sf_dir):
     return sim.embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.42)
 
 
+def _q_semdedup(spark, sf_dir):
+    return sim.semdedup(_emb(spark, sf_dir), eps=0.42, n_centroids=8)
+
+
 def _q_event_windows(spark, sf_dir):
     from lucenenet_spark.streaming.windows import windowed_event_counts
 
@@ -2042,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_split_search": _q_pk_split_search,
         "phrase_snippets": _q_phrase_snippets,
         "time_limited_topk": _q_time_limited,
+        "semdedup": _q_semdedup,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2130,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": oosql.ann_pq_sql(query_id=0, k=10),
         "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
         "embedding_dup_pairs_lsh": oosql.embedding_dup_pairs_lsh_sql(0.42),
+        "semdedup": oosql.semdedup_sql(eps=0.42, n_centroids=8),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

@@ -1135,3 +1135,102 @@ keyed AS (
 SELECT CAST(row_number() OVER (ORDER BY key_fp DESC, id ASC) AS BIGINT) AS rank,
        id, weight_fp, key_fp
 FROM keyed ORDER BY key_fp DESC, id ASC LIMIT {n}"""
+
+
+def semdedup_sql(
+    eps: float = 0.42, n_centroids: int = 8, seed: int = 42,
+) -> str:
+    """Mirror of ops/similarity.py::semdedup with iters=1: the
+    ann_ivf_sql clustering chain (md5-ranked seeds, integer-dot
+    assignment, truncating-division recenter, reassign), then
+    similarity-to-centroid ranking inside each cluster and a
+    max-over-earlier-members pairwise cosine per point."""
+
+    def assign(cent: str, cn: str, d: str, a: str) -> str:
+        return f"""
+{d} AS (
+  SELECT f.id, c0.c, CAST(sum(f.v * c0.w) AS BIGINT) AS dot
+  FROM flat f JOIN {cent} c0 ON c0.k = f.k
+  GROUP BY f.id, c0.c
+),
+{a} AS (
+  SELECT id, c AS cluster FROM (
+    SELECT {d}.id, {d}.c,
+           row_number() OVER (
+             PARTITION BY {d}.id
+             ORDER BY CAST({d}.dot AS DOUBLE)
+                        / greatest(sqrt(CAST(cn.n2 AS DOUBLE)), 1.0) DESC,
+                      {d}.c ASC
+           ) AS rn
+    FROM {d} JOIN {cn} cn USING (c)
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH {_QFLAT},
+hk AS (
+  SELECT id, qv,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM q
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, qv
+  FROM hk ORDER BY h, id LIMIT {n_centroids}
+),
+cent0 AS (
+  SELECT CAST(c AS INT) AS c, CAST(kk AS INT) AS k, qv[CAST(kk AS INT)] AS w
+  FROM seeds, UNNEST(range(1, len(qv) + 1)) AS u(kk)
+),
+cn0 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent0 GROUP BY c),
+{assign("cent0", "cn0", "d0", "a0")},
+sums AS (
+  SELECT a0.cluster AS c, f.k, CAST(sum(f.v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a0 JOIN flat f ON f.id = a0.id
+  GROUP BY a0.cluster, f.k
+),
+cent1 AS (
+  SELECT c0.c, c0.k, CAST(coalesce(s.s // s.n, c0.w) AS BIGINT) AS w
+  FROM cent0 c0 LEFT JOIN sums s ON s.c = c0.c AND s.k = c0.k
+),
+cn1 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent1 GROUP BY c),
+{assign("cent1", "cn1", "d1", "a1")},
+n2v AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM flat GROUP BY id),
+cd AS (
+  SELECT a1.id, a1.cluster, CAST(sum(f.v * c.w) AS BIGINT) AS dot
+  FROM a1 JOIN flat f ON f.id = a1.id
+       JOIN cent1 c ON c.c = a1.cluster AND c.k = f.k
+  GROUP BY a1.id, a1.cluster
+),
+ranked AS (
+  SELECT cd.id, cd.cluster,
+         row_number() OVER (
+           PARTITION BY cd.cluster
+           ORDER BY CAST(cd.dot AS DOUBLE)
+                      / (sqrt(CAST(n2v.n2 AS DOUBLE)) * sqrt(CAST(cn1.n2 AS DOUBLE))) DESC,
+                    cd.id ASC
+         ) AS rn
+  FROM cd JOIN n2v ON n2v.id = cd.id JOIN cn1 ON cn1.c = cd.cluster
+),
+pd AS (
+  SELECT a.id AS id_i, b.id AS id_e,
+         CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+  FROM ranked a
+       JOIN ranked b ON b.cluster = a.cluster AND b.rn < a.rn
+       JOIN flat fa ON fa.id = a.id
+       JOIN flat fb ON fb.id = b.id AND fb.k = fa.k
+  GROUP BY a.id, b.id
+),
+ps AS (
+  SELECT pd.id_i AS id,
+         max(CAST(pd.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS ms
+  FROM pd JOIN n2v na ON na.id = pd.id_i
+          JOIN n2v nb ON nb.id = pd.id_e
+  GROUP BY pd.id_i
+)
+SELECT r.id, CAST(r.cluster AS INT) AS cluster,
+       coalesce(ps.ms, -1.0) AS max_prior_sim,
+       coalesce(ps.ms, -1.0) >= {eps!r} AS is_dup
+FROM ranked r LEFT JOIN ps ON ps.id = r.id
+ORDER BY r.id"""

@@ -824,3 +824,116 @@ def cosine_topk_pq_persisted(
             F.col("approx_dist").cast("long").alias("approx_dist"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    eps: float = 0.42,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and removing within-cluster
+    near-duplicates.
+
+    The released algorithm: k-means the embeddings; within each
+    cluster order the members and mark a point a duplicate when its
+    max cosine similarity to any EARLIER point in that order is
+    >= eps. We pin the order to (similarity-to-centroid DESC, id ASC)
+    — the most-central exemplar of each duplicate group survives, and
+    the order is value-deterministic so the DuckDB oracle reproduces
+    the exact keep set.
+
+    Everything is the repo's exact-integer embedding math: clustering
+    is :func:`ivf_model` (md5-ranked seeding + truncating-division
+    Lloyd), similarities are int64 dots over floor-quantized vectors
+    with one fixed-shape double divide — bit-identical across engines.
+
+    Returns (id, cluster, max_prior_sim, is_dup) for every input row;
+    ``max_prior_sim`` is -1.0 for each cluster's first-ranked point.
+
+    Scale shape (100 TB): the pairwise stage joins each point only to
+    EARLIER members of its own cluster — cost sum(|c|^2)/2, never a
+    global cross join; ``n_centroids`` must grow with the corpus to
+    bound |c| (the paper runs 50k clusters for LAION-440M; target
+    |c| ~ corpus/n_centroids <= ~100k). The join shuffles on the
+    cluster key; the n_centroids-row centroid table is a broadcast.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
+    q = quantize(df, id_col, vec_col)
+    assigned = _assign_clusters_quant(q, qcent)
+
+    cent_rows = [
+        (int(c), [int(x) for x in qcent[c]], int(sum(int(x) * int(x) for x in qcent[c])))
+        for c in range(qcent.shape[0])
+    ]
+    cent = F.broadcast(
+        spark.createDataFrame(cent_rows, "cluster int, cvec array<long>, cn2 long")
+    )
+
+    ranked = (
+        assigned.join(cent, "cluster")
+        .select(
+            "id",
+            "cluster",
+            "qvec",
+            _dot(F.col("qvec"), F.col("qvec")).alias("n2v"),
+            _dot(F.col("qvec"), F.col("cvec")).alias("cdot"),
+            F.col("cn2"),
+        )
+        .select(
+            "id",
+            "cluster",
+            "qvec",
+            "n2v",
+            (
+                F.col("cdot").cast("double")
+                / (F.sqrt(F.col("n2v").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.col("csim").desc(), F.col("id").asc()
+                )
+            ),
+        )
+    )
+
+    cur = ranked.select(
+        F.col("cluster"), F.col("id").alias("id_i"), F.col("qvec").alias("vi"),
+        F.col("n2v").alias("ni"), F.col("rn").alias("rn_i"),
+    )
+    earlier = ranked.select(
+        F.col("cluster"), F.col("id").alias("id_e"), F.col("qvec").alias("ve"),
+        F.col("n2v").alias("ne"), F.col("rn").alias("rn_e"),
+    )
+    prior = (
+        cur.join(earlier, ["cluster"])
+        .where(F.col("rn_e") < F.col("rn_i"))
+        .select(
+            F.col("id_i"),
+            (
+                _dot(F.col("vi"), F.col("ve")).cast("double")
+                / (F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("ne").cast("double")))
+            ).alias("sim"),
+        )
+        .groupBy("id_i")
+        .agg(F.max("sim").alias("ms"))
+    )
+    return (
+        ranked.join(prior, ranked["id"] == prior["id_i"], "left")
+        .select(
+            F.col("id"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(F.col("ms"), F.lit(-1.0)).alias("max_prior_sim"),
+            (F.coalesce(F.col("ms"), F.lit(-1.0)) >= F.lit(float(eps))).alias("is_dup"),
+        )
+    )

@@ -536,3 +536,37 @@ def test_pq_persisted_index_matches_inline(emb_df, tmp_path):
     assert [tuple(r) for r in persisted] == [tuple(r) for r in inline]
     codes = spark.read.parquet(path + "/codes")
     assert set(codes.columns) == {"id", "codes"}
+
+
+# ---------------------------------------------------------- semdedup
+
+@pytest.fixture(scope="module")
+def semdedup_df(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.random(8)]) for i in range(12)]
+    dup = [float(x) for x in rng.random(8)]
+    rows += [(100, dup), (101, dup)]  # identical pair -> cosine 1.0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_flags_identical_pair_keeps_lower_id(semdedup_df):
+    got = {r["id"]: r for r in similarity.semdedup(
+        semdedup_df, eps=0.999, n_centroids=2).collect()}
+    assert len(got) == 14
+    a, b = got[100], got[101]
+    # identical vectors must co-cluster; centroid-sim ties break by id
+    # asc, so 100 ranks earlier and 101 carries the sim-1.0 edge.
+    assert a["cluster"] == b["cluster"]
+    assert b["is_dup"] and abs(b["max_prior_sim"] - 1.0) < 1e-12
+    assert not a["is_dup"] or a["max_prior_sim"] < 0.9999999
+    # every cluster's first-ranked member reports the -1.0 sentinel
+    n_clusters = len({r["cluster"] for r in got.values()})
+    assert sum(1 for r in got.values() if r["max_prior_sim"] == -1.0) == n_clusters
+
+
+def test_semdedup_partition_invariant(semdedup_df):
+    one = sorted(map(tuple, similarity.semdedup(
+        semdedup_df.repartition(1), eps=0.999, n_centroids=2).collect()))
+    many = sorted(map(tuple, similarity.semdedup(
+        semdedup_df.repartition(7), eps=0.999, n_centroids=2).collect()))
+    assert one == many
