@@ -1887,6 +1887,12 @@ def _q_semdedup(spark, sf_dir):
     return sim.semdedup(_emb(spark, sf_dir), eps=0.42, n_centroids=8)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from lucenenet_spark.ops import text as ops_text
+
+    return ops_text.chunk_documents(_docs(spark, sf_dir), chunk_chars=128, overlap=32)
+
+
 def _q_event_windows(spark, sf_dir):
     from lucenenet_spark.streaming.windows import windowed_event_counts
 
@@ -2047,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_snippets": _q_phrase_snippets,
         "time_limited_topk": _q_time_limited,
         "semdedup": _q_semdedup,
+        "chunk_documents": _q_chunk_documents,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2136,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": oosql.embedding_dup_pairs_sql(0.42),
         "embedding_dup_pairs_lsh": oosql.embedding_dup_pairs_lsh_sql(0.42),
         "semdedup": oosql.semdedup_sql(eps=0.42, n_centroids=8),
+        "chunk_documents": oosql.chunk_documents_sql(chunk_chars=128, overlap=32),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

@@ -1234,3 +1234,29 @@ SELECT r.id, CAST(r.cluster AS INT) AS cluster,
        coalesce(ps.ms, -1.0) >= {eps!r} AS is_dup
 FROM ranked r LEFT JOIN ps ON ps.id = r.id
 ORDER BY r.id"""
+
+
+def chunk_documents_sql(chunk_chars: int = 128, overlap: int = 32) -> str:
+    """Mirror of ops/text.py::chunk_documents: starts every
+    (chunk_chars - overlap) chars, [start, end) offsets, last chunk
+    short, empty docs dropped."""
+    step = chunk_chars - overlap
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         coalesce(text, '') AS t,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t, n, CAST(u.st AS BIGINT) AS start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY u.st) - 1 AS chunk_id
+  FROM d, UNNEST(range(0, n, {step})) AS u(st)
+  WHERE n > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       start,
+       least(start + {chunk_chars}, n) AS "end",
+       substring(t, CAST(start + 1 AS INT), {chunk_chars}) AS chunk_text
+FROM s ORDER BY doc_id, chunk_id"""

@@ -493,3 +493,55 @@ def exact_substr_spans(
             F.col("span_end").cast("long").alias("span_end"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the RAG / context-window prep step (each chunk carries its char
+    range back into the source doc).
+
+    Chunks start every ``chunk_chars - overlap`` characters; the last
+    chunk of a doc may be shorter. Empty documents produce no chunks.
+    Returns (doc_id, chunk_id, start, end, chunk_text) with 0-based
+    [start, end) char offsets; chunk_id is 0-based per doc.
+
+    Scale shape (100 TB): one Project + posexplode per row — no
+    shuffle, no UDF; output partitioning inherits the input, and chunk
+    count per task is bounded by doc length / step. Token-budget
+    chunking composes downstream (token_stats over the chunk table).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            text.alias("_t"),
+            F.length(text).alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step))
+            ).alias("chunk_id", "start"),
+            F.col("_t"),
+            F.col("_n"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.least(F.col("start") + chunk_chars, F.col("_n")).cast("long").alias("end"),
+            F.substring(F.col("_t"), F.col("start") + 1, F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -570,3 +570,26 @@ def test_semdedup_partition_invariant(semdedup_df):
     many = sorted(map(tuple, similarity.semdedup(
         semdedup_df.repartition(7), eps=0.999, n_centroids=2).collect()))
     assert one == many
+
+
+def test_chunk_documents_offsets_reconstruct(spark):
+    rows = [(0, "a" * 48 + "b" * 48 + "c" * 30), (1, "short"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.chunk_documents(df, chunk_chars=64, overlap=16).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty/null docs produce no chunks
+    assert set(by_doc) == {0, 1}
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "short"
+    src = rows[0][1]
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    # starts every chunk_chars - overlap; [start, end) slices the source
+    assert [c["start"] for c in chunks] == [0, 48, 96]
+    for c in chunks:
+        assert c["chunk_text"] == src[c["start"]:c["end"]]
+    # overlap region of consecutive chunks is identical text
+    assert chunks[0]["chunk_text"][48:] == chunks[1]["chunk_text"][:16]
+    # stitching chunks minus overlap reproduces the document
+    stitched = chunks[0]["chunk_text"] + "".join(c["chunk_text"][16:] for c in chunks[1:])
+    assert stitched == src
