@@ -1893,6 +1893,16 @@ def _q_chunk_documents(spark, sf_dir):
     return ops_text.chunk_documents(_docs(spark, sf_dir), chunk_chars=128, overlap=32)
 
 
+def _q_term_freq_value(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.term_freq_topk(s, "spark", k=10)
+
+
+def _q_norm_value_query(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.norm_value_topk(s, "spark", k=10)
+
+
 def _q_event_windows(spark, sf_dir):
     from lucenenet_spark.streaming.windows import windowed_event_counts
 
@@ -2054,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_limited_topk": _q_time_limited,
         "semdedup": _q_semdedup,
         "chunk_documents": _q_chunk_documents,
+        "term_freq_value": _q_term_freq_value,
+        "norm_value_query": _q_norm_value_query,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2144,6 +2156,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs_lsh": oosql.embedding_dup_pairs_lsh_sql(0.42),
         "semdedup": oosql.semdedup_sql(eps=0.42, n_centroids=8),
         "chunk_documents": oosql.chunk_documents_sql(chunk_chars=128, overlap=32),
+        "term_freq_value": osql.term_freq_topk_sql("spark"),
+        "norm_value_query": osql.norm_value_topk_sql("spark"),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

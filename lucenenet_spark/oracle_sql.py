@@ -3767,3 +3767,28 @@ SELECT docid, passage_rank, pstart, score, passage
 FROM ranked WHERE passage_rank <= {max_passages}
 ORDER BY docid, passage_rank"""
     )
+
+
+def term_freq_topk_sql(term: str, k: int = K) -> str:
+    """Mirror of collectors.term_freq_topk (TermFreqValueSource)."""
+    return bm25_prelude() + f"""
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, docid ASC) AS BIGINT) AS rank,
+       docid, tf
+FROM (SELECT docid, CAST(freq AS BIGINT) AS tf FROM postings WHERE term = '{term}')
+ORDER BY tf DESC, docid ASC LIMIT {k}"""
+
+
+def norm_value_topk_sql(term: str, k: int = K) -> str:
+    """Mirror of collectors.norm_value_topk (NormValueSource): decode
+    the stored norm byte through the byte315 VALUES table."""
+    return bm25_prelude() + f"""
+SELECT CAST(row_number() OVER (ORDER BY nv DESC, docid ASC) AS BIGINT) AS rank,
+       docid, nv AS norm_value
+FROM (
+  SELECT p.docid, nd.val AS nv
+  FROM postings p
+       JOIN norms n ON n.docid = p.docid
+       JOIN norm_decode nd ON nd.b = n.norm
+  WHERE p.term = '{term}'
+)
+ORDER BY nv DESC, docid ASC LIMIT {k}"""

@@ -578,6 +578,64 @@ def boost_by_value(
     )
 
 
+def term_freq_topk(searcher: IndexSearcher, term: str, k: int = 10) -> DataFrame:
+    """TermFreqValueSource FunctionQuery analog
+    (``Queries/Function/ValueSources/TermFreqValueSource.cs:33``): rank
+    the docs containing ``term`` by its raw term frequency. Output
+    (rank, docid, tf); ties break docid asc. One packed scan with the
+    term equality BELOW the unpack barrier (parquet term pushdown) —
+    cost is the one posting list, independent of index size."""
+    from lucenenet_spark.index.builder import unpack_postings
+
+    p = unpack_postings(
+        searcher.index.packed.where(F.col("term") == term)
+    ).select("docid", F.col("freq").cast("long").alias("tf"))
+    if searcher.tombstones is not None:
+        p = p.join(
+            searcher.tombstones.select("docid").distinct(), "docid", "left_anti"
+        )
+    w = Window.orderBy(F.col("tf").desc(), F.col("docid").asc())
+    return (
+        p.orderBy(F.col("tf").desc(), F.col("docid").asc())
+        .limit(k)
+        .select(F.row_number().over(w).cast("long").alias("rank"), "docid", "tf")
+    )
+
+
+def norm_value_topk(searcher: IndexSearcher, term: str, k: int = 10) -> DataFrame:
+    """NormValueSource FunctionQuery analog
+    (``Queries/Function/ValueSources/NormValueSource.cs:44``): rank the
+    docs containing ``term`` by the similarity-decoded index-time norm
+    (``byte315_to_float`` of the stored norm byte — higher = shorter
+    doc). Output (rank, docid, norm_value float32); ties docid asc.
+    The 255-entry decode table joins as a broadcast; the posting list
+    arrives through the same pruned packed scan as term_freq_topk."""
+    from lucenenet_spark.functions.smallfloat import byte315_to_float
+    from lucenenet_spark.index.builder import unpack_postings
+
+    spark = searcher.index.packed.sparkSession
+    dec = byte315_to_float(np.arange(256, dtype=np.uint8))
+    table = spark.createDataFrame(
+        [(int(b), float(dec[b])) for b in range(1, 256)], "norm int, norm_value float"
+    )
+    p = unpack_postings(
+        searcher.index.packed.where(F.col("term") == term)
+    ).select("docid", "norm")
+    if searcher.tombstones is not None:
+        p = p.join(
+            searcher.tombstones.select("docid").distinct(), "docid", "left_anti"
+        )
+    joined = p.join(F.broadcast(table), "norm").select("docid", "norm_value")
+    w = Window.orderBy(F.col("norm_value").desc(), F.col("docid").asc())
+    return (
+        joined.orderBy(F.col("norm_value").desc(), F.col("docid").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"), "docid", "norm_value"
+        )
+    )
+
+
 def span_near(
     searcher: IndexSearcher,
     first: str,

@@ -301,3 +301,42 @@ def test_postings_highlight_passages(spark, searcher, corpus_rows):
     for ranks in by_doc.values():
         if 2 in ranks:
             assert ranks[1] >= ranks[2]
+
+
+def test_term_freq_topk_matches_bruteforce(searcher, spark_index, corpus_rows):
+    """TermFreqValueSource analog: raw tf ranking equals a python
+    recount of analyzed tokens, ties docid asc."""
+    from lucenenet_spark.analysis.analyzer import analyze
+
+    order = {
+        (r["repo"], r["path"], r["commit"]): r["docid"]
+        for r in spark_index.docs.select("docid", "repo", "path", "commit").collect()
+    }
+    tf = {}
+    for row in corpus_rows:
+        docid = order[(row["repo"], row["path"], row["commit"])]
+        n = sum(1 for t, _ in analyze(row["content"]) if t == "return")
+        if n:
+            tf[docid] = n
+    got = coll.term_freq_topk(searcher, "return", k=10).collect()
+    expect = sorted(((-n, d) for d, n in tf.items()))[:10]
+    assert [(r["docid"], r["tf"]) for r in got] == [(d, -n) for n, d in expect]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_norm_value_topk_decodes_stored_norm(searcher, spark_index):
+    """NormValueSource analog: the reported value IS byte315_to_float
+    of the doc's stored norm byte, ranked desc."""
+    from lucenenet_spark.functions.smallfloat import byte315_to_float
+
+    norm_by_doc = {
+        r["docid"]: r["norm"] for r in spark_index.docs.select("docid", "norm").collect()
+    }
+    got = coll.norm_value_topk(searcher, "return", k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["norm_value"] == pytest.approx(
+            float(byte315_to_float(norm_by_doc[r["docid"]])), abs=0.0
+        )
+    vals = [r["norm_value"] for r in got]
+    assert vals == sorted(vals, reverse=True)
