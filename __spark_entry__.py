@@ -1903,6 +1903,13 @@ def _q_norm_value_query(spark, sf_dir):
     return coll.norm_value_topk(s, "spark", k=10)
 
 
+def _q_check_index(spark, sf_dir):
+    from lucenenet_spark.index.checkindex import check_index
+
+    idx, _ = _searcher(spark, sf_dir)
+    return check_index(idx)
+
+
 def _q_event_windows(spark, sf_dir):
     from lucenenet_spark.streaming.windows import windowed_event_counts
 
@@ -2066,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "term_freq_value": _q_term_freq_value,
         "norm_value_query": _q_norm_value_query,
+        "check_index": _q_check_index,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2158,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oosql.chunk_documents_sql(chunk_chars=128, overlap=32),
         "term_freq_value": osql.term_freq_topk_sql("spark"),
         "norm_value_query": osql.norm_value_topk_sql("spark"),
+        "check_index": osql.check_index_sql(),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

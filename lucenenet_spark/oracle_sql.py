@@ -3792,3 +3792,23 @@ FROM (
   WHERE p.term = '{term}'
 )
 ORDER BY nv DESC, docid ASC LIMIT {k}"""
+
+
+def check_index_sql() -> str:
+    """Mirror of index/checkindex.py::check_index over a clean build:
+    doc_count / postings_rows / sum_tf recomputed from raw text; every
+    structural invariant must observe 0."""
+    return bm25_prelude() + """
+SELECT * FROM (
+  SELECT 'doc_count' AS "check",
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS observed, true AS ok
+  UNION ALL SELECT 'doclen_mismatch', CAST(0 AS BIGINT), true
+  UNION ALL SELECT 'duplicate_docids', CAST(0 AS BIGINT), true
+  UNION ALL SELECT 'freq_positions_mismatch', CAST(0 AS BIGINT), true
+  UNION ALL SELECT 'norm_mismatch', CAST(0 AS BIGINT), true
+  UNION ALL SELECT 'orphan_postings', CAST(0 AS BIGINT), true
+  UNION ALL SELECT 'postings_rows',
+         (SELECT CAST(count(*) AS BIGINT) FROM postings), true
+  UNION ALL SELECT 'sum_tf',
+         (SELECT CAST(sum(freq) AS BIGINT) FROM postings), true
+) ORDER BY "check" """
