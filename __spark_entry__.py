@@ -1910,6 +1910,19 @@ def _q_check_index(spark, sf_dir):
     return check_index(idx)
 
 
+def _q_grouped_facets(spark, sf_dir):
+    _, s = _searcher(spark, sf_dir)
+    return coll.grouped_facet_counts(s, TermQuery(term="spark"), "source", "lang")
+
+
+def _q_confusion_matrix(spark, sf_dir):
+    from lucenenet_spark.classification import confusion_matrix, naive_bayes_classify
+
+    docs = _docs(spark, sf_dir)
+    preds = naive_bayes_classify(docs, docs.where(F.col("doc_id") < 50), class_col="source")
+    return confusion_matrix(preds, docs, truth_col="source")
+
+
 def _q_event_windows(spark, sf_dir):
     from lucenenet_spark.streaming.windows import windowed_event_counts
 
@@ -2074,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_freq_value": _q_term_freq_value,
         "norm_value_query": _q_norm_value_query,
         "check_index": _q_check_index,
+        "grouped_facets": _q_grouped_facets,
+        "confusion_matrix": _q_confusion_matrix,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2167,6 +2182,8 @@ def oracle_sql() -> dict[str, str]:
         "term_freq_value": osql.term_freq_topk_sql("spark"),
         "norm_value_query": osql.norm_value_topk_sql("spark"),
         "check_index": osql.check_index_sql(),
+        "grouped_facets": osql.grouped_facet_counts_sql("spark", "source", "lang"),
+        "confusion_matrix": osql.confusion_matrix_sql(50, "source"),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

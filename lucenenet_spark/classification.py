@@ -168,3 +168,28 @@ def knn_classify(
         .orderBy(F.col("votes").desc(), F.col("label").asc())
         .limit(1)
     )
+
+
+def confusion_matrix(
+    predictions: DataFrame,
+    truth: DataFrame,
+    truth_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ConfusionMatrixGenerator analog
+    (``Classification/Utils/ConfusionMatrixGenerator.cs:35``): cross-tab
+    of actual vs predicted class counts over a labeled evaluation set.
+    Returns (actual, predicted, n) — the reference's nested
+    per-class counts map, linearized; accuracy is
+    ``sum(n where actual = predicted) / sum(n)``. One docid join plus
+    one hash aggregate; output is |classes|^2 rows max."""
+    t = truth.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(truth_col).alias("actual"),
+    )
+    return (
+        predictions.select("doc_id", F.col("label").alias("predicted"))
+        .join(t, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -3812,3 +3812,31 @@ SELECT * FROM (
   UNION ALL SELECT 'sum_tf',
          (SELECT CAST(sum(freq) AS BIGINT) FROM postings), true
 ) ORDER BY "check" """
+
+
+def grouped_facet_counts_sql(term: str, group_col: str, facet_col: str) -> str:
+    """Mirror of collectors.grouped_facet_counts: distinct groups per
+    facet value over a TermQuery's matches."""
+    return (
+        bm25_prelude()
+        + f"""
+SELECT d.{facet_col} AS value,
+       CAST(count(DISTINCT d.{group_col}) AS BIGINT) AS n_groups
+FROM documents d
+WHERE CAST(d.doc_id AS BIGINT) IN (SELECT docid FROM postings WHERE term = '{term}')
+  AND d.{facet_col} IS NOT NULL AND d.{group_col} IS NOT NULL
+GROUP BY d.{facet_col}
+ORDER BY n_groups DESC, value ASC"""
+    )
+
+
+def confusion_matrix_sql(max_id: int = 50, class_col: str = "source") -> str:
+    """Mirror of classification.confusion_matrix over the nb_classify
+    predictions: actual-vs-predicted counts."""
+    return f"""
+SELECT t.{class_col} AS actual, p.label AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM ({nb_classify_sql(max_id, class_col)}) p
+JOIN documents t ON CAST(t.doc_id AS BIGINT) = p.doc_id
+GROUP BY t.{class_col}, p.label
+ORDER BY actual, predicted"""

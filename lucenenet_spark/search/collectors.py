@@ -578,6 +578,30 @@ def boost_by_value(
     )
 
 
+def grouped_facet_counts(
+    searcher: IndexSearcher, query: Query, group_col: str, facet_col: str
+) -> DataFrame:
+    """TermGroupFacetCollector analog
+    (``Grouping/Term/TermGroupFacetCollector.cs:38``): per facet value,
+    the number of DISTINCT GROUPS among the query's matches (not the
+    doc count — a facet value present in many docs of one group counts
+    once). Output (facet value, n_groups), n_groups desc / value asc.
+    Plan: matched docids semi-join the docs table, then one hash
+    aggregate keyed by (facet, group) collapsing into countDistinct —
+    partial aggregation map-side, no window, no driver data."""
+    matched = searcher.scored_docs(query).select("docid")
+    d = searcher.index.docs.select(
+        "docid", F.col(group_col).alias("grp"), F.col(facet_col).alias("value")
+    )
+    return (
+        matched.join(d, "docid")
+        .where(F.col("value").isNotNull() & F.col("grp").isNotNull())
+        .groupBy("value")
+        .agg(F.count_distinct("grp").cast("long").alias("n_groups"))
+        .orderBy(F.col("n_groups").desc(), F.col("value").asc())
+    )
+
+
 def term_freq_topk(searcher: IndexSearcher, term: str, k: int = 10) -> DataFrame:
     """TermFreqValueSource FunctionQuery analog
     (``Queries/Function/ValueSources/TermFreqValueSource.cs:33``): rank

@@ -53,3 +53,22 @@ def test_knn_majority_vote(spark, corpus):
         max_query_terms=5, min_term_freq=1, min_doc_freq=1,
     ).collect()
     assert row and row[0]["label"] == "py" and row[0]["votes"] >= 3
+
+
+def test_confusion_matrix_counts_and_accuracy(spark):
+    from lucenenet_spark.classification import confusion_matrix
+
+    preds = spark.createDataFrame(
+        [(0, "a", 1), (1, "a", 1), (2, "b", 1), (3, "b", 1), (4, "a", 1)],
+        "doc_id long, label string, score_fp long",
+    )
+    truth = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "b"), (3, "b"), (4, "a"), (9, "c")],
+        "doc_id long, source string",
+    )
+    got = {(r["actual"], r["predicted"]): r["n"] for r in
+           confusion_matrix(preds, truth).collect()}
+    # doc 9 has no prediction -> inner join drops it
+    assert got == {("a", "a"): 2, ("b", "a"): 1, ("b", "b"): 2}
+    correct = sum(n for (a, p), n in got.items() if a == p)
+    assert correct / sum(got.values()) == pytest.approx(0.8)

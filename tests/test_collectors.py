@@ -340,3 +340,22 @@ def test_norm_value_topk_decodes_stored_norm(searcher, spark_index):
         )
     vals = [r["norm_value"] for r in got]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_grouped_facet_counts_distinct_groups(searcher, spark_index, scored):
+    """TermGroupFacetCollector analog: facet counts distinct GROUPS,
+    not docs — brute-forced from the stored fields."""
+    meta = {
+        r["docid"]: (r["repo"], r["lang"])
+        for r in spark_index.docs.select("docid", "repo", "lang").collect()
+    }
+    expect = {}
+    for d in scored:
+        repo, lang = meta[d]
+        expect.setdefault(lang, set()).add(repo)
+    got = coll.grouped_facet_counts(searcher, Q, "repo", "lang").collect()
+    assert {(r["value"], r["n_groups"]) for r in got} == {
+        (lang, len(repos)) for lang, repos in expect.items()
+    }
+    pairs = [(r["n_groups"], r["value"]) for r in got]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
