@@ -1887,6 +1887,10 @@ def _q_semdedup(spark, sf_dir):
     return sim.semdedup(_emb(spark, sf_dir), eps=0.42, n_centroids=8)
 
 
+def _q_cluster_sample(spark, sf_dir):
+    return sim.cluster_quota_sample(_emb(spark, sf_dir), n_per_cluster=10, n_centroids=8)
+
+
 def _q_chunk_documents(spark, sf_dir):
     from lucenenet_spark.ops import text as ops_text
 
@@ -2089,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_index": _q_check_index,
         "grouped_facets": _q_grouped_facets,
         "confusion_matrix": _q_confusion_matrix,
+        "cluster_sample": _q_cluster_sample,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2184,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "check_index": osql.check_index_sql(),
         "grouped_facets": osql.grouped_facet_counts_sql("spark", "source", "lang"),
         "confusion_matrix": osql.confusion_matrix_sql(50, "source"),
+        "cluster_sample": oosql.cluster_sample_sql(n_per_cluster=10, n_centroids=8),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

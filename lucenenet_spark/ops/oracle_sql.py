@@ -1137,17 +1137,11 @@ SELECT CAST(row_number() OVER (ORDER BY key_fp DESC, id ASC) AS BIGINT) AS rank,
 FROM keyed ORDER BY key_fp DESC, id ASC LIMIT {n}"""
 
 
-def semdedup_sql(
-    eps: float = 0.42, n_centroids: int = 8, seed: int = 42,
-) -> str:
-    """Mirror of ops/similarity.py::semdedup with iters=1: the
-    ann_ivf_sql clustering chain (md5-ranked seeds, integer-dot
-    assignment, truncating-division recenter, reassign), then
-    similarity-to-centroid ranking inside each cluster and a
-    max-over-earlier-members pairwise cosine per point."""
-
-    def assign(cent: str, cn: str, d: str, a: str) -> str:
-        return f"""
+def _ivf_assign_sql(cent: str, cn: str, d: str, a: str) -> str:
+    """One k-means assignment round as CTEs: integer dots against the
+    ``cent`` centroid table, argmax by dot/|centroid| with ties to the
+    lowest cluster id (mirrors _assign_clusters_quant)."""
+    return f"""
 {d} AS (
   SELECT f.id, c0.c, CAST(sum(f.v * c0.w) AS BIGINT) AS dot
   FROM flat f JOIN {cent} c0 ON c0.k = f.k
@@ -1166,9 +1160,12 @@ def semdedup_sql(
   ) WHERE rn = 1
 )"""
 
-    return f"""
-WITH {_QFLAT},
-hk AS (
+
+def _ivf_cluster_chain(n_centroids: int) -> str:
+    """The full iters=1 clustering CTE chain (hk seeds -> cent0 ->
+    assign a0 -> recenter cent1 -> assign a1) shared by the IVF-backed
+    oracles. Expects ``q``/``flat`` (from _QFLAT) upstream."""
+    return f"""hk AS (
   SELECT id, qv,
          CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
   FROM q
@@ -1182,7 +1179,7 @@ cent0 AS (
   FROM seeds, UNNEST(range(1, len(qv) + 1)) AS u(kk)
 ),
 cn0 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent0 GROUP BY c),
-{assign("cent0", "cn0", "d0", "a0")},
+{_ivf_assign_sql("cent0", "cn0", "d0", "a0")},
 sums AS (
   SELECT a0.cluster AS c, f.k, CAST(sum(f.v) AS BIGINT) AS s,
          CAST(count(*) AS BIGINT) AS n
@@ -1194,7 +1191,21 @@ cent1 AS (
   FROM cent0 c0 LEFT JOIN sums s ON s.c = c0.c AND s.k = c0.k
 ),
 cn1 AS (SELECT c, CAST(sum(w * w) AS BIGINT) AS n2 FROM cent1 GROUP BY c),
-{assign("cent1", "cn1", "d1", "a1")},
+{_ivf_assign_sql("cent1", "cn1", "d1", "a1")}"""
+
+
+def semdedup_sql(
+    eps: float = 0.42, n_centroids: int = 8, seed: int = 42,
+) -> str:
+    """Mirror of ops/similarity.py::semdedup with iters=1: the
+    ann_ivf_sql clustering chain (md5-ranked seeds, integer-dot
+    assignment, truncating-division recenter, reassign), then
+    similarity-to-centroid ranking inside each cluster and a
+    max-over-earlier-members pairwise cosine per point."""
+
+    return f"""
+WITH {_QFLAT},
+{_ivf_cluster_chain(n_centroids)},
 n2v AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM flat GROUP BY id),
 cd AS (
   SELECT a1.id, a1.cluster, CAST(sum(f.v * c.w) AS BIGINT) AS dot
@@ -1260,3 +1271,23 @@ SELECT doc_id,
        least(start + {chunk_chars}, n) AS "end",
        substring(t, CAST(start + 1 AS INT), {chunk_chars}) AS chunk_text
 FROM s ORDER BY doc_id, chunk_id"""
+
+
+def cluster_sample_sql(n_per_cluster: int = 10, n_centroids: int = 8) -> str:
+    """Mirror of ops/similarity.py::cluster_quota_sample: per-cluster
+    quota picked by the (md5(id), id) hash order."""
+    return f"""
+WITH {_QFLAT},
+{_ivf_cluster_chain(n_centroids)},
+picked AS (
+  SELECT a1.id, a1.cluster,
+         row_number() OVER (
+           PARTITION BY a1.cluster
+           ORDER BY CAST('0x' || substring(md5(CAST(a1.id AS VARCHAR)), 1, 15) AS BIGINT),
+                    a1.id
+         ) AS pick_rank
+  FROM a1
+)
+SELECT id, CAST(cluster AS INT) AS cluster, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM picked WHERE pick_rank <= {n_per_cluster}
+ORDER BY cluster, pick_rank"""

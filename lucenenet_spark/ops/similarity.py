@@ -937,3 +937,46 @@ def semdedup(
             (F.coalesce(F.col("ms"), F.lit(-1.0)) >= F.lit(float(eps))).alias("is_dup"),
         )
     )
+
+
+def cluster_quota_sample(
+    df: DataFrame,
+    n_per_cluster: int = 10,
+    n_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-balanced subsampling: keep a uniform quota of points
+    from every embedding cluster — the diversity-preserving sample a
+    training mix wants when the corpus is topically skewed (one giant
+    topic cluster no longer dominates the subsample).
+
+    Clusters come from :func:`ivf_model` (exact-integer k-means);
+    within each cluster the quota picks the first ``n_per_cluster``
+    points by (md5(id), id) — the repo's value-deterministic hash
+    sample, so the DuckDB oracle reproduces the pick set exactly.
+    Returns (id, cluster, pick_rank) with pick_rank 1-based.
+
+    Scale shape (100 TB): assignment is the one vectorized pass every
+    IVF consumer pays; the quota is a per-cluster window whose
+    partitions are cluster-keyed (bounded by cluster size, no global
+    sort); output size is exactly n_centroids * n_per_cluster rows max.
+    """
+    from pyspark.sql import Window
+
+    from lucenenet_spark.ops.hashing import md5_prefix_int_col
+
+    qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
+    q = quantize(df, id_col, vec_col)
+    assigned = _assign_clusters_quant(q, qcent)
+    w = Window.partitionBy("cluster").orderBy(
+        md5_prefix_int_col(F.col("id").cast("string")), F.col("id")
+    )
+    return (
+        assigned.select("id", "cluster")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= int(n_per_cluster))
+        .select("id", F.col("cluster").cast("int").alias("cluster"), "pick_rank")
+    )

@@ -593,3 +593,19 @@ def test_chunk_documents_offsets_reconstruct(spark):
     # stitching chunks minus overlap reproduces the document
     stitched = chunks[0]["chunk_text"] + "".join(c["chunk_text"][16:] for c in chunks[1:])
     assert stitched == src
+
+
+def test_cluster_quota_sample_bounds_and_determinism(emb_df):
+    got = similarity.cluster_quota_sample(emb_df, n_per_cluster=3, n_centroids=4).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["cluster"], []).append(r["pick_rank"])
+    # quota respected, ranks contiguous from 1 within each cluster
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # deterministic under repartition
+    again = similarity.cluster_quota_sample(
+        emb_df.repartition(5), n_per_cluster=3, n_centroids=4
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
