@@ -1891,6 +1891,13 @@ def _q_cluster_sample(spark, sf_dir):
     return sim.cluster_quota_sample(_emb(spark, sf_dir), n_per_cluster=10, n_centroids=8)
 
 
+def _q_embedding_contamination(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return sim.embedding_contamination(
+        emb.where(F.col("vec_id") >= 20), emb.where(F.col("vec_id") < 20), threshold=0.42
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     from lucenenet_spark.ops import text as ops_text
 
@@ -2094,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_facets": _q_grouped_facets,
         "confusion_matrix": _q_confusion_matrix,
         "cluster_sample": _q_cluster_sample,
+        "embedding_contamination": _q_embedding_contamination,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2190,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_facets": osql.grouped_facet_counts_sql("spark", "source", "lang"),
         "confusion_matrix": osql.confusion_matrix_sql(50, "source"),
         "cluster_sample": oosql.cluster_sample_sql(n_per_cluster=10, n_centroids=8),
+        "embedding_contamination": oosql.embedding_contamination_sql(0.42, 20),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

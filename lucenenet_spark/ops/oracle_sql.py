@@ -1291,3 +1291,36 @@ picked AS (
 SELECT id, CAST(cluster AS INT) AS cluster, CAST(pick_rank AS BIGINT) AS pick_rank
 FROM picked WHERE pick_rank <= {n_per_cluster}
 ORDER BY cluster, pick_rank"""
+
+
+def embedding_contamination_sql(
+    threshold: float = 0.42, bench_max_id: int = 20,
+) -> str:
+    """Mirror of ops/similarity.py::embedding_contamination with the
+    driver split: benchmark = ids < bench_max_id, corpus = the rest."""
+    return f"""
+WITH {_QFLAT},
+n2 AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS n2 FROM flat GROUP BY id),
+corp AS (SELECT id FROM q WHERE id >= {bench_max_id}),
+pd AS (
+  SELECT fa.id, fb.id AS bid, CAST(sum(fa.v * fb.v) AS BIGINT) AS dot
+  FROM flat fa JOIN flat fb ON fb.k = fa.k AND fb.id < {bench_max_id}
+  WHERE fa.id >= {bench_max_id}
+  GROUP BY fa.id, fb.id
+),
+sims AS (
+  SELECT pd.id, pd.bid,
+         CAST(pd.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+  FROM pd JOIN n2 na ON na.id = pd.id JOIN n2 nb ON nb.id = pd.bid
+),
+best AS (
+  SELECT id, bid, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, bid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT c.id, coalesce(b.sim, -1.0) AS max_bench_sim, b.bid AS bench_id,
+       coalesce(b.sim, -1.0) >= {threshold!r} AS contaminated
+FROM corp c LEFT JOIN best b ON b.id = c.id
+ORDER BY c.id"""

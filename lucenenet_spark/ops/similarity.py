@@ -980,3 +980,64 @@ def cluster_quota_sample(
         .where(F.col("pick_rank") <= int(n_per_cluster))
         .select("id", F.col("cluster").cast("int").alias("cluster"), "pick_rank")
     )
+
+
+def embedding_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark-contamination check — the semantic
+    complement of :func:`ops.text.ngram_contamination`: a training
+    item is contaminated when its cosine similarity to ANY benchmark
+    item reaches ``threshold`` (catches paraphrases and translations
+    the 13-gram filter misses). Returns
+    (id, max_bench_sim, bench_id, contaminated) for every corpus row;
+    ``bench_id`` is the nearest benchmark item (ties to lowest id),
+    max_bench_sim is -1.0 when the benchmark is empty.
+
+    Same exact-integer cosine as the rest of the embedding family —
+    bit-identical to the DuckDB oracle.
+
+    Scale shape (100 TB): eval suites are tiny next to the corpus, so
+    the quantized benchmark block rides a broadcast hash join — ONE
+    corpus scan, no shuffle; the per-row argmax is a bounded
+    (|bench|) aggregation inside the join's task."""
+    qa = quantize(df, id_col, vec_col).select(
+        "id", F.col("qvec").alias("va"), _dot(F.col("qvec"), F.col("qvec")).alias("na")
+    )
+    qb = quantize(benchmark, bench_id_col or id_col, bench_vec_col or vec_col).select(
+        F.col("id").alias("bid"),
+        F.col("qvec").alias("vb"),
+        _dot(F.col("qvec"), F.col("qvec")).alias("nb"),
+    )
+    sim = (
+        _dot(F.col("va"), F.col("vb")).cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("bid").asc())
+    best = (
+        qa.join(F.broadcast(qb))
+        .select("id", "bid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("bid").alias("bench_id"), F.col("sim").alias("max_bench_sim"))
+    )
+    return (
+        qa.select("id")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("max_bench_sim"), F.lit(-1.0)).alias("max_bench_sim"),
+            F.col("bench_id"),
+            (F.coalesce(F.col("max_bench_sim"), F.lit(-1.0)) >= F.lit(float(threshold))).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -609,3 +609,31 @@ def test_cluster_quota_sample_bounds_and_determinism(emb_df):
         emb_df.repartition(5), n_per_cluster=3, n_centroids=4
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_embedding_contamination_flags_planted_copy(spark):
+    rng = np.random.default_rng(3)
+    bench_rows = [(i, [float(x) for x in rng.random(8)]) for i in range(3)]
+    corpus_rows = [(100 + i, [float(x) for x in rng.random(8)]) for i in range(5)]
+    corpus_rows.append((200, bench_rows[1][1]))  # exact copy of bench 1
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(bench_rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r for r in similarity.embedding_contamination(
+        corpus, bench, threshold=0.9999).collect()}
+    assert len(got) == 6
+    assert got[200]["contaminated"] and got[200]["bench_id"] == 1
+    assert abs(got[200]["max_bench_sim"] - 1.0) < 1e-12
+    # every row reports its nearest benchmark item even when clean
+    assert all(r["bench_id"] in (0, 1, 2) for r in got.values())
+
+
+def test_embedding_contamination_empty_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    bench = corpus.where("vec_id < 0")
+    got = {r["id"]: r for r in similarity.embedding_contamination(
+        corpus, bench).collect()}
+    assert len(got) == 2
+    assert all(r["max_bench_sim"] == -1.0 and not r["contaminated"]
+               and r["bench_id"] is None for r in got.values())
