@@ -1324,3 +1324,78 @@ SELECT c.id, coalesce(b.sim, -1.0) AS max_bench_sim, b.bid AS bench_id,
        coalesce(b.sim, -1.0) >= {threshold!r} AS contaminated
 FROM corp c LEFT JOIN best b ON b.id = c.id
 ORDER BY c.id"""
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """Mirror of ops/text.py::gopher_rules (same pinned word/line
+    splits, same 0.0-when-empty ratios)."""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_T} AS t FROM documents
+),
+w AS (
+  SELECT id, t,
+         list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS words,
+         string_split(t, chr(10)) AS lines,
+         regexp_extract_all(lower(t), '{_RE}') AS toks
+  FROM d
+),
+m AS (
+  SELECT id,
+    CAST(len(words) AS BIGINT) AS word_count,
+    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_len,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST((length(t) - length(replace(t, '#', '')))
+       + (length(t) - length(replace(t, '…', '')))
+       + (length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS n_sym,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l ->
+      starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+      OR starts_with(trim(l), '•'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l ->
+      ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+  FROM w
+),
+r AS (
+  SELECT id, word_count,
+    CASE WHEN word_count > 0
+         THEN CAST(sum_len AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END
+      AS mean_word_len,
+    CASE WHEN word_count > 0
+         THEN CAST(n_sym AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END
+      AS symbol_ratio,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END
+      AS bullet_frac,
+    CASE WHEN n_lines > 0
+         THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END
+      AS ellipsis_frac,
+    CASE WHEN word_count > 0
+         THEN CAST(n_alpha AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END
+      AS alpha_frac,
+    stop_hits
+  FROM m
+)
+SELECT id, word_count, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       (word_count >= {min_words} AND word_count <= {max_words}
+        AND mean_word_len >= {min_mean_word_len!r}
+        AND mean_word_len <= {max_mean_word_len!r}
+        AND symbol_ratio <= {max_symbol_ratio!r}
+        AND bullet_frac <= {max_bullet_frac!r}
+        AND ellipsis_frac <= {max_ellipsis_frac!r}
+        AND alpha_frac >= {min_alpha_frac!r}
+        AND stop_hits >= {min_stop_hits}) AS "pass"
+FROM r ORDER BY id"""

@@ -545,3 +545,97 @@ def chunk_documents(
             ),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher / MassiveText quality rules (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1): the published heuristic document filter —
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ellipsis), bullet-started / ellipsis-ended line fractions,
+    alphabetic-word fraction, and the >= 2-of-8 stop-word test.
+
+    Pinned dialect so both engines agree bit-for-bit: words = the
+    trimmed text split on ``\\s+`` (empties dropped); lines = split on
+    newline; every ratio is one double division over exact int64
+    counts, 0.0 when its denominator is 0. Output one row per doc:
+    the raw counts/ratios per rule plus the conjunct ``pass`` flag.
+    One Project over the corpus scan — no shuffle, no UDF, whole-stage
+    codegen end-to-end.
+    """
+    stop8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-")
+            | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    ).cast("long")
+    toks = _tokens(text_col)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stop8]),
+            lambda s: F.array_contains(toks, s),
+        )
+    ).cast("long")
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        n_words.alias("word_count"),
+        ratio(sum_len, n_words).alias("mean_word_len"),
+        ratio(n_sym, n_words).alias("symbol_ratio"),
+        ratio(n_bullet, n_lines).alias("bullet_frac"),
+        ratio(n_ellipsis, n_lines).alias("ellipsis_frac"),
+        ratio(n_alpha, n_words).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "pass",
+        (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits),
+    )

@@ -637,3 +637,32 @@ def test_embedding_contamination_empty_benchmark(spark):
     assert len(got) == 2
     assert all(r["max_bench_sim"] == -1.0 and not r["contaminated"]
                and r["bench_id"] is None for r in got.values())
+
+
+def test_gopher_rules_per_rule_metrics(spark):
+    good = ("the data and type of value that we have with it " * 6).strip()  # 66 words
+    bullets = "- one\n- two\n- three\nplain"
+    dots = "first line...\nsecond…\nthird"
+    symbols = "the # of ## items # is # large # here # now # ok"
+    rows = [(0, good), (1, bullets), (2, dots), (3, symbols), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in text.gopher_rules(df).collect()}
+
+    g = got[0]
+    assert g["word_count"] == 66 and g["alpha_frac"] == 1.0
+    assert g["stop_hits"] >= 5 and g["pass"]
+
+    b = got[1]
+    assert b["bullet_frac"] == pytest.approx(3 / 4) and not b["pass"]
+
+    d = got[2]
+    assert d["ellipsis_frac"] == pytest.approx(2 / 3)
+
+    s = got[3]
+    # 8 '#' chars over 15 whitespace words
+    assert s["symbol_ratio"] == pytest.approx(8 / 15)
+    assert not s["pass"]
+
+    for i in (4, 5):
+        e = got[i]
+        assert e["word_count"] == 0 and e["mean_word_len"] == 0.0 and not e["pass"]
