@@ -1897,6 +1897,12 @@ def _q_gopher_rules(spark, sf_dir):
     return ops_text.gopher_rules(_docs(spark, sf_dir))
 
 
+def _q_c4_filters(spark, sf_dir):
+    from lucenenet_spark.ops import text as ops_text
+
+    return ops_text.c4_filters(_docs(spark, sf_dir))
+
+
 def _q_embedding_contamination(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.embedding_contamination(
@@ -2109,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": _q_cluster_sample,
         "embedding_contamination": _q_embedding_contamination,
         "gopher_rules": _q_gopher_rules,
+        "c4_filters": _q_c4_filters,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2207,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample": oosql.cluster_sample_sql(n_per_cluster=10, n_centroids=8),
         "embedding_contamination": oosql.embedding_contamination_sql(0.42, 20),
         "gopher_rules": oosql.gopher_rules_sql(),
+        "c4_filters": oosql.c4_filters_sql(),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

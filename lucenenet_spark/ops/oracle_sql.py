@@ -1399,3 +1399,46 @@ SELECT id, word_count, mean_word_len, symbol_ratio, bullet_frac,
         AND alpha_frac >= {min_alpha_frac!r}
         AND stop_hits >= {min_stop_hits}) AS "pass"
 FROM r ORDER BY id"""
+
+
+def c4_filters_sql(min_sentences: int = 3, min_line_words: int = 5) -> str:
+    """Mirror of ops/text.py::c4_filters (same line-keep predicate,
+    terminal-punct sentence count, brace/lorem flags)."""
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, {_T} AS t FROM documents
+),
+w AS (
+  SELECT id, t, string_split(t, chr(10)) AS lines FROM d
+),
+k AS (
+  SELECT id, t, lines,
+         list_filter(lines, l ->
+           (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+            OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+           AND len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x <> ''))
+               >= {min_line_words}) AS kept
+  FROM w
+),
+c AS (
+  SELECT id, t, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned FROM k
+),
+m AS (
+  SELECT id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    CAST((length(cleaned) - length(replace(cleaned, '.', '')))
+       + (length(cleaned) - length(replace(cleaned, '!', '')))
+       + (length(cleaned) - length(replace(cleaned, '?', ''))) AS BIGINT)
+      AS n_sentences,
+    contains(t, '{{') AS has_brace,
+    contains(lower(t), 'lorem ipsum') AS has_lorem,
+    cleaned AS cleaned_text
+  FROM c
+)
+SELECT id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem,
+       cleaned_text,
+       (n_sentences >= {min_sentences} AND NOT has_brace AND NOT has_lorem)
+         AS "pass"
+FROM m ORDER BY id"""

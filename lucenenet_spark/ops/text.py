@@ -639,3 +639,62 @@ def gopher_rules(
         & (F.col("alpha_frac") >= min_alpha_frac)
         & (F.col("stop_hits") >= min_stop_hits),
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    keep only lines ending in terminal punctuation (``. ! ? "``) with
+    at least ``min_line_words`` words; drop documents with fewer than
+    ``min_sentences`` sentences, any curly brace (the JS heuristic),
+    or the phrase "lorem ipsum".
+
+    Output per doc: (id, n_lines, n_kept_lines, n_sentences,
+    has_brace, has_lorem, cleaned_text, pass) — ``cleaned_text`` is
+    the kept lines rejoined with newlines (empty when none survive),
+    sentence count = terminal-punctuation occurrences in the kept
+    text. All JVM Column ops, one projection, no shuffle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.trim(l).endswith(".")
+            | F.trim(l).endswith("!")
+            | F.trim(l).endswith("?")
+            | F.trim(l).endswith('"')
+        )
+        & (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")))
+            >= min_line_words
+        ),
+    )
+    cleaned = F.array_join(kept, "\n")
+
+    def occurrences(col, s):
+        return F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+
+    n_sentences = (
+        occurrences(cleaned, ".") + occurrences(cleaned, "!") + occurrences(cleaned, "?")
+    ).cast("long")
+    out = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        t.contains("{").alias("has_brace"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        cleaned.alias("cleaned_text"),
+    )
+    return out.withColumn(
+        "pass",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem"),
+    )

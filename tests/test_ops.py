@@ -666,3 +666,26 @@ def test_gopher_rules_per_rule_metrics(spark):
     for i in (4, 5):
         e = got[i]
         assert e["word_count"] == 0 and e["mean_word_len"] == 0.0 and not e["pass"]
+
+
+def test_c4_filters_line_keep_and_doc_flags(spark):
+    doc0 = 'This is a good sentence with words.\nshort line.\nno terminal punct here\nAnother full sentence stands right here!\nIs this a kept question line too?'
+    rows = [
+        (0, doc0),
+        (1, "function f() { return 1; }\nA sentence that would pass here."),
+        (2, "Lorem Ipsum dolor sit amet consectetur.\nMore text follows after that line."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in text.c4_filters(df).collect()}
+
+    g = got[0]
+    # 'short line.' (2 words) and the unpunctuated line are dropped
+    assert g["n_lines"] == 5 and g["n_kept_lines"] == 3
+    assert g["cleaned_text"].count("\n") == 2
+    assert g["n_sentences"] == 3 and g["pass"]
+
+    assert got[1]["has_brace"] and not got[1]["pass"]
+    assert got[2]["has_lorem"] and not got[2]["pass"]
+    e = got[3]
+    assert e["n_kept_lines"] == 0 and e["cleaned_text"] == "" and not e["pass"]
