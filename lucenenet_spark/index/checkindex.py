@@ -54,6 +54,11 @@ def check_index(idx: InvertedIndex, expected: dict | None = None) -> DataFrame:
 
     ``ok`` compares against ``expected`` when given (keys from
     :data:`CHECKS`); the structural checks default to expected 0.
+
+    Sibling: ``index/checkpoint.py::check_index`` reconciles a SAVED
+    sharded warehouse against its manifest COUNTERS (cheap, metadata
+    only); this function decodes and cross-checks the posting DATA of
+    a live index — the full CheckIndex contract.
     """
     spark = idx.docs.sparkSession
     p = unpack_postings(idx.packed).select(
