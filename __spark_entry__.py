@@ -1903,6 +1903,12 @@ def _q_c4_filters(spark, sf_dir):
     return ops_text.c4_filters(_docs(spark, sf_dir))
 
 
+def _q_top_ngram_stats(spark, sf_dir):
+    from lucenenet_spark.ops import text as ops_text
+
+    return ops_text.top_ngram_stats(_docs(spark, sf_dir))
+
+
 def _q_embedding_contamination(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return sim.embedding_contamination(
@@ -2116,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_contamination": _q_embedding_contamination,
         "gopher_rules": _q_gopher_rules,
         "c4_filters": _q_c4_filters,
+        "top_ngram_stats": _q_top_ngram_stats,
         # -- green in r01 but absent from the r02 run ----------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2215,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_contamination": oosql.embedding_contamination_sql(0.42, 20),
         "gopher_rules": oosql.gopher_rules_sql(),
         "c4_filters": oosql.c4_filters_sql(),
+        "top_ngram_stats": oosql.top_ngram_stats_sql(),
         "event_window_counts": osql.event_window_counts_sql(),
         "event_sessions": osql.event_sessions_sql(30),
         "media_stats": oosql.media_stats_sql(),

@@ -1442,3 +1442,36 @@ SELECT id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem,
        (n_sentences >= {min_sentences} AND NOT has_brace AND NOT has_lorem)
          AS "pass"
 FROM m ORDER BY id"""
+
+
+def top_ngram_stats_sql(ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    """Mirror of ops/text.py::top_ngram_stats: per (doc, n) the most
+    frequent word n-gram (ties count desc, gram asc) and its char
+    coverage fraction."""
+    branches = []
+    for n in ns:
+        branches.append(f"""
+SELECT id, n_chars, {int(n)} AS n, g.gram AS gram, count(*) AS cnt
+FROM base, UNNEST({_grams_expr(int(n))}) AS g(gram)
+GROUP BY id, n_chars, n, g.gram""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_TOKS},
+base AS (
+  SELECT t.id, t.toks, CAST(length({_T}) AS BIGINT) AS n_chars
+  FROM toks t JOIN documents d ON CAST(d.doc_id AS BIGINT) = t.id
+),
+counts AS ({union}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id, n ORDER BY cnt DESC, gram ASC
+  ) AS rn
+  FROM counts
+)
+SELECT id, CAST(n AS INT) AS n, gram AS top_gram,
+       CAST(cnt AS BIGINT) AS top_count,
+       CASE WHEN n_chars > 0
+            THEN CAST(cnt * length(gram) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS char_frac
+FROM ranked WHERE rn = 1
+ORDER BY id, n"""

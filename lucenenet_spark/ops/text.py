@@ -698,3 +698,66 @@ def c4_filters(
         & ~F.col("has_brace")
         & ~F.col("has_lorem"),
     )
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher repetition rule family, part 2 (Rae et al. 2021 §A1.1):
+    the fraction of a document's characters covered by its MOST
+    FREQUENT word n-gram (a page dominated by one repeated phrase
+    scores high and gets filtered). :func:`repetition_stats` covers
+    the companion duplicate-occurrence fractions.
+
+    Long format: one row per (doc, n) with the winning gram, its
+    count, and ``char_frac = count * length(gram) / length(text)``
+    (0.0 for empty text; ties break count desc then gram asc — pinned
+    so the SQL mirror reproduces the winner). Docs with no n-gram of
+    a size emit no row for that size.
+
+    Scale shape (100 TB): one token projection, then per n one hash
+    aggregate keyed (doc, gram) and one per-doc window (partition
+    bounded by the doc's distinct grams) — no global sort, no driver
+    data; the three sizes union into one plan.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _tokens(text_col).alias("toks"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("n_chars"),
+    )
+    parts = []
+    for n in ns:
+        grams = base.select(
+            "id",
+            "n_chars",
+            F.lit(int(n)).cast("int").alias("n"),
+            F.explode(_word_grams(F.col("toks"), int(n))).alias("gram"),
+        )
+        counts = grams.groupBy("id", "n_chars", "n", "gram").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        w = Window.partitionBy("id", "n").orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+        parts.append(
+            counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        )
+    top = parts[0]
+    for p in parts[1:]:
+        top = top.unionByName(p)
+    return top.select(
+        "id",
+        "n",
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").alias("top_count"),
+        F.when(
+            F.col("n_chars") > 0,
+            (F.col("cnt") * F.length("gram")).cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("char_frac"),
+    )

@@ -689,3 +689,21 @@ def test_c4_filters_line_keep_and_doc_flags(spark):
     assert got[2]["has_lorem"] and not got[2]["pass"]
     e = got[3]
     assert e["n_kept_lines"] == 0 and e["cleaned_text"] == "" and not e["pass"]
+
+
+def test_top_ngram_stats_dominant_phrase(spark):
+    doc = "spark table spark table spark table other words here"
+    df = spark.createDataFrame([(0, doc), (1, "one two"), (2, "")],
+                               "doc_id long, text string")
+    got = {(r["id"], r["n"]): r for r in text.top_ngram_stats(df).collect()}
+    g2 = got[(0, 2)]
+    # 'spark table' occurs 3x; 'table spark' only 2x
+    assert g2["top_gram"] == "spark table" and g2["top_count"] == 3
+    assert g2["char_frac"] == pytest.approx(3 * len("spark table") / len(doc))
+    # doc 1 has a 2-gram but no 3/4-gram row; doc 2 emits nothing
+    assert (1, 2) in got and (1, 3) not in got
+    assert not any(k[0] == 2 for k in got)
+    # ties break gram-asc: 'a b' and 'b a' both occur twice in this doc
+    tie = spark.createDataFrame([(5, "b a b a b")], "doc_id long, text string")
+    t = {r["n"]: r for r in text.top_ngram_stats(tie).collect()}
+    assert t[2]["top_gram"] == "a b" and t[2]["top_count"] == 2
