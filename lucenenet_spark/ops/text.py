@@ -572,8 +572,8 @@ def gopher_rules(
     newline; every ratio is one double division over exact int64
     counts, 0.0 when its denominator is 0. Output one row per doc:
     the raw counts/ratios per rule plus the conjunct ``pass`` flag.
-    One Project over the corpus scan — no shuffle, no UDF, whole-stage
-    codegen end-to-end.
+    One Project over the corpus scan — no shuffle, no Python stage
+    (the higher-order lambdas evaluate as JVM-interpreted expressions).
     """
     stop8 = ("the", "be", "to", "of", "and", "that", "have", "with")
     t = F.coalesce(F.col(text_col), F.lit(""))
