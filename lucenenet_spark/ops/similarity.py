@@ -826,10 +826,25 @@ def cosine_topk_pq_persisted(
     )
 
 
+def derive_n_centroids(
+    n_rows: int, target_cluster_size: int = 1_000, lo: int = 8, hi: int = 65_536
+) -> int:
+    """Cluster count scaled to the corpus (same rule class as
+    :func:`derive_n_planes`): semdedup's pairwise stage costs
+    sum(|c|^2)/2, so a FIXED small n_centroids is a scale cliff — at
+    10^7 rows with 8 clusters each cluster holds ~1.25M points and the
+    intra-cluster join is ~10^12 pairs. Choose
+    ceil(n / target_cluster_size), clamped to [lo, hi] (the paper runs
+    ~50k clusters for 440M items — the same ~10^4 target)."""
+    import math
+
+    return max(lo, min(hi, int(math.ceil(max(1, n_rows) / max(1, target_cluster_size)))))
+
+
 def semdedup(
     df: DataFrame,
     eps: float = 0.42,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -858,13 +873,16 @@ def semdedup(
     Scale shape (100 TB): the pairwise stage joins each point only to
     EARLIER members of its own cluster — cost sum(|c|^2)/2, never a
     global cross join; ``n_centroids`` must grow with the corpus to
-    bound |c| (the paper runs 50k clusters for LAION-440M; target
-    |c| ~ corpus/n_centroids <= ~100k). The join shuffles on the
-    cluster key; the n_centroids-row centroid table is a broadcast.
+    bound |c|. Pass ``n_centroids=None`` to derive it from the corpus
+    count via :func:`derive_n_centroids` (the default 8 is a
+    small-scale setting kept for oracle pinning). The join shuffles on
+    the cluster key; the n_centroids-row centroid table is a broadcast.
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(df.count())
     qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
     q = quantize(df, id_col, vec_col)
     assigned = _assign_clusters_quant(q, qcent)
@@ -942,7 +960,7 @@ def semdedup(
 def cluster_quota_sample(
     df: DataFrame,
     n_per_cluster: int = 10,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -968,6 +986,8 @@ def cluster_quota_sample(
 
     from lucenenet_spark.ops.hashing import md5_prefix_int_col
 
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(df.count())
     qcent = ivf_model(df, n_centroids, iters, id_col, vec_col, seed)
     q = quantize(df, id_col, vec_col)
     assigned = _assign_clusters_quant(q, qcent)

@@ -707,3 +707,15 @@ def test_top_ngram_stats_dominant_phrase(spark):
     tie = spark.createDataFrame([(5, "b a b a b")], "doc_id long, text string")
     t = {r["n"]: r for r in text.top_ngram_stats(tie).collect()}
     assert t[2]["top_gram"] == "a b" and t[2]["top_count"] == 2
+
+
+def test_derive_n_centroids_scales_with_corpus(semdedup_df):
+    assert similarity.derive_n_centroids(500) == 8            # lo clamp
+    assert similarity.derive_n_centroids(10_000_000) == 10_000
+    assert similarity.derive_n_centroids(10**9) == 65_536     # hi clamp
+    # n_centroids=None derives from the corpus and still runs end-to-end
+    got = similarity.semdedup(semdedup_df, eps=0.999, n_centroids=None).collect()
+    assert len(got) == 14
+    picked = similarity.cluster_quota_sample(
+        semdedup_df, n_per_cluster=2, n_centroids=None).collect()
+    assert all(r["pick_rank"] <= 2 for r in picked)
