@@ -276,33 +276,65 @@ class RegexpQuery(MultiTermQuery):
 class FuzzyQuery(MultiTermQuery):
     """Levenshtein distance <= max_edits (default 2, the automaton
     ceiling in ``Search/FuzzyQuery.cs:58`` /
-    ``Util/Automaton/LevenshteinAutomata.cs``)."""
+    ``Util/Automaton/LevenshteinAutomata.cs``).
+
+    ``prefix_length`` requires candidates to share the query's first
+    ``min(prefix_length, len(term))`` chars exactly, with the distance
+    measured on the suffixes (``FuzzyQuery.cs:76`` realPrefixLength /
+    FuzzyTermsEnum). ``max_expansions`` keeps only the closest N
+    variants, ranked by edit-similarity boost desc then term asc —
+    TopTermsScoringBooleanQueryRewrite's priority queue
+    (``FuzzyQuery.cs:46`` defaultMaxExpansions=50). Our default None =
+    expand everything up to MAX_CLAUSE_COUNT (kept so standing
+    oracle-pinned entries are unchanged; pass 50 for the reference
+    default). Distance is plain Levenshtein — the reference's
+    ``transpositions=true`` OSA variant counts a swap as 1 edit, ours
+    as 2 (documented engine-wide dialect, same as DirectSpellChecker).
+    """
 
     term: str = ""
     max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int | None = None
+
+    def _p(self) -> int:
+        return min(self.prefix_length, len(self.term))
 
     def dict_predicate(self):
         from pyspark.sql import functions as F
 
-        return F.levenshtein(F.col("term"), F.lit(self.term)) <= self.max_edits
+        p = self._p()
+        suffix = F.col("term").substr(F.lit(p + 1), F.length(F.col("term")))
+        cond = F.levenshtein(suffix, F.lit(self.term[p:])) <= self.max_edits
+        if p:
+            cond = F.col("term").startswith(self.term[:p]) & cond
+        return cond
 
     def python_predicate(self, term: str) -> bool:
-        return _levenshtein(term, self.term) <= self.max_edits
+        p = self._p()
+        return term.startswith(self.term[:p]) and (
+            _levenshtein(term[p:], self.term[p:]) <= self.max_edits
+        )
 
     def vector_predicate(self, terms):
         """Length-window prefilter (|len(t)-len(q)| <= max_edits is a
-        Levenshtein lower bound) shrinks the dictionary to a few
-        percent before the exact DP runs — the FuzzyTermsEnum automaton
-        pre-gate, vectorized."""
+        Levenshtein lower bound, and shared prefixes preserve the
+        length gap) shrinks the dictionary to a few percent before the
+        exact DP runs — the FuzzyTermsEnum automaton pre-gate,
+        vectorized."""
         import numpy as np
 
+        p = self._p()
         lens = terms.str.len().to_numpy()
         cand = np.abs(lens - len(self.term)) <= self.max_edits
+        if p:
+            cand &= terms.str.startswith(self.term[:p]).to_numpy(dtype=bool)
         out = np.zeros(len(terms), dtype=bool)
         idx = np.flatnonzero(cand)
         vals = terms.to_numpy()
+        qsuf = self.term[p:]
         for i in idx:
-            out[i] = _levenshtein(vals[i], self.term) <= self.max_edits
+            out[i] = _levenshtein(vals[i][p:], qsuf) <= self.max_edits
         return out
 
 

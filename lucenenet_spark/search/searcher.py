@@ -445,13 +445,27 @@ class IndexSearcher:
 
             if isinstance(q, FuzzyQuery):
                 # TopTermsScoringBooleanQueryRewrite-style: each variant
-                # keeps a boost scaled by edit similarity
-                # (FuzzyTermsEnum boost = 1 - edits/min-len)
-                clauses = []
+                # keeps a boost scaled by edit similarity (FuzzyTermsEnum
+                # boost = 1 - suffix-edits/min-full-len); max_expansions
+                # keeps only the closest N (the rewrite's priority
+                # queue), ranked boost desc then term asc.
+                p = min(q.prefix_length, len(q.term))
+                ranked = []
                 for t in terms:
-                    edits = _levenshtein(t, q.term)
+                    edits = _levenshtein(t[p:], q.term[p:])
                     sim = 1.0 - edits / min(len(t), len(q.term))
-                    clauses.append((TermQuery(boost=q.boost * sim, term=t), Occur.SHOULD))
+                    ranked.append((-sim, t))
+                ranked.sort()
+                if q.max_expansions is not None:
+                    ranked = ranked[: q.max_expansions]
+                # truncate by closeness, but EMIT term-asc: the clause
+                # order is the pinned float32 fold order shared with the
+                # pure-Python and DuckDB oracles
+                ranked.sort(key=lambda x: x[1])
+                clauses = [
+                    (TermQuery(boost=q.boost * -negsim, term=t), Occur.SHOULD)
+                    for negsim, t in ranked
+                ]
                 return BooleanQuery.of(*clauses) if clauses else BooleanQuery.of()
             # constant-score rewrite (CONSTANT_SCORE_AUTO default for
             # prefix/wildcard/range): uniform score = boost
