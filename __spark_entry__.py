@@ -1979,65 +1979,13 @@ def _q_media_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Entry ORDER is part of the driver contract: the r02 correctness
-    run recorded exactly the first 50 dict entries, so ALL entries
-    that have never had a driver row in any round run FIRST (the r03
-    window covers 50 of them), then entries last verified in r01,
-    then the r02-green tail — maximizing fresh coverage under any
-    entry-count or time budget. Rotate again next round."""
+    """Entry ORDER is part of the driver contract: each round's
+    CORRECTNESS run records only the FIRST ~50 dict entries, so the
+    85 entries that have never had a driver row in r01-r03 run FIRST
+    (the r04 window covers 50 of them), then entries by staleness
+    (r01-verified, r02, r03-freshest last). Rotate again next round."""
     return {
-        # -- never driver-verified (no row in r01 or r02) ------------
-        "function_query": _q_function_query,
-        "field_term_query": _q_field_term_query,
-        "multi_field_dismax": _q_multi_field_dismax,
-        "per_field_sim_dismax": _q_per_field_sim_dismax,
-        "ann_pq": _q_ann_pq,
-        "multi_field_boolean": _q_multi_field_boolean,
-        "sort_by_field": _q_sort_by_field,
-        "sort_by_meta_desc": _q_sort_by_meta_desc,
-        "stored_fields": _q_stored_fields,
-        "sort_search_after": _q_sort_search_after,
-        "span_near_ordered": _q_span_near_ordered,
-        "span_near_unordered": _q_span_near_unordered,
-        "sloppy_phrase": _q_sloppy_phrase,
-        "multi_phrase": _q_multi_phrase,
-        "regexp_terms": _q_regexp_terms,
-        "match_all_docs": _q_match_all,
-        "field_value_filter": _q_field_value_filter,
-        "mlt_topk": _q_mlt_topk,
-        # -- new round-3 surfaces (never driver-verified) -------------
-        "span_near3_ordered": _q_span_near3,
-        "span_first": _q_span_first,
-        "span_not": _q_span_not,
-        "span_or_near": _q_span_or_near,
-        "span_near3_unordered": _q_span_near3_unordered,
-        "span_near_scored": _q_span_near_scored,
-        "block_join_children": _q_block_join_children,
-        "classic_phrase_query": _q_classic_phrase,
-        "highlight_snippets": _q_highlight_snippets,
-        "postings_highlight": _q_postings_highlight,
-        "lm_term_query": _q_lm_term,
-        "dfr_term_query": _q_dfr_term,
-        "nb_classify": _q_nb_classify,
-        "knn_classify": _q_knn_classify,
-        "spatial_bbox": _q_spatial_bbox,
-        "spatial_distance_topk": _q_spatial_distance_topk,
-        "spatial_distance_join": _q_spatial_distance_join,
-        "dfr_ifb2_term_query": _q_dfr_ifb2_term,
-        "dfr_gl1_term_query": _q_dfr_gl1_term,
-        "lm_jm_term_query": _q_lm_jm_term,
-        "ib_ll_term_query": _q_ib_ll_term,
-        "ib_spl_term_query": _q_ib_spl_term,
-        "analyzing_suggest": _q_analyzing_suggest,
-        "fuzzy_suggest": _q_fuzzy_suggest,
-        "doc_value_suggest": _q_doc_value_suggest,
-        "infix_suggest": _q_infix_suggest,
-        "infix_suggest_any": _q_infix_suggest_any,
-        "infix_suggest_highlight": _q_infix_suggest_highlight,
-        "blended_infix_linear": _q_blended_infix_linear,
-        "blended_infix_reciprocal": _q_blended_infix_reciprocal,
-        "percolate": _q_percolate,
-        "synonym_index_term": _q_synonym_index_term,
+        # -- never driver-verified (no row in r01-r03): run FIRST ------------
         "synonym_expand_or": _q_synonym_expand_or,
         "synonym_expand_phrase": _q_synonym_expand_phrase,
         "shingle_term_query": _q_shingle_term,
@@ -2123,7 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_filters": _q_c4_filters,
         "top_ngram_stats": _q_top_ngram_stats,
-        # -- green in r01 but absent from the r02 run ----------------
+        # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
         "numeric_range_query": _q_numeric_range,
@@ -2137,7 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_terms": _q_wildcard_terms,
         "fuzzy_terms": _q_fuzzy_terms,
         "term_range": _q_term_range,
-        # -- r02-green (CORRECTNESS_r02.json rows on record) ---------
+        # -- last verified in r02 ------------
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "minhash_dedup": _q_minhash_dedup,
@@ -2188,6 +2136,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct": _q_group_distinct,
         "suggest": _q_suggest,
         "prefix_suggest": _q_prefix_suggest,
+        # -- verified in r03 (freshest, run last) ------------
+        "function_query": _q_function_query,
+        "field_term_query": _q_field_term_query,
+        "multi_field_dismax": _q_multi_field_dismax,
+        "per_field_sim_dismax": _q_per_field_sim_dismax,
+        "ann_pq": _q_ann_pq,
+        "multi_field_boolean": _q_multi_field_boolean,
+        "sort_by_field": _q_sort_by_field,
+        "sort_by_meta_desc": _q_sort_by_meta_desc,
+        "stored_fields": _q_stored_fields,
+        "sort_search_after": _q_sort_search_after,
+        "span_near_ordered": _q_span_near_ordered,
+        "span_near_unordered": _q_span_near_unordered,
+        "sloppy_phrase": _q_sloppy_phrase,
+        "multi_phrase": _q_multi_phrase,
+        "regexp_terms": _q_regexp_terms,
+        "match_all_docs": _q_match_all,
+        "field_value_filter": _q_field_value_filter,
+        "mlt_topk": _q_mlt_topk,
+        "span_near3_ordered": _q_span_near3,
+        "span_first": _q_span_first,
+        "span_not": _q_span_not,
+        "span_or_near": _q_span_or_near,
+        "span_near3_unordered": _q_span_near3_unordered,
+        "span_near_scored": _q_span_near_scored,
+        "block_join_children": _q_block_join_children,
+        "classic_phrase_query": _q_classic_phrase,
+        "highlight_snippets": _q_highlight_snippets,
+        "postings_highlight": _q_postings_highlight,
+        "lm_term_query": _q_lm_term,
+        "dfr_term_query": _q_dfr_term,
+        "nb_classify": _q_nb_classify,
+        "knn_classify": _q_knn_classify,
+        "spatial_bbox": _q_spatial_bbox,
+        "spatial_distance_topk": _q_spatial_distance_topk,
+        "spatial_distance_join": _q_spatial_distance_join,
+        "dfr_ifb2_term_query": _q_dfr_ifb2_term,
+        "dfr_gl1_term_query": _q_dfr_gl1_term,
+        "lm_jm_term_query": _q_lm_jm_term,
+        "ib_ll_term_query": _q_ib_ll_term,
+        "ib_spl_term_query": _q_ib_spl_term,
+        "analyzing_suggest": _q_analyzing_suggest,
+        "fuzzy_suggest": _q_fuzzy_suggest,
+        "doc_value_suggest": _q_doc_value_suggest,
+        "infix_suggest": _q_infix_suggest,
+        "infix_suggest_any": _q_infix_suggest_any,
+        "infix_suggest_highlight": _q_infix_suggest_highlight,
+        "blended_infix_linear": _q_blended_infix_linear,
+        "blended_infix_reciprocal": _q_blended_infix_reciprocal,
+        "percolate": _q_percolate,
+        "synonym_index_term": _q_synonym_index_term,
     }
 
 
