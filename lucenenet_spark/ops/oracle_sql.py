@@ -1218,7 +1218,8 @@ ranked AS (
          row_number() OVER (
            PARTITION BY cd.cluster
            ORDER BY CAST(cd.dot AS DOUBLE)
-                      / (sqrt(CAST(n2v.n2 AS DOUBLE)) * sqrt(CAST(cn1.n2 AS DOUBLE))) DESC,
+                      / (greatest(sqrt(CAST(n2v.n2 AS DOUBLE)), 1.0)
+                         * greatest(sqrt(CAST(cn1.n2 AS DOUBLE)), 1.0)) DESC,
                     cd.id ASC
          ) AS rn
   FROM cd JOIN n2v ON n2v.id = cd.id JOIN cn1 ON cn1.c = cd.cluster
@@ -1235,7 +1236,8 @@ pd AS (
 ps AS (
   SELECT pd.id_i AS id,
          max(CAST(pd.dot AS DOUBLE)
-               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS ms
+               / (greatest(sqrt(CAST(na.n2 AS DOUBLE)), 1.0)
+                  * greatest(sqrt(CAST(nb.n2 AS DOUBLE)), 1.0))) AS ms
   FROM pd JOIN n2v na ON na.id = pd.id_i
           JOIN n2v nb ON nb.id = pd.id_e
   GROUP BY pd.id_i
@@ -1311,7 +1313,8 @@ pd AS (
 sims AS (
   SELECT pd.id, pd.bid,
          CAST(pd.dot AS DOUBLE)
-           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+           / (greatest(sqrt(CAST(na.n2 AS DOUBLE)), 1.0)
+              * greatest(sqrt(CAST(nb.n2 AS DOUBLE)), 1.0)) AS sim
   FROM pd JOIN n2 na ON na.id = pd.id JOIN n2 nb ON nb.id = pd.bid
 ),
 best AS (

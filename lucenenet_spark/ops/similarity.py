@@ -912,7 +912,10 @@ def semdedup(
             "n2v",
             (
                 F.col("cdot").cast("double")
-                / (F.sqrt(F.col("n2v").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+                / (
+                    F.greatest(F.sqrt(F.col("n2v").cast("double")), F.lit(1.0))
+                    * F.greatest(F.sqrt(F.col("cn2").cast("double")), F.lit(1.0))
+                )
             ).alias("csim"),
         )
         .withColumn(
@@ -940,7 +943,10 @@ def semdedup(
             F.col("id_i"),
             (
                 _dot(F.col("vi"), F.col("ve")).cast("double")
-                / (F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("ne").cast("double")))
+                / (
+                    F.greatest(F.sqrt(F.col("ni").cast("double")), F.lit(1.0))
+                    * F.greatest(F.sqrt(F.col("ne").cast("double")), F.lit(1.0))
+                )
             ).alias("sim"),
         )
         .groupBy("id_i")
@@ -1037,7 +1043,10 @@ def embedding_contamination(
     )
     sim = (
         _dot(F.col("va"), F.col("vb")).cast("double")
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        / (
+            F.greatest(F.sqrt(F.col("na").cast("double")), F.lit(1.0))
+            * F.greatest(F.sqrt(F.col("nb").cast("double")), F.lit(1.0))
+        )
     )
     from pyspark.sql import Window
 

@@ -640,7 +640,7 @@ def norm_value_topk(searcher: IndexSearcher, term: str, k: int = 10) -> DataFram
     spark = searcher.index.packed.sparkSession
     dec = byte315_to_float(np.arange(256, dtype=np.uint8))
     table = spark.createDataFrame(
-        [(int(b), float(dec[b])) for b in range(1, 256)], "norm int, norm_value float"
+        [(int(b), float(dec[b])) for b in range(256)], "norm int, norm_value float"
     )
     p = unpack_postings(
         searcher.index.packed.where(F.col("term") == term)

@@ -254,15 +254,33 @@ def direct_spell_suggest(
         return spark.createDataFrame([], empty)
     wdf = spark.createDataFrame([(w,) for w in live], "word string")
     d = F.levenshtein(F.col("term"), F.col("word"))
+    dict_df = searcher.index.term_stats.select("term", "df")
+    # The prefix-share predicate is an EQUALITY — expressed as a join
+    # key so Catalyst hash-joins the (broadcast) word batch against the
+    # dictionary instead of a BroadcastNestedLoopJoin over every term.
+    # At a 10^8-term dictionary that cuts the comparisons by the prefix
+    # bucket's selectivity (~26-676x); with min_prefix == 0 the length
+    # band |len(term)-len(word)| <= max_edits supplies the key instead
+    # (each word broadcast-expands to 2*max_edits+1 candidate lengths).
+    if min_prefix >= 1:
+        keyed_words = wdf.withColumn(
+            "jk", F.substring(F.col("word"), 1, min_prefix)
+        )
+        keyed_dict = dict_df.withColumn(
+            "jk", F.substring(F.col("term"), 1, min_prefix)
+        )
+    else:
+        bands = spark.createDataFrame(
+            [(i,) for i in range(-max_edits, max_edits + 1)], "delta int"
+        )
+        keyed_words = wdf.crossJoin(bands).select(
+            "word", (F.length("word") + F.col("delta")).alias("jk")
+        )
+        keyed_dict = dict_df.withColumn("jk", F.length("term"))
     cand = (
-        F.broadcast(wdf)
-        .crossJoin(searcher.index.term_stats.select("term", "df"))
+        keyed_dict.join(F.broadcast(keyed_words), "jk")
         .where(
             (F.col("term") != F.col("word"))
-            & (
-                F.substring(F.col("term"), 1, min_prefix)
-                == F.substring(F.col("word"), 1, min_prefix)
-            )
             & (F.abs(F.length("term") - F.length("word")) <= max_edits)
             & (d <= max_edits)
         )

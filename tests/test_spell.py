@@ -107,3 +107,19 @@ def test_direct_spell_absolute_max_query_frequency(sp):
         sp, ["table"], num_sug=5, suggest_mode="always", max_query_frequency=1.0
     ).collect()
     assert out == []
+
+def test_direct_spell_plan_is_hash_join(sp):
+    # The prefix-share predicate is expressed as an equi-join key, so
+    # the word batch hash-joins against the dictionary; a
+    # BroadcastNestedLoopJoin here would cost |words| x |dict| at scale.
+    for kwargs in ({"min_prefix": 1}, {"min_prefix": 0}):
+        df = spell.direct_spell_suggest(sp, ["tabel", "windoe"], **kwargs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
+def test_direct_spell_min_prefix_zero(sp):
+    # min_prefix=0 (length-band key path) still finds the suggestion
+    out = spell.direct_spell_suggest(sp, ["windoe"], num_sug=5, min_prefix=0).collect()
+    assert out and out[0].suggestion == "window"
