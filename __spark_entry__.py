@@ -1195,6 +1195,17 @@ def _q_simple_parse(spark, sf_dir):
     return _ranked(s.search_df(parse_simple("spark + merge | batch"), 10))
 
 
+def _q_standard_parse(spark, sf_dir):
+    """Flexible StandardQueryParser: 'spark OR merge AND batch' ->
+    spark OR (merge AND batch) via the precedence grammar
+    (StandardSyntaxParser.cs:170) — the Classic parser flat-folds the
+    same string, so this entry pins the flexible dialect."""
+    from lucenenet_spark.search.standard_parser import parse_standard
+
+    _, s = _searcher(spark, sf_dir)
+    return _ranked(s.search_df(parse_standard("spark OR merge AND batch"), 10))
+
+
 def _q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser: prefix inside a phrase -> span near
     with a SpanMultiTermQuery slot, one term-pruned packed scan."""
@@ -2071,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_filters": _q_c4_filters,
         "top_ngram_stats": _q_top_ngram_stats,
+        # -- new in r4 (never driver-verified) ------------
+        "standard_parse_query": _q_standard_parse,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2279,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_filter": osql.duplicate_filter_sql("spark", "source", "first"),
         "boosting_query": osql.boosting_query_sql("spark", "merge", 0.5),
         "simple_parse_query": osql.simple_parse_sql("spark", "merge", "batch"),
+        "standard_parse_query": osql.standard_parse_sql("spark", "merge", "batch"),
         "complex_phrase": osql.complex_phrase2_sql("table", "ha", 0),
         "complex_phrase_group": osql.complex_phrase3_sql(
             "fast", ["merge", "join"], "ta", 4

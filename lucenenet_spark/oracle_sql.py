@@ -2328,6 +2328,34 @@ merged AS (
     )
 
 
+def standard_parse_sql(t0: str, t1: str, t2: str, k: int = K) -> str:
+    """Mirror of parse_standard('t0 OR t1 AND t2') = t0 OR (t1 AND t2)
+    — the flexible StandardQueryParser's precedence grammar
+    (StandardSyntaxParser.cs:170: AND binds tighter than OR), which the
+    Classic parser would instead flat-fold to (SHOULD t0, MUST t1,
+    MUST t2). Outer disjunction fold in clause order: (0 + s_t0) +
+    s_and, float32 op order matching the engine's nested boolean
+    evaluation."""
+    z = _f32_lit(0.0)
+    return (
+        bm25_prelude()
+        + ",\n" + _term_scores_cte("c0", t0)
+        + ",\n" + _term_scores_cte("c1", t1)
+        + ",\n" + _term_scores_cte("c2", t2)
+        + f""",
+inner_and AS (
+  SELECT c1.docid, ({z} + c1.s) + c2.s AS s
+  FROM c1 JOIN c2 ON c1.docid = c2.docid
+),
+merged AS (
+  SELECT coalesce(c0.docid, a.docid) AS docid,
+         ({z} + coalesce(c0.s, {z})) + coalesce(a.s, {z}) AS s
+  FROM c0 FULL OUTER JOIN inner_and a ON c0.docid = a.docid
+)"""
+        + _topk("merged", k)
+    )
+
+
 def complex_phrase2_sql(t0: str, prefix1: str, slop: int = 0) -> str:
     """ComplexPhrase '"t0 prefix1*"~slop': 2-clause ordered near with
     the second slot prefix-expanded; per-start counting (a start
