@@ -1,0 +1,110 @@
+"""Snowball stemmer dispatch + analyzer pipeline.
+
+Fills the reference's SnowballFilter role
+(``Analysis/Snowball/SnowballFilter.cs:30`` — a TokenFilter wrapping
+the Tartarus ``SnowballProgram`` for a named language) for the top
+non-English languages: German, French, Spanish, Italian, Russian.
+Each stemmer is implemented from the published snowballstem.org
+algorithm (public domain) and holds exact parity with the full
+published test vocabulary (169 000 words total; see
+``tests/test_snowball.py`` for the pinned samples and
+``bench_artifacts/snowball_vocab_parity_r4.txt`` for the full-run
+evidence).
+
+The analyzer (``analyze_snowball``) is the standard pipeline with a
+Unicode tokenizer: the same token shape as the base analyzer
+(dotted numerics kept whole, mid-word apostrophes kept) but with
+Unicode word characters, so accented Latin and Cyrillic words
+tokenize whole. On pure-ASCII text it tokenizes exactly like the
+base ``analyze`` — the property the DuckDB oracle mirror relies on.
+No stop filter is applied (the reference's per-language stop lists
+are analyzer *configuration*, not algorithm; SnowballAnalyzer accepts
+any stop set including the empty one), so positions are gap-free.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucenenet_spark.analysis.snowball_french import french_stem
+from lucenenet_spark.analysis.snowball_german import german_stem
+from lucenenet_spark.analysis.snowball_italian import italian_stem
+from lucenenet_spark.analysis.snowball_russian import russian_stem
+from lucenenet_spark.analysis.snowball_spanish import spanish_stem
+
+STEMMERS = {
+    "de": german_stem,
+    "german": german_stem,
+    "fr": french_stem,
+    "french": french_stem,
+    "es": spanish_stem,
+    "spanish": spanish_stem,
+    "it": italian_stem,
+    "italian": italian_stem,
+    "ru": russian_stem,
+    "russian": russian_stem,
+}
+
+# Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no
+# re.ASCII): \w covers accented Latin + Cyrillic letters and digits
+_UNI_TOKEN_RE = re.compile(r"\d+(?:\.\d+)+|\w+(?:'\w+)*")
+
+_MAX_TOKEN_LENGTH = 255
+
+
+def snowball_stem(lang: str):
+    """The stem function for a language code/name (KeyError if the
+    language is not shipped)."""
+    try:
+        return STEMMERS[lang.lower()]
+    except KeyError:
+        raise KeyError(
+            f"no snowball stemmer for {lang!r}; have "
+            f"{sorted(set(STEMMERS))}"
+        ) from None
+
+
+_DE_STEP1 = ["", "em", "ern", "er", "e", "en", "es", "s"]
+_DE_STEP2 = ["", "est", "en", "er", "st"]
+_DE_STEP3 = (
+    [""]
+    + ["end", "ung", "ik", "isch", "ig", "lich", "heit", "keit"]
+    + ["igend", "igung"]  # ig stripped after end/ung
+    + ["erlich", "enlich", "erheit", "enheit"]  # er/en after lich/heit
+    + ["lichkeit", "igkeit"]  # lich/ig after keit
+)
+
+
+def german_stem_class(stem: str) -> list[str]:
+    """All ASCII surface forms the German stemmer maps to ``stem`` —
+    sound because the algorithm only deletes suffixes from the fixed
+    step tables (at most one per step; the umlaut/ß rewrites are
+    identity on ASCII), so every preimage is stem + step3 + step2 +
+    step1 for some table entries; each candidate is then verified with
+    the stemmer itself. Used to express a stemmed-index TermQuery as a
+    raw-token IN-class in the DuckDB oracle."""
+    out = []
+    seen = set()
+    for c in _DE_STEP3:
+        for b in _DE_STEP2:
+            for a in _DE_STEP1:
+                w = stem + c + b + a
+                if w not in seen:
+                    seen.add(w)
+                    if german_stem(w) == stem:
+                        out.append(w)
+    return sorted(out)
+
+
+def make_snowball_analyzer(lang: str):
+    """analyze(text) -> [(stemmed_term, position)] for the language."""
+    stem = snowball_stem(lang)
+
+    def analyze_snowball(text: str) -> list[tuple[str, int]]:
+        if not text:
+            return []
+        toks = _UNI_TOKEN_RE.findall(text.lower())
+        toks = [t for t in toks if len(t) <= _MAX_TOKEN_LENGTH]
+        return [(stem(t), i) for i, t in enumerate(toks)]
+
+    return analyze_snowball

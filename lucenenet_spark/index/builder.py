@@ -87,6 +87,14 @@ class CorpusSpec:
     # append a PorterStemFilter to the analysis pipeline
     # (EnglishAnalyzer role); queries must stem their terms too
     stem: bool = False
+    # Snowball stemming for a named language ("de"/"fr"/"es"/"it"/
+    # "ru"; SnowballFilter role, Analysis/Snowball/SnowballFilter
+    # .cs:30) with the Unicode tokenizer from analysis/snowball.py —
+    # no stop filter (empty stop set), positions gap-free. Queries
+    # must stem their terms with snowball_stem(lang). Exclusive with
+    # every other analysis flag (incl. ascii_fold, which would strip
+    # the accents the stemmers read).
+    stem_lang: "str | None" = None
     # CJK bigram tokenization (CJKAnalyzer role); exclusive with stem
     cjk: bool = False
     # index-time synonym injection (SynonymFilter role): the frozen
@@ -331,11 +339,16 @@ class _SegmentWriter:
         ngram=None,
         max_tokens: "int | None" = None,
         token_length: "tuple[int, int] | None" = None,
+        stem_lang: "str | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
             raise ValueError("stem and cjk analyzers are mutually exclusive")
-        if stem:
+        if stem_lang is not None:
+            from lucenenet_spark.analysis.snowball import make_snowball_analyzer
+
+            self.analyze = make_snowball_analyzer(stem_lang)
+        elif stem:
             from lucenenet_spark.analysis.analyzer import analyze_stemmed
 
             self.analyze = analyze_stemmed
@@ -550,13 +563,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -860,6 +873,20 @@ def build_index(
     spec = spec or CorpusSpec()
     if spec.stem and spec.cjk:  # fail on the driver, not inside workers
         raise ValueError("stem and cjk analyzers are mutually exclusive")
+    if spec.stem_lang is not None:
+        from lucenenet_spark.analysis.snowball import snowball_stem
+
+        snowball_stem(spec.stem_lang)  # fail fast on unknown language
+        if (
+            spec.stem or spec.cjk or spec.synonyms or spec.shingle_size
+            or spec.edge_ngram or spec.reverse or spec.payload_delim
+            or spec.common_grams or spec.ngram or spec.max_tokens
+            or spec.token_length or spec.ascii_fold or spec.code
+        ):
+            raise ValueError(
+                "stem_lang replaces the analysis pipeline; it is "
+                "exclusive with the other analysis flags"
+            )
     if spec.max_tokens is not None and (
         spec.cjk or spec.synonyms or spec.shingle_size or spec.edge_ngram
         or spec.reverse or spec.payload_delim or spec.common_grams or spec.ngram
@@ -901,7 +928,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang),
             schema=schema,
         )
     else:
@@ -913,7 +940,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang),
             schema=schema,
         )
     flat_all = flat_all.persist()
