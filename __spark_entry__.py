@@ -461,6 +461,57 @@ def _q_dfr_term(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="spark"), 10))
 
 
+def _q_dfr_pl2_term(spark, sf_dir):
+    """DFR Poisson basic model (BasicModelP.cs:46) x AfterEffectL x
+    NormalizationH2 — nonlinear: lambda packed into the weight slot."""
+    from lucenenet_spark.functions.similarity import DFRSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(
+        idx,
+        similarity=DFRSimilarity(
+            s._avgdl, basic_model="p", after_effect="l", normalization="h2"
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_dfr_dlz_term(spark, sf_dir):
+    """DFR divergence-approximation basic model (BasicModelD.cs:33)
+    x AfterEffectL x NormalizationZ (NormalizationZ.cs:47, z=0.30) —
+    packs ttf; the collection N rides on the similarity instance."""
+    from lucenenet_spark.functions.similarity import DFRSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(
+        idx,
+        similarity=DFRSimilarity(
+            s._avgdl, basic_model="d", after_effect="l", normalization="z",
+            n_docs=idx.max_doc,
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
+def _q_dfr_bel1_term(spark, sf_dir):
+    """DFR Bose-Einstein basic model (BasicModelBE.cs:36) x
+    AfterEffectL x NormalizationH1."""
+    from lucenenet_spark.functions.similarity import DFRSimilarity
+
+    idx, _ = _searcher(spark, sf_dir)
+    s = IndexSearcher(idx)
+    s = IndexSearcher(
+        idx,
+        similarity=DFRSimilarity(
+            s._avgdl, basic_model="be", after_effect="l",
+            normalization="h1", n_docs=idx.max_doc,
+        ),
+    )
+    return _ranked(s.search_df(TermQuery(term="spark"), 10))
+
+
 def _spatial_pts(spark, sf_dir):
     from lucenenet_spark.spatial import synthetic_points
 
@@ -1204,6 +1255,27 @@ def _q_standard_parse(spark, sf_dir):
 
     _, s = _searcher(spark, sf_dir)
     return _ranked(s.search_df(parse_standard("spark OR merge AND batch"), 10))
+
+
+def _snowball_de_class(stem: str) -> list[str]:
+    from lucenenet_spark.analysis.snowball import german_stem_class
+
+    return german_stem_class(stem)
+
+
+def _q_stemmed_term_de(spark, sf_dir):
+    """German Snowball-stemmed index (SnowballFilter.cs:30 role):
+    TermQuery('tabl') — the stem of 'table' — over an index built with
+    CorpusSpec(stem_lang='de'); the oracle recomputes BM25 from raw
+    text with the stemmer-verified surface-form class (no stop filter:
+    doclen/norms count all tokens)."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        stem_lang="de",
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="tabl"), 10))
 
 
 def _q_complex_phrase(spark, sf_dir):
@@ -2084,6 +2156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": _q_top_ngram_stats,
         # -- new in r4 (never driver-verified) ------------
         "standard_parse_query": _q_standard_parse,
+        "stemmed_term_query_de": _q_stemmed_term_de,
+        "dfr_pl2_term_query": _q_dfr_pl2_term,
+        "dfr_dlz_term_query": _q_dfr_dlz_term,
+        "dfr_bel1_term_query": _q_dfr_bel1_term,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2277,6 +2353,15 @@ def oracle_sql() -> dict[str, str]:
         "dfr_ifb2_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="if", after_effect="b", normalization="h2"
         ),
+        "dfr_pl2_term_query": osql.dfr_generic_term_query_sql(
+            "spark", basic_model="p", after_effect="l", normalization="h2"
+        ),
+        "dfr_dlz_term_query": osql.dfr_generic_term_query_sql(
+            "spark", basic_model="d", after_effect="l", normalization="z"
+        ),
+        "dfr_bel1_term_query": osql.dfr_generic_term_query_sql(
+            "spark", basic_model="be", after_effect="l", normalization="h1"
+        ),
         "dfr_gl1_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="g", after_effect="l", normalization="h1"
         ),
@@ -2293,6 +2378,9 @@ def oracle_sql() -> dict[str, str]:
         "boosting_query": osql.boosting_query_sql("spark", "merge", 0.5),
         "simple_parse_query": osql.simple_parse_sql("spark", "merge", "batch"),
         "standard_parse_query": osql.standard_parse_sql("spark", "merge", "batch"),
+        "stemmed_term_query_de": osql.stemmed_term_class_sql(
+            _snowball_de_class("tabl")
+        ),
         "complex_phrase": osql.complex_phrase2_sql("table", "ha", 0),
         "complex_phrase_group": osql.complex_phrase3_sql(
             "fast", ["merge", "join"], "ta", 4

@@ -337,9 +337,25 @@ class DFRSimilarity:
     after effects (``AfterEffect*.cs``):
       - ``l`` (`AfterEffectL.cs`): 1/(1+tfn)
       - ``b`` (`AfterEffectB.cs:37`): (ttf+2)/((df+1)*(tfn+1))
-    normalizations (``NormalizationH*.cs``):
+    nonlinear basic models (per-doc score shapes — the per-term
+    constant packed into the weight scalar is noted):
+      - ``p``  (`BasicModelP.cs:46`): Poisson approximation —
+               tfn*log2(tfn/lambda) + (lambda + 1/(12*tfn) - tfn)
+               *log2(e) + 0.5*log2(2*pi*tfn),
+               lambda = f32(ttf+1)/(N+1)  [packs lambda]
+      - ``d``  (`BasicModelD.cs:33`): divergence approximation —
+               F = ttf+1+tfn, phi = tfn/F, p = 1/(N+1),
+               (phi*log2(phi/p) + (1-phi)*log2((1-phi)/(1-p)))*F
+               + 0.5*log2(1+2*pi*tfn*(1-phi))  [packs ttf; N from
+               the ``n_docs`` constructor arg]
+      - ``be`` (`BasicModelBE.cs:36`): Bose-Einstein — F = ttf+1+tfn,
+               N' = F+N, -log2((N'-1)*e) + f(N'+F-1, N'+F-tfn-2)
+               - f(F, F-tfn), f(n,m) = (m+0.5)*log2(n/m)
+               + (n-m)*log2(n)  [packs ttf; N from ``n_docs``]
+    normalizations (``NormalizationH*.cs``, ``NormalizationZ.cs``):
       - ``h1``: tfn = freq * avgdl/dl
       - ``h2``: tfn = freq * log2(1 + c*avgdl/dl)
+      - ``z`` (`NormalizationZ.cs:47`): tfn = freq * (avgdl/dl)^z
 
     The engine bakes ONE float per (clause, term) into the scan plan,
     so the per-term constants must fold into that scalar. Linear
@@ -347,8 +363,10 @@ class DFRSimilarity:
     (both effects share the 1/(1+tfn) shape; B contributes the extra
     constant (ttf+2)/(df+1)): w = boost * bm_c [* b_c], score =
     f32(w * tfn/(1+tfn)) — the same pinned double-math pipeline as
-    DFRInL2Similarity. The G model packs lambda as the scalar instead
-    (boost and after-effect B then have nowhere to ride: both raise).
+    DFRInL2Similarity. The nonlinear models (g/p/d/be) pack their one
+    per-term statistic as the scalar instead (boost and after-effect
+    B then have nowhere to ride: both raise); d/be additionally need
+    the collection constant N, taken at construction like ``avgdl``.
     All math runs double with one float32 truncation at the end, log2
     spelled ln/ln2 in both engines — the discipline the InL2/IB/LM
     mirrors pinned."""
@@ -360,23 +378,32 @@ class DFRSimilarity:
         after_effect: str = "l",
         normalization: str = "h2",
         c: float = 1.0,
+        z: float = 0.30,
+        n_docs: "int | None" = None,
     ):
-        if basic_model not in ("in", "if", "ine", "g"):
+        if basic_model not in ("in", "if", "ine", "g", "p", "d", "be"):
             raise ValueError(basic_model)
         if after_effect not in ("l", "b"):
             raise ValueError(after_effect)
-        if normalization not in ("h1", "h2"):
+        if normalization not in ("h1", "h2", "z"):
             raise ValueError(normalization)
-        if basic_model == "g" and after_effect == "b":
+        if basic_model in ("g", "p", "d", "be") and after_effect == "b":
             raise NotImplementedError(
-                "G x B needs two per-term constants; the engine's "
-                "weight slot carries one scalar"
+                f"{basic_model} x B needs two per-term constants; the "
+                "engine's weight slot carries one scalar"
+            )
+        if basic_model in ("d", "be") and n_docs is None:
+            raise ValueError(
+                f"basic model {basic_model!r} needs the collection "
+                "doc count: pass n_docs=index.max_doc"
             )
         self.avgdl = np.float32(avgdl)
         self.basic_model = basic_model
         self.after_effect = after_effect
         self.normalization = normalization
         self.c = float(c)
+        self.z = float(z)
+        self.n_docs = None if n_docs is None else int(n_docs)
         self.name = f"dfr_{basic_model}{after_effect}{normalization[-1]}"
 
     def weight(
@@ -384,13 +411,25 @@ class DFRSimilarity:
     ) -> np.float32:
         ln2 = np.log(2.0)
         n = float(max_doc)
-        if self.basic_model == "g":
+        if self.basic_model in ("g", "p", "d", "be"):
             if float(boost) != 1.0:
                 raise NotImplementedError(
-                    "BasicModelG packs lambda into the weight scalar; "
+                    f"BasicModel{self.basic_model.upper()} packs its "
+                    "per-term statistic into the weight scalar; "
                     "per-term boosts are not supported"
                 )
+            if self.n_docs is not None and self.n_docs != max_doc:
+                raise ValueError(
+                    f"n_docs={self.n_docs} does not match the "
+                    f"index max_doc={max_doc}"
+                )
+        if self.basic_model == "g":
             return np.float32((ttf + 1.0) / (n + ttf + 1.0))
+        if self.basic_model == "p":
+            # reference: lambda = (float)(ttf+1) / (N+1) — f32 div
+            return np.float32(np.float32(ttf + 1.0) / np.float32(n + 1.0))
+        if self.basic_model in ("d", "be"):
+            return np.float32(ttf)
         if self.basic_model == "in":
             bm = np.log((n + 1.0) / (df + 0.5)) / ln2
         elif self.basic_model == "if":
@@ -415,18 +454,58 @@ class DFRSimilarity:
         ff = np.asarray(f, dtype=np.float64)
         if self.normalization == "h1":
             return ff * (np.float64(self.avgdl) / dl)
+        if self.normalization == "z":
+            return ff * np.power(np.float64(self.avgdl) / dl, self.z)
         return ff * (
             np.log(1.0 + self.c * np.float64(self.avgdl) / dl) / np.log(2.0)
         )
 
     def score(self, f: np.ndarray, norm_bytes: np.ndarray, w: np.float32) -> np.ndarray:
         tfn = self._tfn(f, norm_bytes)
+        ln2 = np.log(2.0)
         if self.basic_model == "g":
             lam = np.float64(np.float32(w))
-            ln2 = np.log(2.0)
             bm = (
                 np.log(1.0 + lam) / ln2
                 + tfn * (np.log((1.0 + lam) / lam) / ln2)
+            )
+            return (bm / (1.0 + tfn)).astype(np.float32)
+        if self.basic_model == "p":
+            lam = np.float64(np.float32(w))
+            bm = (
+                tfn * (np.log(tfn / lam) / ln2)
+                + (lam + 1.0 / (12.0 * tfn) - tfn) * (np.log(np.e) / ln2)
+                + 0.5 * (np.log(2.0 * np.pi * tfn) / ln2)
+            )
+            return (bm / (1.0 + tfn)).astype(np.float32)
+        if self.basic_model == "d":
+            ttf = np.float64(np.float32(w))
+            big_f = ttf + 1.0 + tfn
+            phi = tfn / big_f
+            nphi = 1.0 - phi
+            p = 1.0 / (float(self.n_docs) + 1.0)
+            d_kl = (
+                phi * (np.log(phi / p) / ln2)
+                + nphi * (np.log(nphi / (1.0 - p)) / ln2)
+            )
+            bm = d_kl * big_f + 0.5 * (
+                np.log(1.0 + 2.0 * np.pi * tfn * nphi) / ln2
+            )
+            return (bm / (1.0 + tfn)).astype(np.float32)
+        if self.basic_model == "be":
+            ttf = np.float64(np.float32(w))
+            big_f = ttf + 1.0 + tfn
+            big_n = big_f + float(self.n_docs)
+
+            def fh(n, m):
+                return (m + 0.5) * (np.log(n / m) / ln2) + (n - m) * (
+                    np.log(n) / ln2
+                )
+
+            bm = (
+                -(np.log((big_n - 1.0) * np.e) / ln2)
+                + fh(big_n + big_f - 1.0, big_n + big_f - tfn - 2.0)
+                - fh(big_f, big_f - tfn)
             )
             return (bm / (1.0 + tfn)).astype(np.float32)
         s = np.float64(np.float32(w)) * tfn / (1.0 + tfn)

@@ -2039,11 +2039,73 @@ def dfr_generic_term_query_sql(
     dl = "CAST(CAST(1.0 AS REAL) / (d.val * d.val) AS DOUBLE)"
     if normalization == "h1":
         tfn = f"(CAST(p.freq AS DOUBLE) * (CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl}))"
+    elif normalization == "z":
+        tfn = (
+            f"(CAST(p.freq AS DOUBLE)"
+            f" * pow(CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl}, 0.30))"
+        )
     else:
         tfn = (
             f"(CAST(p.freq AS DOUBLE)"
             f" * (ln(1.0 + CAST((SELECT avgdl FROM cstats) AS DOUBLE) / {dl})"
             f" / ln(2.0)))"
+        )
+    if basic_model in ("p", "d", "be"):
+        # nonlinear models (similarity.py::DFRSimilarity score): the
+        # packed per-term scalar (lambda for P, ttf for D/Be) goes
+        # through the same f32 truncation as the engine's weight slot
+        if basic_model == "p":
+            lam = (
+                f"CAST(CAST(CAST(({ttf} + 1.0) AS REAL)"
+                f" / CAST(({n} + 1.0) AS REAL) AS REAL) AS DOUBLE)"
+            )
+            bm = (
+                f"({tfn} * (ln({tfn} / {lam}) / ln(2.0))"
+                f" + ({lam} + 1.0 / (12.0 * {tfn}) - {tfn})"
+                f" * (ln(exp(1.0)) / ln(2.0))"
+                f" + 0.5 * (ln(2.0 * pi() * {tfn}) / ln(2.0)))"
+            )
+        elif basic_model == "d":
+            ttf32 = f"CAST(CAST({ttf} AS REAL) AS DOUBLE)"
+            bigf = f"({ttf32} + 1.0 + {tfn})"
+            phi = f"({tfn} / {bigf})"
+            nphi = f"(1.0 - {phi})"
+            pp = f"(1.0 / ({n} + 1.0))"
+            dkl = (
+                f"({phi} * (ln({phi} / {pp}) / ln(2.0))"
+                f" + {nphi} * (ln({nphi} / (1.0 - {pp})) / ln(2.0)))"
+            )
+            bm = (
+                f"({dkl} * {bigf}"
+                f" + 0.5 * (ln(1.0 + 2.0 * pi() * {tfn} * {nphi}) / ln(2.0)))"
+            )
+        else:  # be
+            ttf32 = f"CAST(CAST({ttf} AS REAL) AS DOUBLE)"
+            bigf = f"({ttf32} + 1.0 + {tfn})"
+            bign = f"({bigf} + {n})"
+
+            def fh(nn, mm):
+                return (
+                    f"(({mm} + 0.5) * (ln({nn} / {mm}) / ln(2.0))"
+                    f" + ({nn} - {mm}) * (ln({nn}) / ln(2.0)))"
+                )
+
+            bm = (
+                f"(-(ln(({bign} - 1.0) * exp(1.0)) / ln(2.0))"
+                f" + {fh(f'({bign} + {bigf} - 1.0)', f'({bign} + {bigf} - {tfn} - 2.0)')}"
+                f" - {fh(bigf, f'({bigf} - {tfn})')})"
+            )
+        s = f"CAST({bm} / (1.0 + {tfn}) AS REAL)"
+        return (
+            bm25_prelude()
+            + f""",
+scored AS (
+  SELECT p.docid, {s} AS s
+  FROM postings p JOIN norms n ON p.docid = n.docid
+  JOIN norm_decode d ON d.b = n.norm
+  WHERE p.term = '{term}'
+)"""
+            + _topk("scored", k)
         )
     if basic_model == "g":
         lam = f"CAST(CAST(({ttf} + 1.0) / ({n} + {ttf} + 1.0) AS REAL) AS DOUBLE)"
@@ -2325,6 +2387,63 @@ merged AS (
   FROM inner_and a FULL OUTER JOIN c2 ON a.docid = c2.docid
 )"""
         + _topk("merged", k)
+    )
+
+
+def stemmed_term_class_sql(stem_class: list[str], k: int = K) -> str:
+    """BM25 top-k for a TermQuery over a snowball-stemmed index,
+    recomputed from the RAW text: the stemmed index's posting row for
+    the target stem equals, doc-by-doc, the count of raw tokens in the
+    stem CLASS (the finite, stemmer-verified set of ASCII surface
+    forms — analysis/snowball.py::german_stem_class). The snowball
+    pipeline applies NO stop filter, so doc lengths / norms count ALL
+    tokens (unlike bm25_prelude); on the ASCII test corpus its Unicode
+    tokenizer matches the pinned ASCII regex. If the engine ever
+    stemmed some other token into the class, df/tf here would diverge
+    and the compare would fail — genuine cross-engine verification."""
+    from lucenenet_spark.analysis.analyzer import (
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+        _sql_quote_regex,
+    )
+
+    re_sql = _sql_quote_regex(TOKEN_PATTERN)
+    in_list = ", ".join(f"'{w}'" for w in stem_class)
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    idf = _idf_expr("(SELECT df FROM class_stats)")
+    return (
+        f"""
+WITH tok AS (
+  SELECT doc_id AS docid,
+         unnest(list_filter(regexp_extract_all(lower(text), '{re_sql}'),
+                            x -> length(x) <= {MAX_TOKEN_LENGTH})) AS term
+  FROM documents
+),
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok
+  GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS fl FROM tok GROUP BY docid) t
+    ON d.doc_id = t.docid
+),{_prelude_tail()},
+cpost AS (
+  SELECT docid, CAST(count(*) AS INT) AS freq FROM tok
+  WHERE term IN ({in_list}) GROUP BY docid
+),
+class_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS df FROM cpost
+),
+t0 AS (
+  SELECT p.docid,
+         ({idf} * {_f32_lit(1.0)} * {k1p1}) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM cpost p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("t0", k)
     )
 
 
