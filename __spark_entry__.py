@@ -536,6 +536,24 @@ def _q_spatial_distance_join(spark, sf_dir):
     return distance_join(_spatial_pts(spark, sf_dir), radius_km=500.0)
 
 
+_POLY_WKT = (
+    "POLYGON ((-60.00005 -30.00005, 60.00005 -40.00005, 70.00005 20.00005, "
+    "0.00005 55.00005, -65.00005 25.00005, -60.00005 -30.00005), "
+    "(-20.00005 -10.00005, 20.00005 -10.00005, 20.00005 15.00005, "
+    "-20.00005 15.00005, -20.00005 -10.00005))"
+)
+
+
+def _q_spatial_polygon(spark, sf_dir):
+    """WKT polygon (pentagon with a rectangular hole) containment —
+    RecursivePrefixTreeStrategy.cs:46 shape support; vertices sit off
+    the synthetic points' 1e-4 lattice so the even-odd boundary rule
+    is never exercised."""
+    from lucenenet_spark.spatial import polygon_contains_query
+
+    return polygon_contains_query(_spatial_pts(spark, sf_dir), _POLY_WKT)
+
+
 def _q_percolate(spark, sf_dir):
     from lucenenet_spark.percolate import percolate
 
@@ -2160,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_pl2_term_query": _q_dfr_pl2_term,
         "dfr_dlz_term_query": _q_dfr_dlz_term,
         "dfr_bel1_term_query": _q_dfr_bel1_term,
+        "spatial_polygon": _q_spatial_polygon,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2353,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "dfr_ifb2_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="if", after_effect="b", normalization="h2"
         ),
+        "spatial_polygon": osql.spatial_polygon_sql(_POLY_WKT),
         "dfr_pl2_term_query": osql.dfr_generic_term_query_sql(
             "spark", basic_model="p", after_effect="l", normalization="h2"
         ),

@@ -2271,6 +2271,38 @@ WHERE lat BETWEEN {min_lat} AND {max_lat}
 ORDER BY id"""
 
 
+def spatial_polygon_sql(wkt: str) -> str:
+    """Mirror of spatial.py::polygon_contains_query — the same
+    division-free even-odd ray cast (straddle AND sign(t) == sign(dy))
+    as a SUM over the literal edge list; pure double comparisons, no
+    float rounding anywhere, so hash-exact."""
+    from lucenenet_spark.spatial import parse_wkt_polygon, _polygon_edges
+
+    rings = parse_wkt_polygon(wkt)
+    edges = _polygon_edges(rings)
+    xs = [x for x, _ in rings[0]]
+    ys = [y for _, y in rings[0]]
+    vals = ", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in edges)
+    t = "((e.x2 - e.x1) * (c.lat - e.y1) - (c.lon - e.x1) * (e.y2 - e.y1))"
+    return f"""
+WITH {_SPATIAL_POINTS},
+cand AS (
+  SELECT id, lat, lon FROM pts
+  WHERE lat BETWEEN {min(ys)} AND {max(ys)}
+    AND lon BETWEEN {min(xs)} AND {max(xs)}
+),
+edges(x1, y1, x2, y2) AS (VALUES {vals}),
+cr AS (
+  SELECT c.id, c.lat, c.lon,
+         SUM(CASE WHEN ((e.y1 > c.lat) != (e.y2 > c.lat))
+                   AND (({t} > 0.0) = (e.y2 > e.y1))
+                  THEN 1 ELSE 0 END) AS n
+  FROM cand c CROSS JOIN edges e
+  GROUP BY c.id, c.lat, c.lon
+)
+SELECT id, lat, lon FROM cr WHERE n % 2 = 1 ORDER BY id"""
+
+
 def spatial_distance_topk_sql(qlat: float, qlon: float, k: int = 10) -> str:
     """Mirror of spatial.py::distance_topk."""
     d = _hav_sql(str(float(qlat)), str(float(qlon)), "lat", "lon")

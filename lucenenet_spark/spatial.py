@@ -109,6 +109,187 @@ def bbox_query_persisted(
     return bbox_query(pts.select("id", "lat", "lon"), min_lat, max_lat, min_lon, max_lon)
 
 
+def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
+    """Minimal WKT POLYGON parser -> list of rings (shell first, then
+    holes), each a list of (lon, lat) with the closing vertex dropped.
+    Covers the shapes RecursivePrefixTreeStrategy accepts via
+    Spatial4n's WktShapeParser (reference
+    ``Prefix/RecursivePrefixTreeStrategy.cs:46``); only POLYGON here —
+    points/bboxes already have first-class queries."""
+    s = wkt.strip()
+    up = s.upper()
+    if not up.startswith("POLYGON"):
+        raise ValueError(f"not a WKT POLYGON: {wkt[:40]!r}")
+    body = s[len("POLYGON"):].strip()
+    if not (body.startswith("(") and body.endswith(")")):
+        raise ValueError("malformed POLYGON body")
+    body = body[1:-1]
+    rings: list[list[tuple[float, float]]] = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+            start = i + 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced parens in POLYGON")
+            ring = []
+            for pair in body[start:i].split(","):
+                xy = pair.split()
+                if len(xy) != 2:
+                    raise ValueError(f"bad coordinate pair {pair!r}")
+                ring.append((float(xy[0]), float(xy[1])))
+            if len(ring) >= 2 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            if len(ring) < 3:
+                raise ValueError("ring needs >= 3 distinct vertices")
+            rings.append(ring)
+    if not rings:
+        raise ValueError("POLYGON with no rings")
+    return rings
+
+
+def _polygon_edges(rings) -> list[tuple[float, float, float, float]]:
+    """All ring edges (x1, y1, x2, y2) incl. the closing edge — the
+    even-odd rule over shell + hole edges together implements
+    shell-minus-holes containment."""
+    edges = []
+    for ring in rings:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            edges.append((float(x1), float(y1), float(x2), float(y2)))
+    return edges
+
+
+def _pip_mask(px: np.ndarray, py: np.ndarray, edges) -> np.ndarray:
+    """Vectorized even-odd ray cast (numpy twin of the Column/SQL
+    forms — used for driver-side cell classification and in tests).
+    Division-free: crossing iff the edge straddles py vertically AND
+    sign((x2-x1)(py-y1) - (px-x1)(y2-y1)) == sign(y2-y1)."""
+    inside = np.zeros(px.shape, dtype=bool)
+    for x1, y1, x2, y2 in edges:
+        straddle = (y1 > py) != (y2 > py)
+        t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        inside ^= straddle & ((t > 0.0) == (y2 > y1))
+    return inside
+
+
+def _crossings_col(px, py, edges):
+    """Even-odd crossing count as a pure JVM Column: F.aggregate over
+    the literal edge array — no Python in the per-point hot path, and
+    the identical double expression runs as the DuckDB oracle."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in edges
+        ]
+    )
+    def step(acc, e):
+        straddle = (e.y1 > py) != (e.y2 > py)
+        t = (e.x2 - e.x1) * (py - e.y1) - (px - e.x1) * (e.y2 - e.y1)
+        return acc + F.when(straddle & ((t > F.lit(0.0)) == (e.y2 > e.y1)), 1).otherwise(0)
+    return F.aggregate(arr, F.lit(0), step)
+
+
+def polygon_contains_query(points: DataFrame, wkt: str) -> DataFrame:
+    """Points inside a WKT polygon (SpatialOperation.Intersects with a
+    polygon shape, ``Prefix/RecursivePrefixTreeStrategy.cs:46`` role):
+    shell-bbox BETWEEN prefilter (parquet pushdown) then an exact
+    even-odd ray cast folded JVM-side over the literal edge list.
+    Output (id, lat, lon) sorted by id. Boundary behavior: even-odd
+    with strict inequalities — vertices/edges at exact point
+    coordinates are undefined territory; pick polygon vertices off the
+    data grid (the synthetic points sit on a 1e-4 lattice)."""
+    rings = parse_wkt_polygon(wkt)
+    edges = _polygon_edges(rings)
+    xs = [x for x, _ in rings[0]]
+    ys = [y for _, y in rings[0]]
+    px, py = F.col("lon"), F.col("lat")
+    return (
+        points.where(
+            py.between(min(ys), max(ys)) & px.between(min(xs), max(xs))
+        )
+        .where(_crossings_col(px, py, edges) % 2 == 1)
+        .orderBy("id")
+        .select("id", "lat", "lon")
+    )
+
+
+def _cover_cells(rings, zoom: int):
+    """RecursivePrefixTree's fixed-depth grid approximation, driver
+    side over the <= 4^zoom bbox cells: classify each shell-bbox cell
+    OUTSIDE (pruned) / INSIDE (points pass with no per-point test) /
+    BOUNDARY (exact ray cast on its points). A cell is BOUNDARY iff
+    some edge's bbox overlaps it and the edge segment crosses the cell
+    rectangle (conservative: edge-bbox overlap is the cheap test, may
+    mark extra cells BOUNDARY — never wrong, only less pruned)."""
+    n = 1 << zoom
+    edges = _polygon_edges(rings)
+    xs = [x for x, _ in rings[0]]
+    ys = [y for _, y in rings[0]]
+    cx0 = max(int(np.floor((min(xs) + 180.0) / 360.0 * n)), 0)
+    cx1 = min(int(np.floor((max(xs) + 180.0) / 360.0 * n)), n - 1)
+    cy0 = max(int(np.floor((min(ys) + 90.0) / 180.0 * n)), 0)
+    cy1 = min(int(np.floor((max(ys) + 90.0) / 180.0 * n)), n - 1)
+    inside_cells, boundary_cells = [], []
+    for cy in range(cy0, cy1 + 1):
+        lat0, lat1 = cy * 180.0 / n - 90.0, (cy + 1) * 180.0 / n - 90.0
+        for cx in range(cx0, cx1 + 1):
+            lon0, lon1 = cx * 360.0 / n - 180.0, (cx + 1) * 360.0 / n - 180.0
+            touches = any(
+                max(x1, x2) >= lon0 and min(x1, x2) <= lon1
+                and max(y1, y2) >= lat0 and min(y1, y2) <= lat1
+                for x1, y1, x2, y2 in edges
+            )
+            cell = cy * n + cx
+            if touches:
+                boundary_cells.append(cell)
+            elif _pip_mask(
+                np.array([(lon0 + lon1) / 2.0]), np.array([(lat0 + lat1) / 2.0]), edges
+            )[0]:
+                inside_cells.append(cell)
+    return inside_cells, boundary_cells
+
+
+def polygon_query_persisted(spark, path: str, wkt: str, zoom: int = 4) -> DataFrame:
+    """Polygon containment over a :func:`build_spatial_index`
+    warehouse: OUTSIDE cells never read (partition pruning), INSIDE
+    cells pass wholesale, only BOUNDARY-cell points pay the exact ray
+    cast — the fixed-depth form of RecursivePrefixTreeStrategy's
+    approximated/exact split."""
+    rings = parse_wkt_polygon(wkt)
+    edges = _polygon_edges(rings)
+    inside_cells, boundary_cells = _cover_cells(rings, zoom)
+    px, py = F.col("lon"), F.col("lat")
+    parts = []
+    if inside_cells:
+        parts.append(
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(inside_cells))
+            .select("id", "lat", "lon")
+        )
+    if boundary_cells:
+        parts.append(
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(boundary_cells))
+            .where(_crossings_col(px, py, edges) % 2 == 1)
+            .select("id", "lat", "lon")
+        )
+    if not parts:
+        return spark.read.parquet(path).select("id", "lat", "lon").limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("id")
+
+
 def _haversine_udf():
     @F.pandas_udf("float")
     def hav(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series) -> pd.Series:

@@ -80,3 +80,52 @@ def test_distance_join_equals_all_pairs_at_high_latitude(spark):
             if d <= np.float32(500.0):
                 expect.add((i, j))
     assert got == expect and expect
+
+
+_WKT = (
+    "POLYGON ((-60.00005 -30.00005, 60.00005 -40.00005, 70.00005 20.00005, "
+    "0.00005 55.00005, -65.00005 25.00005, -60.00005 -30.00005), "
+    "(-20.00005 -10.00005, 20.00005 -10.00005, 20.00005 15.00005, "
+    "-20.00005 15.00005, -20.00005 -10.00005))"
+)
+
+
+def test_wkt_parse_shapes_and_errors():
+    rings = spatial.parse_wkt_polygon(_WKT)
+    assert len(rings) == 2 and len(rings[0]) == 5 and len(rings[1]) == 4
+    for bad in ("POINT (1 2)", "POLYGON 1 2", "POLYGON ((0 0, 1 1))",
+                "POLYGON ((0 0, 1, 2 2, 0 0))"):
+        with pytest.raises(ValueError):
+            spatial.parse_wkt_polygon(bad)
+
+
+def test_polygon_matches_numpy_raycast(pts):
+    got = [r["id"] for r in spatial.polygon_contains_query(pts, _WKT).collect()]
+    rows = pts.collect()
+    edges = spatial._polygon_edges(spatial.parse_wkt_polygon(_WKT))
+    px = np.array([r["lon"] for r in rows])
+    py = np.array([r["lat"] for r in rows])
+    mask = spatial._pip_mask(px, py, edges)
+    expect = sorted(rows[i]["id"] for i in range(len(rows)) if mask[i])
+    assert got == expect and got
+
+
+def test_polygon_hole_excludes_interior(pts, spark):
+    """A point in the hole is inside the shell but must not match."""
+    df = spark.createDataFrame(
+        [(1, 0.0001, 0.0001), (2, -25.0001, -40.0001), (3, 80.0, 0.0)],
+        "id long, lat double, lon double",
+    )  # 1 = in hole, 2 = in shell, 3 = outside bbox
+    got = [r["id"] for r in spatial.polygon_contains_query(df, _WKT).collect()]
+    assert got == [2]
+
+
+def test_polygon_persisted_classifies_and_matches(pts, tmp_path, spark):
+    path = str(tmp_path / "sp_poly")
+    spatial.build_spatial_index(pts, path, zoom=3)
+    inline = spatial.polygon_contains_query(pts, _WKT).collect()
+    persisted = spatial.polygon_query_persisted(spark, path, _WKT, zoom=3).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in persisted]
+    inside, boundary = spatial._cover_cells(spatial.parse_wkt_polygon(_WKT), 3)
+    assert boundary  # the shell crosses cells at zoom 3
+    assert not set(inside) & set(boundary)
