@@ -33,8 +33,73 @@ import pandas as pd
 # \d+(\.\d+)+  : dotted numerics (3.14, 127.0.0.1) — UAX#29 MidNum
 # \w+('\w+)*   : letters/digits/underscore runs with mid-word apostrophes
 # ASCII classes so Python `re` and DuckDB RE2 tokenize identically.
+# TOKEN_PATTERN is the pinned ASCII core: the string every DuckDB
+# oracle and every Spark-JVM regexp_extract_all tokenizer embeds.
 TOKEN_PATTERN = r"\d+(?:\.\d+)+|\w+(?:'\w+)*"
-_TOKEN_RE = re.compile(TOKEN_PATTERN, re.ASCII)
+
+# --- UAX#29 word classes for the scoped non-Latin scripts ----------
+# The reference tokenizer is a JFlex DFA over the UAX#29 property
+# classes (``Analysis/Standard/StandardTokenizerImpl.cs``). The
+# engine-side tokenizer extends the ASCII core with explicit
+# letter/digit/mark ranges (unicodedata categories L* / Nd / M* over
+# the script blocks below, so Python `re` needs no \p{...} support):
+# a token starts on a letter-or-digit and continues through letters,
+# digits, and combining marks (UAX#29 WB4: Extend/Format join; marks
+# cannot START a token), covering Greek, Cyrillic, Armenian, Hebrew,
+# Arabic(+supplement), Syriac, Devanagari, Bengali, Thai, Lao,
+# Tibetan, Ethiopic, Greek-Extended, and accented Latin
+# (Latin-1 Supplement through Latin Extended-B + Extended
+# Additional). On pure-ASCII text this matches
+# TOKEN_PATTERN exactly (property-tested) — which is why extending
+# the engine regex leaves every oracle byte-identical on the ASCII
+# corpora. Golden fixtures ported from the reference
+# ``Lucene.Net.Tests.Analysis.Common/Analysis/Core/TestStandardAnalyzer.cs``
+# live in tests/test_uax29_scripts.py; divergences (ASCII MidNum/
+# MidLetter like "4,600" / "A:B", out-of-scope scripts) are pinned
+# there as documented behavior.
+_EXT_LETTERS = (
+    "\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u024F\u0370-\u0374\u0376-\u0377\u037A-\u037D"
+    "\u037F\u0386\u0388-\u038A\u038C\u038E-\u03A1\u03A3-\u03F5"
+    "\u03F7-\u0481\u048A-\u052F\u0531-\u0556\u0559\u0560-\u0588\u05D0-\u05EA"
+    "\u05EF-\u05F2\u0620-\u064A\u066E-\u066F\u0671-\u06D3\u06D5\u06E5-\u06E6"
+    "\u06EE-\u06EF\u06FA-\u06FC\u06FF\u0710\u0712-\u072F\u074D-\u077F"
+    "\u0904-\u0939\u093D\u0950\u0958-\u0961\u0971-\u0980\u0985-\u098C"
+    "\u098F-\u0990\u0993-\u09A8\u09AA-\u09B0\u09B2\u09B6-\u09B9\u09BD"
+    "\u09CE\u09DC-\u09DD\u09DF-\u09E1\u09F0-\u09F1\u09FC\u0E01-\u0E30"
+    "\u0E32-\u0E33\u0E40-\u0E46\u0E81-\u0E82\u0E84\u0E86-\u0E8A\u0E8C-\u0EA3"
+    "\u0EA5\u0EA7-\u0EB0\u0EB2-\u0EB3\u0EBD\u0EC0-\u0EC4\u0EC6"
+    "\u0EDC-\u0EDF\u0F00\u0F40-\u0F47\u0F49-\u0F6C\u0F88-\u0F8C\u1200-\u1248"
+    "\u124A-\u124D\u1250-\u1256\u1258\u125A-\u125D\u1260-\u1288\u128A-\u128D"
+    "\u1290-\u12B0\u12B2-\u12B5\u12B8-\u12BE\u12C0\u12C2-\u12C5\u12C8-\u12D6"
+    "\u12D8-\u1310\u1312-\u1315\u1318-\u135A\u1E00-\u1F15\u1F18-\u1F1D\u1F20-\u1F45"
+    "\u1F48-\u1F4D\u1F50-\u1F57\u1F59\u1F5B\u1F5D\u1F5F-\u1F7D"
+    "\u1F80-\u1FB4\u1FB6-\u1FBC\u1FBE\u1FC2-\u1FC4\u1FC6-\u1FCC\u1FD0-\u1FD3"
+    "\u1FD6-\u1FDB\u1FE0-\u1FEC\u1FF2-\u1FF4\u1FF6-\u1FFC"
+)
+_EXT_DIGITS = (
+    "\u0660-\u0669\u06F0-\u06F9\u0966-\u096F\u09E6-\u09EF\u0E50-\u0E59\u0ED0-\u0ED9"
+    "\u0F20-\u0F29"
+)
+# marks include U+0300-036F combining diacritics and ZWNJ/ZWJ
+# (UAX#29 Format, WB4 joins)
+_EXT_MARKS = (
+    "\u0300-\u036F\u0483-\u0489\u0591-\u05BD\u05BF\u05C1-\u05C2\u05C4-\u05C5"
+    "\u05C7\u0610-\u061A\u064B-\u065F\u0670\u06D6-\u06DC\u06DF-\u06E4"
+    "\u06E7-\u06E8\u06EA-\u06ED\u0711\u0730-\u074A\u0900-\u0903\u093A-\u093C"
+    "\u093E-\u094F\u0951-\u0957\u0962-\u0963\u0981-\u0983\u09BC\u09BE-\u09C4"
+    "\u09C7-\u09C8\u09CB-\u09CD\u09D7\u09E2-\u09E3\u09FE\u0E31"
+    "\u0E34-\u0E3A\u0E47-\u0E4E\u0EB1\u0EB4-\u0EBC\u0EC8-\u0ECD\u0F18-\u0F19"
+    "\u0F35\u0F37\u0F39\u0F3E-\u0F3F\u0F71-\u0F84\u0F86-\u0F87"
+    "\u0F8D-\u0F97\u0F99-\u0FBC\u0FC6\u135D-\u135F\u200C-\u200D"
+)
+_W1 = rf"[\w{_EXT_LETTERS}{_EXT_DIGITS}]"
+_WM = rf"[\w{_EXT_LETTERS}{_EXT_DIGITS}{_EXT_MARKS}]"
+UNICODE_TOKEN_PATTERN = (
+    rf"\d+(?:\.\d+)+|{_W1}{_WM}*(?:'{_W1}{_WM}*)*"
+)
+# re.ASCII pins \w/\d to [0-9A-Za-z_]/[0-9]; the literal script
+# ranges above are unaffected by the flag.
+_TOKEN_RE = re.compile(UNICODE_TOKEN_PATTERN, re.ASCII)
 
 MAX_TOKEN_LENGTH = 255
 
@@ -73,16 +138,12 @@ def analyze_stemmed(text: str) -> list[tuple[str, int]]:
 
 # CJK ranges: Han, Hiragana, Katakana, Hangul
 _CJK = r"一-鿿㐀-䶿぀-ゟ゠-ヿ가-힯"
-# The non-CJK alternative must keep the BASE analyzer's ASCII word
-# semantics even though this regex needs Unicode mode for the CJK
-# ranges — spelled-out [0-9A-Za-z_] classes, because \w/\d under
-# re.UNICODE would admit accented Latin/Cyrillic/etc. as tokens and
-# break the "non-CJK runs tokenize exactly like analyze()" contract
-# (round-2 ADVICE: 'café' tokenized as 'café' instead of 'caf').
-_ASCII_TOKEN_PATTERN = (
-    r"[0-9]+(?:\.[0-9]+)+|[0-9A-Za-z_]+(?:'[0-9A-Za-z_]+)*"
-)
-_MIXED_RE = re.compile(rf"([{_CJK}]+)|({_ASCII_TOKEN_PATTERN})")
+# The non-CJK alternative uses the SAME extended word pattern as the
+# base analyzer (round-2 ADVICE contract: "non-CJK runs tokenize
+# exactly like analyze()" — the reference CJKAnalyzer wraps the same
+# StandardTokenizer DFA, so the two pipelines must stay in lockstep;
+# re.ASCII pins \w/\d exactly as in _TOKEN_RE).
+_MIXED_RE = re.compile(rf"([{_CJK}]+)|({UNICODE_TOKEN_PATTERN})", re.ASCII)
 
 
 def analyze_cjk(text: str) -> list[tuple[str, int]]:

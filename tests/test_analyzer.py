@@ -59,10 +59,12 @@ def test_duckdb_parity():
 
 
 def test_cjk_non_cjk_runs_match_base_analyzer():
-    """ADVICE r2 regression: the mixed regex must tokenize non-CJK
-    text with the SAME ASCII semantics as analyze() — accented Latin,
-    Cyrillic, and other non-ASCII word chars are separators, not token
-    chars."""
+    """ADVICE r2 regression (contract updated in r4): the mixed regex
+    must tokenize non-CJK text with the SAME semantics as analyze().
+    Since the r4 UAX#29 script extension both pipelines admit accented
+    Latin / Cyrillic / etc. word runs — what matters is that they stay
+    in lockstep (the reference CJKAnalyzer wraps the same
+    StandardTokenizer DFA)."""
     from lucenenet_spark.analysis.analyzer import analyze, analyze_cjk
 
     for text in (
