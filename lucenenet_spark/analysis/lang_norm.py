@@ -79,6 +79,41 @@ def persian_normalize(term: str) -> str:
     return term.translate(_PERSIAN_TABLE)
 
 
+# HindiNormalizer.cs:53-182 (Pingali & Varma word normalization +
+# Larkey et al. additions). One position-dependent rule — dead
+# NA+virama -> anusvara — runs first; everything else is a
+# translate table (nukta forms folded, virama/nukta/ZWJ/ZWNJ
+# deleted, chandra and long vowels shortened).
+_HINDI_TABLE = {
+    0x0901: "ं",            # candrabindu -> bindu
+    0x093C: None,                # nukta
+    0x0929: "न", 0x0931: "र", 0x0934: "ळ",
+    0x0958: "क", 0x0959: "ख", 0x095A: "ग",
+    0x095B: "ज", 0x095C: "ड", 0x095D: "ढ",
+    0x095E: "फ", 0x095F: "य",  # nukta consonants
+    0x200C: None, 0x200D: None,  # ZWNJ/ZWJ
+    0x094D: None,                # virama
+    0x0945: "े", 0x0946: "े",  # chandra/short e -> e
+    0x0949: "ो", 0x094A: "ो",  # chandra/short o -> o
+    0x090D: "ए", 0x090E: "ए",
+    0x0911: "ओ", 0x0912: "ओ",
+    0x0972: "अ",
+    0x0906: "अ", 0x0908: "इ", 0x090A: "उ",  # long->short
+    0x0960: "ऋ", 0x0961: "ऌ",
+    0x0910: "ए", 0x0914: "ओ",
+    0x0940: "ि", 0x0942: "ु", 0x0944: "ृ",
+    0x0963: "ॢ", 0x0948: "े", 0x094C: "ो",
+}
+
+
+def hindi_normalize(term: str) -> str:
+    # dead n (NA followed by virama) -> anusvara, BEFORE the table
+    # deletes the virama (HindiNormalizer.cs:58-64)
+    if "न्" in term:
+        term = term.replace("न्", "ं")
+    return term.translate(_HINDI_TABLE)
+
+
 _NORMALIZERS = {
     "el": greek_lowercase,
     "greek": greek_lowercase,
@@ -86,6 +121,8 @@ _NORMALIZERS = {
     "arabic": arabic_normalize,
     "fa": lambda t: persian_normalize(arabic_normalize(t)),
     "persian": lambda t: persian_normalize(arabic_normalize(t)),
+    "hi": hindi_normalize,
+    "hindi": hindi_normalize,
 }
 
 

@@ -88,3 +88,31 @@ def test_ascii_passthrough():
         assert f("Spark42_x") in ("Spark42_x", "spark42_x")
     assert arabic_normalize("table") == "table"
     assert greek_lowercase("TABLE") == "table"
+
+
+# TestHindiNormalizer.cs:36-61
+HINDI_FIXTURES = [
+    ("अँगरेज़ी", "अंगरेजि"),
+    ("अँगरेजी", "अंगरेजि"),
+    ("अँग्रेज़ी", "अंगरेजि"),
+    ("अँग्रेजी", "अंगरेजि"),
+    ("अंगरेज़ी", "अंगरेजि"),
+    ("अंगरेजी", "अंगरेजि"),
+    ("अंग्रेज़ी", "अंगरेजि"),
+    ("अंग्रेजी", "अंगरेजि"),
+    ("क़िताब", "किताब"),
+    ("फ़र्ज़", "फरज"),
+    ("क़र्ज़", "करज"),
+    ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+    ("शार्‍मा", "शारमा"),
+    ("शार्‌मा", "शारमा"),
+    ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+    ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+]
+
+
+@pytest.mark.parametrize("inp,expected", HINDI_FIXTURES)
+def test_hindi_normalizer(inp, expected):
+    from lucenenet_spark.analysis.lang_norm import hindi_normalize
+
+    assert hindi_normalize(inp) == expected
