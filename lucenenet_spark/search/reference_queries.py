@@ -24,8 +24,18 @@ from lucenenet_spark.sources.synthetic import vocab
 
 def reference_query_set(seed: int = 42) -> dict[str, Query]:
     voc = vocab(seed)
-    rare = str(voc[4500])  # deep-tail identifier (df ~ a few docs)
-    mid = str(voc[50])  # Zipf-body term with moderate df
+    # TermQuery is unanalyzed (Lucene semantics), so the probe must
+    # hand it an INDEX term: lowercase the vocab identifier and, for
+    # dotted identifiers, take the first tokenizer fragment. (Until
+    # r4 these probes passed the raw camelCase/dotted surface form
+    # and silently matched nothing — bench/scaling identity checks
+    # still held, but the two probes measured an empty scan.)
+    # voc[4500] was the old "rare" pick, but under the corpus's
+    # pareto(1.2) body its expected count is < 1 even at 600k docs;
+    # voc[800] has df ~ a dozen docs at the 200k bench scale — rare
+    # AND present, so the probe exercises a real tail lookup.
+    rare = str(voc[800]).lower().split(".")[0]  # tail term, small df
+    mid = str(voc[50]).lower().split(".")[0]  # Zipf-body, moderate df
     return {
         "term_head": TermQuery(term="return"),
         "term_mid": TermQuery(term=mid),
