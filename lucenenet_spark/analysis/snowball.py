@@ -2,13 +2,13 @@
 
 Fills the reference's SnowballFilter role
 (``Analysis/Snowball/SnowballFilter.cs:30`` — a TokenFilter wrapping
-the Tartarus ``SnowballProgram`` for a named language) for the top
-non-English languages: German, French, Spanish, Italian, Russian.
-Each stemmer is implemented from the published snowballstem.org
-algorithm (public domain) and holds exact parity with the full
-published test vocabulary (169 000 words total; see
-``tests/test_snowball.py`` for the pinned samples and
-``bench_artifacts/snowball_vocab_parity_r4.txt`` for the full-run
+the Tartarus ``SnowballProgram`` for a named language) for the
+major languages: German, French, Spanish, Italian, Russian, English
+(Porter2), Portuguese, Dutch.  Each stemmer is implemented from the
+published snowballstem.org algorithm (public domain) and holds exact
+parity with the full published test vocabulary (276 082 words total;
+see ``tests/test_snowball.py`` for the pinned samples and
+``bench_artifacts/snowball_vocab_parity_r4b.txt`` for the full-run
 evidence).
 
 The analyzer (``analyze_snowball``) is the standard pipeline with a
@@ -26,9 +26,12 @@ from __future__ import annotations
 
 import re
 
+from lucenenet_spark.analysis.snowball_dutch import dutch_stem
+from lucenenet_spark.analysis.snowball_english import english_stem
 from lucenenet_spark.analysis.snowball_french import french_stem
 from lucenenet_spark.analysis.snowball_german import german_stem
 from lucenenet_spark.analysis.snowball_italian import italian_stem
+from lucenenet_spark.analysis.snowball_portuguese import portuguese_stem
 from lucenenet_spark.analysis.snowball_russian import russian_stem
 from lucenenet_spark.analysis.snowball_spanish import spanish_stem
 
@@ -43,6 +46,14 @@ STEMMERS = {
     "italian": italian_stem,
     "ru": russian_stem,
     "russian": russian_stem,
+    # Porter2 — distinct from the PorterStemFilter (analysis/porter.py)
+    # reachable via CorpusSpec(stem=True)
+    "en": english_stem,
+    "english": english_stem,
+    "pt": portuguese_stem,
+    "portuguese": portuguese_stem,
+    "nl": dutch_stem,
+    "dutch": dutch_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no
