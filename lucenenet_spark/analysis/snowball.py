@@ -28,6 +28,14 @@ import re
 
 from lucenenet_spark.analysis.snowball_dutch import dutch_stem
 from lucenenet_spark.analysis.snowball_english import english_stem
+from lucenenet_spark.analysis.snowball_finnish import finnish_stem
+from lucenenet_spark.analysis.snowball_hungarian import hungarian_stem
+from lucenenet_spark.analysis.snowball_romanian import romanian_stem
+from lucenenet_spark.analysis.snowball_scandinavian import (
+    danish_stem,
+    norwegian_stem,
+    swedish_stem,
+)
 from lucenenet_spark.analysis.snowball_french import french_stem
 from lucenenet_spark.analysis.snowball_german import german_stem
 from lucenenet_spark.analysis.snowball_italian import italian_stem
@@ -54,6 +62,18 @@ STEMMERS = {
     "portuguese": portuguese_stem,
     "nl": dutch_stem,
     "dutch": dutch_stem,
+    "da": danish_stem,
+    "danish": danish_stem,
+    "no": norwegian_stem,
+    "norwegian": norwegian_stem,
+    "sv": swedish_stem,
+    "swedish": swedish_stem,
+    "ro": romanian_stem,
+    "romanian": romanian_stem,
+    "hu": hungarian_stem,
+    "hungarian": hungarian_stem,
+    "fi": finnish_stem,
+    "finnish": finnish_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no
