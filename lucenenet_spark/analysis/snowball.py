@@ -38,6 +38,7 @@ from lucenenet_spark.analysis.snowball_scandinavian import (
 )
 from lucenenet_spark.analysis.snowball_french import french_stem
 from lucenenet_spark.analysis.snowball_german import german_stem
+from lucenenet_spark.analysis.snowball_german2 import german2_stem
 from lucenenet_spark.analysis.snowball_italian import italian_stem
 from lucenenet_spark.analysis.snowball_portuguese import portuguese_stem
 from lucenenet_spark.analysis.snowball_russian import russian_stem
@@ -74,6 +75,7 @@ STEMMERS = {
     "hungarian": hungarian_stem,
     "fi": finnish_stem,
     "finnish": finnish_stem,
+    "german2": german2_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no

@@ -34,20 +34,28 @@ def _mark_regions(word: str) -> tuple[int, int]:
     return r1, r2
 
 
-def german_stem(word: str) -> str:
-    if not word:
-        return word
-    word = word.replace("ß", "ss")
-
-    # u/y between vowels are consonants for the duration — mark upper
+def _mark_uy(word: str) -> str:
+    """u/y between vowels are consonants for the duration — mark upper."""
     chars = list(word)
     for i in range(1, len(chars) - 1):
         if chars[i] == "u" and chars[i - 1] in _VOWELS and chars[i + 1] in _VOWELS:
             chars[i] = "U"
         elif chars[i] == "y" and chars[i - 1] in _VOWELS and chars[i + 1] in _VOWELS:
             chars[i] = "Y"
-    word = "".join(chars)
+    return "".join(chars)
 
+
+def german_stem(word: str) -> str:
+    if not word:
+        return word
+    word = word.replace("ß", "ss")
+    word = _mark_uy(word)
+    return _german_core(word)
+
+
+def _german_core(word: str) -> str:
+    """Steps 1-3 + finalize over an already-marked word (shared with
+    the german2 variant, which differs only in the prelude)."""
     # regions computed on the MARKED word — U/Y are consonants here
     r1, r2 = _mark_regions(word)
 
