@@ -2,14 +2,17 @@
 
 Fills the reference's SnowballFilter role
 (``Analysis/Snowball/SnowballFilter.cs:30`` — a TokenFilter wrapping
-the Tartarus ``SnowballProgram`` for a named language) for the
-major languages: German, French, Spanish, Italian, Russian, English
-(Porter2), Portuguese, Dutch.  Each stemmer is implemented from the
+the Tartarus ``SnowballProgram`` for a named language) for every
+Snowball language the reference ships vocabulary data for (minus the
+Lovins / Kraaij-Pohlmann historical English stemmers): German (+ the
+German2 variant), French, Spanish, Italian, Russian, English
+(Porter2), Portuguese, Dutch, Danish, Norwegian, Swedish, Romanian,
+Hungarian, Finnish, Turkish.  Each stemmer is implemented from the
 published snowballstem.org algorithm (public domain) and holds exact
-parity with the full published test vocabulary (276 082 words total;
-see ``tests/test_snowball.py`` for the pinned samples and
-``bench_artifacts/snowball_vocab_parity_r4b.txt`` for the full-run
-evidence).
+parity with the full published test vocabulary (585 090 words across
+16 vocabularies, 0 mismatches; see ``tests/test_snowball.py`` for the
+pinned samples and ``bench_artifacts/snowball_vocab_parity_r4d.txt``
+for the full-run evidence).
 
 The analyzer (``analyze_snowball``) is the standard pipeline with a
 Unicode tokenizer: the same token shape as the base analyzer
@@ -43,6 +46,7 @@ from lucenenet_spark.analysis.snowball_italian import italian_stem
 from lucenenet_spark.analysis.snowball_portuguese import portuguese_stem
 from lucenenet_spark.analysis.snowball_russian import russian_stem
 from lucenenet_spark.analysis.snowball_spanish import spanish_stem
+from lucenenet_spark.analysis.snowball_turkish import turkish_stem
 
 STEMMERS = {
     "de": german_stem,
@@ -76,6 +80,8 @@ STEMMERS = {
     "fi": finnish_stem,
     "finnish": finnish_stem,
     "german2": german2_stem,
+    "tr": turkish_stem,
+    "turkish": turkish_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no
