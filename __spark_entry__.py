@@ -1281,6 +1281,12 @@ def _snowball_de_class(stem: str) -> list[str]:
     return german_stem_class(stem)
 
 
+def _snowball_da_class(stem: str) -> list[str]:
+    from lucenenet_spark.analysis.snowball import danish_stem_class
+
+    return danish_stem_class(stem)
+
+
 def _q_stemmed_term_de(spark, sf_dir):
     """German Snowball-stemmed index (SnowballFilter.cs:30 role):
     TermQuery('tabl') — the stem of 'table' — over an index built with
@@ -1291,6 +1297,21 @@ def _q_stemmed_term_de(spark, sf_dir):
     spec = CorpusSpec(
         text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
         stem_lang="de",
+    )
+    s = IndexSearcher(build_index(spark, corpus, spec))
+    return _ranked(s.search_df(TermQuery(term="tabl"), 10))
+
+
+def _q_stemmed_term_da(spark, sf_dir):
+    """Danish Snowball-stemmed index (SnowballFilter.cs:30 role,
+    name="Danish"): TermQuery('tabl') over an index built with
+    CorpusSpec(stem_lang='da'); the oracle recomputes BM25 from raw
+    text with the stemmer-verified surface-form class
+    (analysis/snowball.py::danish_stem_class)."""
+    corpus = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    spec = CorpusSpec(
+        text_col="text", id_col="doc_id", meta_cols=("lang", "source"),
+        stem_lang="da",
     )
     s = IndexSearcher(build_index(spark, corpus, spec))
     return _ranked(s.search_df(TermQuery(term="tabl"), 10))
@@ -2175,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 (never driver-verified) ------------
         "standard_parse_query": _q_standard_parse,
         "stemmed_term_query_de": _q_stemmed_term_de,
+        "stemmed_term_query_da": _q_stemmed_term_da,
         "dfr_pl2_term_query": _q_dfr_pl2_term,
         "dfr_dlz_term_query": _q_dfr_dlz_term,
         "dfr_bel1_term_query": _q_dfr_bel1_term,
@@ -2400,6 +2422,9 @@ def oracle_sql() -> dict[str, str]:
         "standard_parse_query": osql.standard_parse_sql("spark", "merge", "batch"),
         "stemmed_term_query_de": osql.stemmed_term_class_sql(
             _snowball_de_class("tabl")
+        ),
+        "stemmed_term_query_da": osql.stemmed_term_class_sql(
+            _snowball_da_class("tabl")
         ),
         "complex_phrase": osql.complex_phrase2_sql("table", "ha", 0),
         "complex_phrase_group": osql.complex_phrase3_sql(

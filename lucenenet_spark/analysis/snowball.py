@@ -135,6 +135,43 @@ def german_stem_class(stem: str) -> list[str]:
     return sorted(out)
 
 
+_DA_INV_AMONG = ["", "ig", "lig", "elig", "els"]
+_DA_INV_STEP1 = ["", "s"] + [
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e",
+]
+
+
+def danish_stem_class(stem: str) -> list[str]:
+    """All ASCII surface forms the Danish stemmer maps to ``stem`` —
+    sound for the same reason as :func:`german_stem_class`: every
+    Danish step only deletes from fixed tables (one suffix in step 1,
+    a d/t of a gd/dt/gt/kt pair in step 2 and inside step 3, one
+    d-suffix + an optional ``st`` of ``igst`` in step 3, one letter of
+    a doubled consonant in step 4), so each preimage is a bounded
+    concatenation; every candidate is verified with the stemmer."""
+    from lucenenet_spark.analysis.snowball_scandinavian import danish_stem
+
+    out, seen = [], set()
+    bases = [stem]
+    if stem and stem[-1] not in "aeiouyæåø":
+        bases.append(stem + stem[-1])  # step-4 redouble
+    for base in bases:
+        for i3 in ("", "d", "t"):
+            for a3 in _DA_INV_AMONG:
+                for st3 in ("", "st"):
+                    for i2 in ("", "d", "t"):
+                        for s1 in _DA_INV_STEP1:
+                            w = base + i3 + a3 + st3 + i2 + s1
+                            if w not in seen:
+                                seen.add(w)
+                                if danish_stem(w) == stem:
+                                    out.append(w)
+    return sorted(out)
+
+
 def make_snowball_analyzer(lang: str):
     """analyze(text) -> [(stemmed_term, position)] for the language."""
     stem = snowball_stem(lang)
