@@ -3,16 +3,16 @@
 Fills the reference's SnowballFilter role
 (``Analysis/Snowball/SnowballFilter.cs:30`` — a TokenFilter wrapping
 the Tartarus ``SnowballProgram`` for a named language) for every
-Snowball language the reference ships vocabulary data for (minus the
-Lovins / Kraaij-Pohlmann historical English stemmers): German (+ the
-German2 variant), French, Spanish, Italian, Russian, English
+Snowball language the reference ships vocabulary data for: German
+(+ the German2 variant), French, Spanish, Italian, Russian, English
 (Porter2), Portuguese, Dutch, Danish, Norwegian, Swedish, Romanian,
-Hungarian, Finnish, Turkish.  Each stemmer is implemented from the
-published snowballstem.org algorithm (public domain) and holds exact
-parity with the full published test vocabulary (585 090 words across
-16 vocabularies, 0 mismatches; see ``tests/test_snowball.py`` for the
-pinned samples and ``bench_artifacts/snowball_vocab_parity_r4d.txt``
-for the full-run evidence).
+Hungarian, Finnish, Turkish, plus the historical Lovins (1968) and
+Kraaij-Pohlmann (Dutch, 1994) stemmers.  Each is implemented from the
+published algorithm (public domain) and holds exact parity with the
+full published test vocabulary (660 176 words across 18 vocabularies,
+0 mismatches; see ``tests/test_snowball.py`` for the pinned samples
+and ``bench_artifacts/snowball_vocab_parity_r4e.txt`` for the
+full-run evidence).
 
 The analyzer (``analyze_snowball``) is the standard pipeline with a
 Unicode tokenizer: the same token shape as the base analyzer
@@ -46,6 +46,8 @@ from lucenenet_spark.analysis.snowball_italian import italian_stem
 from lucenenet_spark.analysis.snowball_portuguese import portuguese_stem
 from lucenenet_spark.analysis.snowball_russian import russian_stem
 from lucenenet_spark.analysis.snowball_spanish import spanish_stem
+from lucenenet_spark.analysis.kraaij_pohlmann import kp_stem
+from lucenenet_spark.analysis.lovins import lovins_stem
 from lucenenet_spark.analysis.snowball_turkish import turkish_stem
 
 STEMMERS = {
@@ -82,6 +84,10 @@ STEMMERS = {
     "german2": german2_stem,
     "tr": turkish_stem,
     "turkish": turkish_stem,
+    # historical English / Dutch stemmers also shipped by the reference
+    "lovins": lovins_stem,
+    "kp": kp_stem,
+    "kraaij_pohlmann": kp_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no
