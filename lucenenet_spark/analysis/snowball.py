@@ -6,13 +6,14 @@ the Tartarus ``SnowballProgram`` for a named language) for every
 Snowball language the reference ships vocabulary data for: German
 (+ the German2 variant), French, Spanish, Italian, Russian, English
 (Porter2), Portuguese, Dutch, Danish, Norwegian, Swedish, Romanian,
-Hungarian, Finnish, Turkish, plus the historical Lovins (1968) and
-Kraaij-Pohlmann (Dutch, 1994) stemmers.  Each is implemented from the
-published algorithm (public domain) and holds exact parity with the
-full published test vocabulary (660 176 words across 18 vocabularies,
-0 mismatches; see ``tests/test_snowball.py`` for the pinned samples
-and ``bench_artifacts/snowball_vocab_parity_r4e.txt`` for the
-full-run evidence).
+Hungarian, Finnish, Turkish, plus the snowball-dialect
+Porter and the historical Lovins (1968) and Kraaij-Pohlmann (Dutch,
+1994) stemmers.  Each is implemented from the published algorithm
+(public domain) and holds exact parity with the full published test
+vocabulary — **every vocabulary dataset the reference ships: 690 604
+words across 19 vocabularies, 0 mismatches** (pinned samples in
+``tests/test_snowball.py``; full-run evidence in
+``bench_artifacts/snowball_vocab_parity_r4f.txt``).
 
 The analyzer (``analyze_snowball``) is the standard pipeline with a
 Unicode tokenizer: the same token shape as the base analyzer
@@ -48,6 +49,7 @@ from lucenenet_spark.analysis.snowball_russian import russian_stem
 from lucenenet_spark.analysis.snowball_spanish import spanish_stem
 from lucenenet_spark.analysis.kraaij_pohlmann import kp_stem
 from lucenenet_spark.analysis.lovins import lovins_stem
+from lucenenet_spark.analysis.snowball_porter import porter_snowball_stem
 from lucenenet_spark.analysis.snowball_turkish import turkish_stem
 
 STEMMERS = {
@@ -85,6 +87,7 @@ STEMMERS = {
     "tr": turkish_stem,
     "turkish": turkish_stem,
     # historical English / Dutch stemmers also shipped by the reference
+    "porter": porter_snowball_stem,
     "lovins": lovins_stem,
     "kp": kp_stem,
     "kraaij_pohlmann": kp_stem,
