@@ -2102,62 +2102,14 @@ def _q_media_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Entry ORDER is part of the driver contract: each round's
-    CORRECTNESS run records only the FIRST ~50 dict entries, so the
-    85 entries that have never had a driver row in r01-r03 run FIRST
-    (the r04 window covers 50 of them), then entries by staleness
-    (r01-verified, r02, r03-freshest last). Rotate again next round."""
+    CORRECTNESS run records only the FIRST ~50 dict entries.  Rotated
+    for round 5: the 42 entries that have never had a driver row in
+    r01-r04 run FIRST (42 < 50, so one window retires the whole
+    backlog, with ~8 slots left for round-5 additions placed right
+    after them), then entries by staleness (r01-verified, r02, r03,
+    r04-freshest last)."""
     return {
-        # -- never driver-verified (no row in r01-r03): run FIRST ------------
-        "synonym_expand_or": _q_synonym_expand_or,
-        "synonym_expand_phrase": _q_synonym_expand_phrase,
-        "shingle_term_query": _q_shingle_term,
-        "high_freq_terms": _q_high_freq_terms,
-        "duplicate_filter": _q_duplicate_filter,
-        "boosting_query": _q_boosting_query,
-        "simple_parse_query": _q_simple_parse,
-        "complex_phrase": _q_complex_phrase,
-        "complex_phrase_group": _q_complex_phrase_group,
-        "facet_sum_value": _q_facet_sum_value,
-        "repetition_stats": _q_repetition_stats,
-        "ngram_contamination": _q_ngram_contamination,
-        "edge_ngram_term": _q_edge_ngram_term,
-        "all_group_heads": _q_all_group_heads,
-        "quality_metrics": _q_quality_metrics,
-        "quality_summary": _q_quality_summary,
-        "span_position_range": _q_span_position_range,
-        "free_text_suggest": _q_free_text_suggest,
-        "free_text_suggest3": _q_free_text_suggest3,
-        "limit_tokens_term": _q_limit_tokens_term,
-        "length_filter_term": _q_length_filter_term,
-        "code_term_query": _q_code_term,
-        "code_phrase_query": _q_code_phrase,
-        "sweetspot_term_query": _q_sweetspot_term,
-        "leading_wildcard": _q_leading_wildcard,
-        "word_breaks": _q_word_breaks,
-        "word_combinations": _q_word_combinations,
-        "phonetic_terms": _q_phonetic_terms,
-        "phonetic_docs": _q_phonetic_docs,
-        "surround_infix_w": _q_surround_infix,
-        "surround_prefix_n": _q_surround_prefix_n,
-        "surround_or_near": _q_surround_or_near,
-        "surround_bool": _q_surround_bool,
-        "slow_fuzzy_terms": _q_slow_fuzzy_terms,
-        "slow_fuzzy_frac": _q_slow_fuzzy_frac,
-        "ascii_fold_term": _q_ascii_fold_term,
-        "payload_term_avg": _q_payload_term_avg,
-        "payload_term_max": _q_payload_term_max,
-        "payload_near": _q_payload_near,
-        "span_payload_check": _q_span_payload_check,
-        "span_near_payload_check": _q_span_near_payload_check,
-        "sorted_early_topk": _q_sorted_early_topk,
-        "split_index_stats": _q_split_index_stats,
-        "pii_scrub": _q_pii_scrub,
-        "line_dedup": _q_line_dedup,
-        "block_join_top_children": _q_block_join_top_children,
-        "common_grams_term": _q_common_grams_term,
-        "common_grams_phrase": _q_common_grams_phrase,
-        "lm_doc_quality": _q_lm_doc_quality,
-        "pack_sequences": _q_pack_sequences,
+        # -- never driver-verified (no row in r01-r04): run FIRST ------------
         "stratified_split": _q_stratified_split,
         "temperature_mix": _q_temperature_mix,
         "ngram_term_query": _q_ngram_term,
@@ -2193,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "c4_filters": _q_c4_filters,
         "top_ngram_stats": _q_top_ngram_stats,
-        # -- new in r4 (never driver-verified) ------------
         "standard_parse_query": _q_standard_parse,
         "stemmed_term_query_de": _q_stemmed_term_de,
         "stemmed_term_query_da": _q_stemmed_term_da,
@@ -2201,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_dlz_term_query": _q_dfr_dlz_term,
         "dfr_bel1_term_query": _q_dfr_bel1_term,
         "spatial_polygon": _q_spatial_polygon,
+        # -- new in r5 (never driver-verified): inside the window ------------
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2266,7 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_distinct": _q_group_distinct,
         "suggest": _q_suggest,
         "prefix_suggest": _q_prefix_suggest,
-        # -- verified in r03 (freshest, run last) ------------
+        # -- last verified in r03 ------------
         "function_query": _q_function_query,
         "field_term_query": _q_field_term_query,
         "multi_field_dismax": _q_multi_field_dismax,
@@ -2317,6 +2269,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blended_infix_reciprocal": _q_blended_infix_reciprocal,
         "percolate": _q_percolate,
         "synonym_index_term": _q_synonym_index_term,
+        # -- last verified in r04 (freshest, run last) ------------
+        "synonym_expand_or": _q_synonym_expand_or,
+        "synonym_expand_phrase": _q_synonym_expand_phrase,
+        "shingle_term_query": _q_shingle_term,
+        "high_freq_terms": _q_high_freq_terms,
+        "duplicate_filter": _q_duplicate_filter,
+        "boosting_query": _q_boosting_query,
+        "simple_parse_query": _q_simple_parse,
+        "complex_phrase": _q_complex_phrase,
+        "complex_phrase_group": _q_complex_phrase_group,
+        "facet_sum_value": _q_facet_sum_value,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
+        "edge_ngram_term": _q_edge_ngram_term,
+        "all_group_heads": _q_all_group_heads,
+        "quality_metrics": _q_quality_metrics,
+        "quality_summary": _q_quality_summary,
+        "span_position_range": _q_span_position_range,
+        "free_text_suggest": _q_free_text_suggest,
+        "free_text_suggest3": _q_free_text_suggest3,
+        "limit_tokens_term": _q_limit_tokens_term,
+        "length_filter_term": _q_length_filter_term,
+        "code_term_query": _q_code_term,
+        "code_phrase_query": _q_code_phrase,
+        "sweetspot_term_query": _q_sweetspot_term,
+        "leading_wildcard": _q_leading_wildcard,
+        "word_breaks": _q_word_breaks,
+        "word_combinations": _q_word_combinations,
+        "phonetic_terms": _q_phonetic_terms,
+        "phonetic_docs": _q_phonetic_docs,
+        "surround_infix_w": _q_surround_infix,
+        "surround_prefix_n": _q_surround_prefix_n,
+        "surround_or_near": _q_surround_or_near,
+        "surround_bool": _q_surround_bool,
+        "slow_fuzzy_terms": _q_slow_fuzzy_terms,
+        "slow_fuzzy_frac": _q_slow_fuzzy_frac,
+        "ascii_fold_term": _q_ascii_fold_term,
+        "payload_term_avg": _q_payload_term_avg,
+        "payload_term_max": _q_payload_term_max,
+        "payload_near": _q_payload_near,
+        "span_payload_check": _q_span_payload_check,
+        "span_near_payload_check": _q_span_near_payload_check,
+        "sorted_early_topk": _q_sorted_early_topk,
+        "split_index_stats": _q_split_index_stats,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
+        "block_join_top_children": _q_block_join_top_children,
+        "common_grams_term": _q_common_grams_term,
+        "common_grams_phrase": _q_common_grams_phrase,
+        "lm_doc_quality": _q_lm_doc_quality,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
