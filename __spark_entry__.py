@@ -315,8 +315,11 @@ def _q_wildcard_terms(spark, sf_dir):
 
 
 def _q_fuzzy_terms(spark, sf_dir):
+    """Plain-Levenshtein dialect (transpositions=False — the
+    FuzzyQuery.cs:45 ctor parameter); fuzzy_terms_osa exercises the
+    reference default."""
     idx, _ = _searcher(spark, sf_dir)
-    q = FuzzyQuery(term="scann", max_edits=2)
+    q = FuzzyQuery(term="scann", max_edits=2, transpositions=False)
     return idx.term_stats.where(q.dict_predicate()).select(
         "term", F.col("df").cast("long"), F.col("ttf").cast("long")
     )
@@ -885,12 +888,47 @@ def _q_direct_spell(spark, sf_dir):
     """DirectSpellChecker.SuggestSimilar over a misspelled-word batch:
     prefix/length-banded broadcast join against ONE dictionary scan,
     score-desc/df-desc ranking, two-pass ed1/ed2 rule at count level
-    (DirectSpellChecker.cs:322; pinned plain-levenshtein dialect)."""
+    (DirectSpellChecker.cs:322). This entry exercises the selectable
+    plain-Levenshtein distance (the reference's LevensteinDistance.cs
+    via the Distance property); direct_spell_osa exercises the
+    reference-default internal OSA distance."""
+    from lucenenet_spark.search import spell
+
+    _, s = _searcher(spark, sf_dir)
+    return spell.direct_spell_suggest(
+        s,
+        ["tabel", "windoe", "strem", "batk", "table", "xyzq"],
+        num_sug=5,
+        distance="levenshtein",
+    )
+
+
+def _q_direct_spell_osa(spark, sf_dir):
+    """DirectSpellChecker.SuggestSimilar with the reference-default
+    LuceneLevenshteinDistance (DirectSpellChecker.cs:46): OSA edit
+    distance — adjacent transpositions count one edit, so e.g.
+    'tabel' -> 'table' scores 1 - 1/5 = 0.8 instead of 0.6. Oracle
+    uses DuckDB's damerau_levenshtein; full DL == OSA on every
+    in-band (word, term) pair of this corpus (asserted by
+    tests/test_osa.py's corpus sweep)."""
     from lucenenet_spark.search import spell
 
     _, s = _searcher(spark, sf_dir)
     return spell.direct_spell_suggest(
         s, ["tabel", "windoe", "strem", "batk", "table", "xyzq"], num_sug=5
+    )
+
+
+def _q_fuzzy_terms_osa(spark, sf_dir):
+    """FuzzyQuery dictionary expansion with the reference-default
+    transpositions=true (FuzzyQuery.cs:45): OSA distance <= 2 from
+    'scann'. The distributed-dictionary path: JVM length-band +
+    levenshtein<=4 prefilters push to the scan, the exact OSA DP runs
+    as an Arrow-batched pandas UDF over the survivors."""
+    idx, _ = _searcher(spark, sf_dir)
+    q = FuzzyQuery(term="scann", max_edits=2, transpositions=True)
+    return idx.term_stats.where(q.dict_predicate()).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
     )
 
 
@@ -2153,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_bel1_term_query": _q_dfr_bel1_term,
         "spatial_polygon": _q_spatial_polygon,
         # -- new in r5 (never driver-verified): inside the window ------------
+        "direct_spell_osa": _q_direct_spell_osa,
+        "fuzzy_terms_osa": _q_fuzzy_terms_osa,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2479,6 +2519,12 @@ def oracle_sql() -> dict[str, str]:
         "direct_spell": osql.direct_spell_sql(
             ("tabel", "windoe", "strem", "batk", "table", "xyzq"), num_sug=5
         ),
+        "direct_spell_osa": osql.direct_spell_sql(
+            ("tabel", "windoe", "strem", "batk", "table", "xyzq"),
+            num_sug=5,
+            transpositions=True,
+        ),
+        "fuzzy_terms_osa": osql.fuzzy_terms_sql("scann", 2, transpositions=True),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),

@@ -1887,11 +1887,17 @@ def wildcard_terms_sql(regex: str) -> str:
     )
 
 
-def fuzzy_terms_sql(term: str, max_edits: int = 2) -> str:
-    """Dictionary expansion of FuzzyQuery: terms within edit distance."""
+def fuzzy_terms_sql(
+    term: str, max_edits: int = 2, transpositions: bool = False
+) -> str:
+    """Dictionary expansion of FuzzyQuery: terms within edit distance.
+    transpositions=True mirrors the OSA dialect with DuckDB's
+    damerau_levenshtein — full DL == OSA on every in-band pair of this
+    corpus (tests/test_osa.py corpus sweep)."""
+    fn = "damerau_levenshtein" if transpositions else "levenshtein"
     return (
         bm25_prelude()
-        + f"\nSELECT term, df, ttf FROM term_stats WHERE levenshtein(term, '{term}') <= {max_edits}"
+        + f"\nSELECT term, df, ttf FROM term_stats WHERE {fn}(term, '{term}') <= {max_edits}"
     )
 
 
@@ -3528,10 +3534,16 @@ def direct_spell_sql(
     max_query_frequency: float = 0.01,
     accuracy: float = 0.5,
     max_inspections: int = 5,
+    transpositions: bool = False,
 ) -> str:
     """DirectSpellChecker.SuggestSimilar mirror (search/spell.py::
-    direct_spell_suggest) — when_not_in_index mode, pinned plain-
-    levenshtein dialect, INTERNAL_LEVENSHTEIN score formula."""
+    direct_spell_suggest) — when_not_in_index mode,
+    INTERNAL_LEVENSHTEIN score formula. transpositions=False is the
+    selectable plain-Levenshtein dialect; True mirrors the reference-
+    default internal OSA distance with DuckDB's damerau_levenshtein
+    (full DL == OSA on every in-band pair of this corpus — asserted by
+    tests/test_osa.py's corpus sweep)."""
+    fn = "damerau_levenshtein" if transpositions else "levenshtein"
     vals = ",".join(f"('{w.lower()}')" for w in words)
     inspections = num_sug * max_inspections
     return (
@@ -3548,11 +3560,12 @@ qgate AS (
 ),
 cand AS (
   SELECT q.word, t.term AS suggestion,
-         levenshtein(t.term, q.word) AS dist, CAST(t.df AS BIGINT) AS df
+         {fn}(t.term, q.word) AS dist, CAST(t.df AS BIGINT) AS df
   FROM qgate q, term_stats t
   WHERE t.term != q.word
+    AND abs(length(t.term) - length(q.word)) <= {max_edits}
     AND substring(t.term, 1, {min_prefix}) = substring(q.word, 1, {min_prefix})
-    AND levenshtein(t.term, q.word) <= {max_edits}
+    AND {fn}(t.term, q.word) <= {max_edits}
 ),
 scored AS (
   SELECT word, suggestion, dist, df,

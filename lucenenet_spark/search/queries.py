@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Sequence
 
+import pandas as pd
+
 
 class Occur(Enum):
     MUST = "MUST"
@@ -274,9 +276,8 @@ class RegexpQuery(MultiTermQuery):
 
 @dataclass(frozen=True)
 class FuzzyQuery(MultiTermQuery):
-    """Levenshtein distance <= max_edits (default 2, the automaton
-    ceiling in ``Search/FuzzyQuery.cs:58`` /
-    ``Util/Automaton/LevenshteinAutomata.cs``).
+    """Edit distance <= max_edits (default 2, the automaton ceiling in
+    ``Search/FuzzyQuery.cs:58`` / ``Util/Automaton/LevenshteinAutomata.cs``).
 
     ``prefix_length`` requires candidates to share the query's first
     ``min(prefix_length, len(term))`` chars exactly, with the distance
@@ -287,25 +288,58 @@ class FuzzyQuery(MultiTermQuery):
     (``FuzzyQuery.cs:46`` defaultMaxExpansions=50). Our default None =
     expand everything up to MAX_CLAUSE_COUNT (kept so standing
     oracle-pinned entries are unchanged; pass 50 for the reference
-    default). Distance is plain Levenshtein — the reference's
-    ``transpositions=true`` OSA variant counts a swap as 1 edit, ours
-    as 2 (documented engine-wide dialect, same as DirectSpellChecker).
-    """
+    default). ``transpositions`` selects the distance, mirroring the
+    ``FuzzyQuery.cs:45`` ``defaultTranspositions=true`` ctor parameter:
+    True (default) counts an adjacent swap as ONE edit — the OSA /
+    restricted Damerau-Levenshtein recurrence of
+    ``LevenshteinAutomata`` with transpositions — False is plain
+    Levenshtein (a swap costs 2)."""
 
     term: str = ""
     max_edits: int = 2
     prefix_length: int = 0
     max_expansions: int | None = None
+    transpositions: bool = True
 
     def _p(self) -> int:
         return min(self.prefix_length, len(self.term))
 
+    def _dist(self, a: str, b: str) -> int:
+        return _osa(a, b) if self.transpositions else _levenshtein(a, b)
+
     def dict_predicate(self):
+        """Distributed-dictionary predicate. JVM-side pushdown filters
+        (length band; ``F.levenshtein`` budget — plain lev is within a
+        factor 2 of OSA, so ``lev <= 2*max_edits`` is a sound OSA
+        prefilter) shrink the scan before the exact distance; with
+        transpositions the exact OSA test runs as an Arrow-batched
+        pandas UDF over the few prefilter survivors."""
         from pyspark.sql import functions as F
 
         p = self._p()
         suffix = F.col("term").substr(F.lit(p + 1), F.length(F.col("term")))
-        cond = F.levenshtein(suffix, F.lit(self.term[p:])) <= self.max_edits
+        band = (
+            F.abs(F.length(F.col("term")) - F.lit(len(self.term)))
+            <= self.max_edits
+        )
+        if not self.transpositions:
+            cond = band & (
+                F.levenshtein(suffix, F.lit(self.term[p:])) <= self.max_edits
+            )
+        else:
+            from pyspark.sql.functions import pandas_udf
+
+            qsuf, budget = self.term[p:], self.max_edits
+
+            @pandas_udf("boolean")
+            def osa_ok(s: pd.Series) -> pd.Series:
+                return s.map(lambda t: _osa(t, qsuf) <= budget)
+
+            cond = (
+                band
+                & (F.levenshtein(suffix, F.lit(qsuf)) <= 2 * budget)
+                & osa_ok(suffix)
+            )
         if p:
             cond = F.col("term").startswith(self.term[:p]) & cond
         return cond
@@ -313,14 +347,14 @@ class FuzzyQuery(MultiTermQuery):
     def python_predicate(self, term: str) -> bool:
         p = self._p()
         return term.startswith(self.term[:p]) and (
-            _levenshtein(term[p:], self.term[p:]) <= self.max_edits
+            self._dist(term[p:], self.term[p:]) <= self.max_edits
         )
 
     def vector_predicate(self, terms):
-        """Length-window prefilter (|len(t)-len(q)| <= max_edits is a
-        Levenshtein lower bound, and shared prefixes preserve the
-        length gap) shrinks the dictionary to a few percent before the
-        exact DP runs — the FuzzyTermsEnum automaton pre-gate,
+        """Length-window prefilter (|len(t)-len(q)| <= max_edits lower-
+        bounds both Levenshtein and OSA, and shared prefixes preserve
+        the length gap) shrinks the dictionary to a few percent before
+        the exact DP runs — the FuzzyTermsEnum automaton pre-gate,
         vectorized."""
         import numpy as np
 
@@ -334,7 +368,7 @@ class FuzzyQuery(MultiTermQuery):
         vals = terms.to_numpy()
         qsuf = self.term[p:]
         for i in idx:
-            out[i] = _levenshtein(vals[i][p:], qsuf) <= self.max_edits
+            out[i] = self._dist(vals[i][p:], qsuf) <= self.max_edits
         return out
 
 
@@ -387,6 +421,38 @@ def _levenshtein(a: str, b: str) -> int:
         for j, cb in enumerate(b, 1):
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
+    return prev[-1]
+
+
+def _osa(a: str, b: str) -> int:
+    """Optimal String Alignment (restricted Damerau-Levenshtein): an
+    adjacent transposition counts as ONE edit, but no substring is
+    edited twice — the recurrence of the reference's internal distance
+    (``Suggest/Spell/LuceneLevenshteinDistance.cs:50`` transposition
+    branch; also ``LevenshteinAutomata`` with transpositions=true).
+    Distinct from FULL Damerau-Levenshtein (e.g. DuckDB's
+    ``damerau_levenshtein``): osa('ca','abc') = 3 while full DL = 2 —
+    they agree whenever no edit lands between a transposed pair."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la + lb
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
     return prev[-1]
 
 

@@ -452,7 +452,11 @@ class IndexSearcher:
                 p = min(q.prefix_length, len(q.term))
                 ranked = []
                 for t in terms:
-                    edits = _levenshtein(t[p:], q.term[p:])
+                    # boost distance follows the query's dialect: OSA
+                    # when transpositions (the automaton's level), else
+                    # plain Levenshtein (FuzzyTermsEnum boost = 1 -
+                    # editDistance/minTermLength)
+                    edits = q._dist(t[p:], q.term[p:])
                     sim = 1.0 - edits / min(len(t), len(q.term))
                     ranked.append((-sim, t))
                 ranked.sort()

@@ -28,6 +28,7 @@ million-word spell-check batch is still exactly one dictionary scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -182,6 +183,7 @@ def direct_spell_suggest(
     accuracy: float = 0.5,
     max_inspections: int = 5,
     suggest_mode: str = "when_not_in_index",
+    distance: str = "internal",
 ) -> DataFrame:
     """DirectSpellChecker.SuggestSimilar, batched (reference
     ``Lucene.Net.Suggest/Spell/DirectSpellChecker.cs:322``).
@@ -206,18 +208,27 @@ def direct_spell_suggest(
       mirrored here at the count level: when a word has >= that many
       distance<=1 candidates, its distance-2 candidates are dropped.
 
-    PINNED DIALECT: distance = plain Levenshtein (the reference's
-    selectable ``LevensteinDistance.cs`` / ``Distance`` property),
-    scored with INTERNAL_LEVENSHTEIN's formula ``1 - d/min(len)``
-    (LuceneLevenshteinDistance.cs:76). The default internal distance
-    also counts adjacent transpositions as one edit (restricted OSA),
-    which neither Spark's ``levenshtein`` nor DuckDB's (full-DL)
-    ``damerau_levenshtein`` reproduces — so the transposition-free
-    dialect is pinned on all three engines rather than approximated.
+    ``distance`` selects the edit-distance dialect, mirroring the
+    reference's settable ``Distance`` property:
+
+    - ``"internal"`` (default, = the reference default
+      ``LuceneLevenshteinDistance``, DirectSpellChecker.cs:46): OSA /
+      restricted Damerau-Levenshtein — an adjacent transposition
+      counts as ONE edit ("teh" -> "the" is distance 1). The exact OSA
+      DP runs as an Arrow-batched pandas UDF over the survivors of the
+      JVM prefilters (prefix/length-band join key + the sound
+      ``levenshtein <= 2*max_edits`` budget — plain lev never exceeds
+      2x OSA), so the Python stage sees only a handful of rows per
+      word.
+    - ``"levenshtein"``: plain Levenshtein (the reference's selectable
+      ``LevensteinDistance.cs``), entirely JVM-side.
+
+    Both are scored with INTERNAL_LEVENSHTEIN's formula
+    ``1 - d/min(len)`` (LuceneLevenshteinDistance.cs:76).
 
     The Spark shape is BATCH: the word list broadcasts against ONE
     term-dictionary scan; prefix + length-band filters run JVM-side
-    before the levenshtein, so a million-word spellcheck batch is one
+    before the distance, so a million-word spellcheck batch is one
     dictionary pass. Columns: word, rank, suggestion, score, df.
     """
     if isinstance(words, str):
@@ -252,8 +263,9 @@ def direct_spell_suggest(
     ]
     if not live:
         return spark.createDataFrame([], empty)
+    if distance not in ("internal", "levenshtein"):
+        raise ValueError(f"unknown distance dialect: {distance!r}")
     wdf = spark.createDataFrame([(w,) for w in live], "word string")
-    d = F.levenshtein(F.col("term"), F.col("word"))
     dict_df = searcher.index.term_stats.select("term", "df")
     # The prefix-share predicate is an EQUALITY — expressed as a join
     # key so Catalyst hash-joins the (broadcast) word batch against the
@@ -277,19 +289,40 @@ def direct_spell_suggest(
             "word", (F.length("word") + F.col("delta")).alias("jk")
         )
         keyed_dict = dict_df.withColumn("jk", F.length("term"))
+    lev = F.levenshtein(F.col("term"), F.col("word"))
+    if distance == "levenshtein":
+        exact_d = lev
+        budget = max_edits
+    else:
+        # OSA exact pass (LuceneLevenshteinDistance): the JVM
+        # levenshtein acts as a sound prefilter (lev <= 2*OSA always),
+        # then the Arrow-batched DP resolves the survivors exactly.
+        from pyspark.sql.functions import pandas_udf
+
+        from lucenenet_spark.search.queries import _osa
+
+        @pandas_udf("int")
+        def osa_d(t: pd.Series, w: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_osa(a, b) for a, b in zip(t, w)], dtype="int32"
+            )
+
+        exact_d = osa_d(F.col("term"), F.col("word"))
+        budget = 2 * max_edits
     cand = (
         keyed_dict.join(F.broadcast(keyed_words), "jk")
         .where(
             (F.col("term") != F.col("word"))
             & (F.abs(F.length("term") - F.length("word")) <= max_edits)
-            & (d <= max_edits)
+            & (lev <= budget)
         )
         .select(
             "word",
             F.col("term").alias("suggestion"),
-            d.alias("dist"),
+            exact_d.alias("dist"),
             F.col("df").cast("long").alias("df"),
         )
+        .where(F.col("dist") <= max_edits)
     )
     score = (
         F.lit(1.0).cast("float")

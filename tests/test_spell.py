@@ -78,9 +78,15 @@ def test_direct_spell(sp):
     by_word = {}
     for r in out:
         by_word.setdefault(r.word, []).append((r.rank, r.suggestion, r.score, r.df))
-    # lev("tabel","table")=2, min len 5 -> score 0.6 >= accuracy
+    # default internal (OSA) distance: the el->le transposition is ONE
+    # edit, min len 5 -> score 0.8 (LuceneLevenshteinDistance)
     assert by_word["tabel"][0][1] == "table"
-    assert abs(by_word["tabel"][0][2] - (1.0 - 2.0 / 5.0)) < 1e-6
+    assert abs(by_word["tabel"][0][2] - (1.0 - 1.0 / 5.0)) < 1e-6
+    # the selectable plain-Levenshtein dialect counts the swap as 2
+    lev = spell.direct_spell_suggest(
+        sp, ["tabel"], num_sug=5, distance="levenshtein"
+    ).collect()
+    assert abs(lev[0].score - (1.0 - 2.0 / 5.0)) < 1e-6
     # single substitution
     assert by_word["windoe"][0][1] == "window"
     # below min_query_length -> no suggestions
