@@ -648,6 +648,43 @@ def _code_searcher(spark, sf_dir) -> IndexSearcher:
     return _CODE_CACHE[key]
 
 
+def _uax29_searcher(spark, sf_dir) -> IndexSearcher:
+    """Searcher over the full-UAX#29 index (CorpusSpec(uax29=True),
+    StandardTokenizerImpl.cs Mid*-class parity). Corpus = deterministic
+    Mid*-token text derived from doc_id by dialect-portable SQL
+    (sources/synthetic.py::mid_text_expr), so 'mrg:srt', '4,600'-class
+    numbers, and '1.2.3' versions index as WHOLE terms."""
+    from lucenenet_spark.sources.synthetic import mid_text_expr
+
+    key = ("uax29", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(mid_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", uax29=True)
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    return _CODE_CACHE[key]
+
+
+def _q_uax29_term_query(spark, sf_dir):
+    """BM25 TermQuery for 'mrg:srt' — a term that EXISTS only because
+    the UAX#29 MidLetter rule kept the colon pair whole (the pinned
+    default tokenizer splits it into 'mrg', 'srt')."""
+    s = _uax29_searcher(spark, sf_dir)
+    return _ranked(s.search_df(TermQuery(term="mrg:srt"), 10))
+
+
+def _q_uax29_mid_terms(spark, sf_dir):
+    """Dictionary slice of the UAX#29 index: every term kept whole
+    across a MidLetter/MidNum joiner (':' or ','), with df/ttf —
+    the \"A:B\" / \"4,600\" classes of TestStandardAnalyzer.cs TestMid."""
+    s = _uax29_searcher(spark, sf_dir)
+    return s.index.term_stats.where(F.col("term").rlike("[:,]")).select(
+        "term", F.col("df").cast("long"), F.col("ttf").cast("long")
+    )
+
+
 def _q_limit_tokens_term(spark, sf_dir):
     """LimitTokenCountFilter role: index only the first 64 emitted
     tokens per doc; scores reflect both the truncated tf AND the
@@ -2193,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 (never driver-verified): inside the window ------------
         "direct_spell_osa": _q_direct_spell_osa,
         "fuzzy_terms_osa": _q_fuzzy_terms_osa,
+        "uax29_term_query": _q_uax29_term_query,
+        "uax29_mid_terms": _q_uax29_mid_terms,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2525,6 +2564,8 @@ def oracle_sql() -> dict[str, str]:
             transpositions=True,
         ),
         "fuzzy_terms_osa": osql.fuzzy_terms_sql("scann", 2, transpositions=True),
+        "uax29_term_query": osql.uax29_term_query_sql("mrg:srt"),
+        "uax29_mid_terms": osql.uax29_mid_terms_sql(),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),

@@ -10,7 +10,11 @@ tokenize -> lowercase -> stop-filter, with
   ``127.0.0.1`` stay whole (MidNum), mid-word apostrophes stay
   (``don't``). ASCII word classes so the exact same RE2 regex runs in
   DuckDB for the SQL oracle. Golden fixtures in
-  ``tests/test_analyzer.py`` pin the rule set.
+  ``tests/test_analyzer.py`` pin the rule set. The full Mid*-class
+  rules ("4,600" / "A:B" whole, per the reference DFA) are available
+  via ``CorpusSpec(uax29=True)`` -> :func:`analyze_uax29` /
+  ``UAX29_TOKEN_PATTERN`` (also oracle-mirrored); the default stays
+  bit-frozen because every standing oracle embeds its pattern.
 - max token length 255 — over-long tokens are dropped *before*
   position assignment (``StandardAnalyzer.cs:52``, tokenizer-level
   discard).
@@ -112,6 +116,69 @@ _ASCII_TOKEN_RE = re.compile(TOKEN_PATTERN, re.ASCII)
 
 def _token_re_for(text: str):
     return _ASCII_TOKEN_RE if text.isascii() else _TOKEN_RE
+
+
+# --- Full UAX#29 ASCII word-break rules (CorpusSpec(uax29=True)) ----
+# The pinned default TOKEN_PATTERN diverges from the reference DFA on
+# the ASCII Mid* classes ("4,600" / "A:B" split). This pattern closes
+# that gap, implementing the reference's word-break joins
+# (``StandardTokenizerImpl.cs``; fixtures
+# ``TestStandardAnalyzer.cs:254-298`` TestMid) for the ASCII alphabet,
+# Unicode 6.3 property values:
+#
+# - MidLetter  {:}       joins  letter  _:_ letter        (WB6/WB7)
+# - MidNumLet  {.}       joins  letter._letter AND digit._digit
+# - Single_Q   {'}       joins  both, as MidNumLetQ       (WB6/7,11/12)
+# - MidNum     {, ;}     joins  digit  _,_ digit          (WB11/WB12)
+# - ExtendNumLet {_}     glues adjacent segments          (WB13a/13b)
+# - letter<->digit adjacency joins                        (WB9/WB10)
+#
+# Every joiner must be SINGLE and flanked by the right class on both
+# sides ("A::B" / "1,.2" split). Encoded without lookaround so the
+# exact same string runs under DuckDB's RE2 for the SQL oracles: each
+# segment alternative consumes (joiner, next-char) pairs, so the char
+# before a joiner is always of the segment's class; all alternation
+# first-chars are disjoint, making the pattern deterministic (engine-
+# independent match choice).
+UAX29_TOKEN_PATTERN = (
+    r"(?:[A-Za-z](?:[.:'][A-Za-z]|[A-Za-z])*"
+    r"|[0-9](?:[.,;'][0-9]|[0-9])*"
+    r"|_)+"
+)
+_UAX29_TOKEN_RE = re.compile(UAX29_TOKEN_PATTERN)
+
+# Script-extended variant (same letter/digit/mark ranges as
+# UNICODE_TOKEN_PATTERN; joiner classes stay the ASCII Mid* sets, and
+# combining marks continue a letter segment per WB4 but cannot sit
+# across a joiner). Used for non-ASCII text only — same isascii O(1)
+# dispatch as the default analyzer; like UNICODE_TOKEN_PATTERN it is
+# pytest-pinned rather than oracle-mirrored (the SF corpora are
+# ASCII).
+_UL = rf"[A-Za-z{_EXT_LETTERS}]"
+_ULM = rf"[A-Za-z{_EXT_LETTERS}{_EXT_MARKS}]"
+_UN = rf"[0-9{_EXT_DIGITS}]"
+UAX29_UNICODE_TOKEN_PATTERN = (
+    rf"(?:{_UL}(?:[.:']{_UL}|{_ULM})*"
+    rf"|{_UN}(?:[.,;']{_UN}|{_UN})*"
+    r"|_)+"
+)
+_UAX29_UNICODE_RE = re.compile(UAX29_UNICODE_TOKEN_PATTERN)
+
+
+def analyze_uax29(text: str) -> list[tuple[str, int]]:
+    """StandardAnalyzer pipeline over the full-UAX#29 tokenizer:
+    identical stop/length/position semantics to :func:`analyze`, with
+    the Mid* join rules the pinned default deliberately omits
+    ("4,600", "A:B", "A.B" stay whole). Selected by
+    ``CorpusSpec(uax29=True)``; the DuckDB oracles mirror it by
+    passing ``UAX29_TOKEN_PATTERN`` to :func:`duckdb_token_sql`."""
+    if not text:
+        return []
+    lt = text.lower()
+    rex = _UAX29_TOKEN_RE if lt.isascii() else _UAX29_UNICODE_RE
+    toks = rex.findall(lt)
+    toks = [t for t in toks if len(t) <= MAX_TOKEN_LENGTH]
+    return [(t, i) for i, t in enumerate(toks) if t not in ENGLISH_STOP_WORDS]
 
 MAX_TOKEN_LENGTH = 255
 
@@ -270,12 +337,15 @@ def duckdb_token_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_positions: bool = False,
+    pattern: str | None = None,
 ) -> str:
     """A DuckDB CTE body producing (docid, term[, pos]) identical to
     :func:`analyze` — the SQL oracle's tokenizer. Length filter before
     position assignment, stop filter after (position gaps preserved).
-    """
-    re_sql = _sql_quote_regex(TOKEN_PATTERN)
+    ``pattern`` overrides the pinned default (e.g.
+    ``UAX29_TOKEN_PATTERN`` for a ``CorpusSpec(uax29=True)`` index —
+    both patterns are RE2-safe by construction)."""
+    re_sql = _sql_quote_regex(pattern if pattern is not None else TOKEN_PATTERN)
     stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
     if with_positions:
         return f"""

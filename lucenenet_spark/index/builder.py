@@ -169,6 +169,13 @@ class CorpusSpec:
     # norms count kept tokens. Applied before max_tokens. Composes
     # with stem; exclusive with the stream-shaping filters.
     token_length: "tuple[int, int] | None" = None
+    # Full UAX#29 ASCII word-break rules (StandardTokenizerImpl.cs DFA
+    # parity for the ASCII Mid* classes): "4,600", "A:B", "A.B" stay
+    # whole per the TestStandardAnalyzer.cs:254-298 TestMid fixtures.
+    # The DEFAULT tokenizer stays bit-frozen (every standing oracle
+    # embeds its pinned pattern); this flag swaps the base tokenizer
+    # wholesale, so it is exclusive with every other analysis flag.
+    uax29: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -340,10 +347,20 @@ class _SegmentWriter:
         max_tokens: "int | None" = None,
         token_length: "tuple[int, int] | None" = None,
         stem_lang: "str | None" = None,
+        uax29: bool = False,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
             raise ValueError("stem and cjk analyzers are mutually exclusive")
+        if uax29 and (
+            stem or cjk or stem_lang or synonyms or shingle_size
+            or edge_ngram or reverse or payload_delim or common_grams
+            or ngram or max_tokens or token_length
+        ):
+            raise ValueError(
+                "uax29 swaps the base tokenizer; it is exclusive with the"
+                " other analysis flags"
+            )
         if stem_lang is not None:
             from lucenenet_spark.analysis.snowball import make_snowball_analyzer
 
@@ -356,6 +373,10 @@ class _SegmentWriter:
             from lucenenet_spark.analysis.analyzer import analyze_cjk
 
             self.analyze = analyze_cjk
+        elif uax29:
+            from lucenenet_spark.analysis.analyzer import analyze_uax29
+
+            self.analyze = analyze_uax29
         else:
             self.analyze = analyze
         self.synonyms = dict(synonyms) if synonyms else None
@@ -563,13 +584,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -873,6 +894,17 @@ def build_index(
     spec = spec or CorpusSpec()
     if spec.stem and spec.cjk:  # fail on the driver, not inside workers
         raise ValueError("stem and cjk analyzers are mutually exclusive")
+    if spec.uax29 and (
+        spec.stem or spec.cjk or spec.stem_lang or spec.synonyms
+        or spec.shingle_size or spec.edge_ngram or spec.reverse
+        or spec.payload_delim or spec.common_grams or spec.ngram
+        or spec.max_tokens or spec.token_length or spec.ascii_fold
+        or spec.code
+    ):
+        raise ValueError(
+            "uax29 swaps the base tokenizer; it is exclusive with the"
+            " other analysis flags"
+        )
     if spec.stem_lang is not None:
         from lucenenet_spark.analysis.snowball import snowball_stem
 
@@ -928,7 +960,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29),
             schema=schema,
         )
     else:
@@ -940,7 +972,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -64,6 +64,7 @@ def bm25_prelude(
     source: str = "documents",
     limit_tokens: int | None = None,
     length_range: tuple[int, int] | None = None,
+    token_pattern: str | None = None,
 ) -> str:
     """With ``synonyms`` (the frozen analysis.synonyms map form), the
     token relation is augmented with injected (synonym, same-pos) rows
@@ -72,8 +73,11 @@ def bm25_prelude(
     ``_`` filler for stop-gap holes and no shingle past the last real
     token (analysis/shingles.py spec). Either way doc lengths/norms
     keep counting BASE tokens only (discountOverlaps), mirroring the
-    engine's index-time filters exactly."""
-    tok = duckdb_token_sql(source, "doc_id", "text", with_positions=True)
+    engine's index-time filters exactly. ``token_pattern`` overrides
+    the pinned tokenizer regex (the CorpusSpec(uax29=True) mirror)."""
+    tok = duckdb_token_sql(
+        source, "doc_id", "text", with_positions=True, pattern=token_pattern
+    )
     pos_col = ", pos" if with_positions else ""
     if edge_ngram:
         lo, hi = edge_ngram
@@ -300,9 +304,14 @@ def corpus_stats_sql() -> str:
     )
 
 
-def term_query_sql(term: str, k: int = K, source: str = "documents") -> str:
+def term_query_sql(
+    term: str,
+    k: int = K,
+    source: str = "documents",
+    token_pattern: str | None = None,
+) -> str:
     return (
-        bm25_prelude(source=source)
+        bm25_prelude(source=source, token_pattern=token_pattern)
         + ",\n"
         + _term_scores_cte("t0", term)
         + _topk("t0", k)
@@ -354,6 +363,46 @@ def code_term_query_sql(term: str, k: int = K) -> str:
     """TermQuery over the code-analyzed index: sub-word terms like
     'usr' exist only because the WDF chain split the identifiers."""
     return _with_code_docs(term_query_sql(term, k, source="code_docs"))
+
+
+def _mid_docs_cte() -> str:
+    """CTE producing the deterministic Mid*-token corpus (see
+    sources/synthetic.py::mid_text_expr) — the oracle mirror of the
+    CorpusSpec(uax29=True) showcase index."""
+    from lucenenet_spark.sources.synthetic import mid_text_expr
+
+    return (
+        f"mid_docs AS (SELECT doc_id, {mid_text_expr('doc_id')} AS text"
+        f" FROM documents)"
+    )
+
+
+def uax29_term_query_sql(term: str, k: int = K) -> str:
+    """TermQuery over the full-UAX#29 index: terms like 'mrg:srt'
+    exist only because the Mid* join rules kept them whole (the pinned
+    default splits at the colon). Same BM25 prelude, tokenized with
+    UAX29_TOKEN_PATTERN (RE2-safe by construction)."""
+    from lucenenet_spark.analysis.analyzer import UAX29_TOKEN_PATTERN
+
+    body = term_query_sql(
+        term, k, source="mid_docs", token_pattern=UAX29_TOKEN_PATTERN
+    )
+    return body.replace("WITH ", f"WITH {_mid_docs_cte()},\n", 1)
+
+
+def uax29_mid_terms_sql() -> str:
+    """Dictionary slice of the full-UAX#29 index: every term kept
+    whole across a MidLetter/MidNum joiner (contains ':' or ','),
+    with df/ttf — the \"4,600\" / \"A:B\" classes of
+    TestStandardAnalyzer.cs:254-298."""
+    from lucenenet_spark.analysis.analyzer import UAX29_TOKEN_PATTERN
+
+    body = (
+        bm25_prelude(source="mid_docs", token_pattern=UAX29_TOKEN_PATTERN)
+        + """
+SELECT term, df, ttf FROM term_stats WHERE regexp_matches(term, '[:,]')"""
+    )
+    return body.replace("WITH ", f"WITH {_mid_docs_cte()},\n", 1)
 
 
 def code_phrase_query_sql(t0: str, t1: str, k: int = K) -> str:

@@ -166,3 +166,38 @@ def code_corpus_sql(table: str = "documents", id_col: str = "doc_id") -> str:
         f"SELECT {id_col} AS doc_id, {code_text_expr(id_col)} AS text"
         f" FROM {table}"
     )
+
+
+def mid_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL expression: text rich in UAX#29 ASCII Mid*-class tokens
+    (the CorpusSpec(uax29=True) showcase corpus) — a MidLetter colon
+    pair ("mrg:srt"), a MidNum comma-grouped number ("4,600"-class),
+    a MidNumLet dotted version ("1.2.3"), a MidNumLet dotted name
+    ("get.usr"), plus two plain stems for BM25 background. Under the
+    full UAX#29 rules each stays ONE token; the pinned default
+    tokenizer splits the colon/comma forms. Deterministic,
+    dialect-portable (substr/||/% only; int||str casts identically in
+    Spark SQL and DuckDB)."""
+    w1 = _stem(f"({id_expr})*7")
+    w2 = _stem(f"({id_expr})*7 + 1")
+    w3 = _stem(f"({id_expr})*7 + 2")
+    w4 = _stem(f"({id_expr})*7 + 3")
+    colon = f"({w1} || ':' || {w2})"
+    comma = f"(((({id_expr}) % 9) + 1) || ',' || (((({id_expr}) * 37) % 900) + 100))"
+    ver = (
+        f"(((({id_expr}) % 9) + 1) || '.' || (({id_expr}) % 7)"
+        f" || '.' || (({id_expr}) % 5))"
+    )
+    dotted = f"({w3} || '.' || {w4})"
+    return (
+        f"{colon} || ' ' || {comma} || ' ' || {ver} || ' ' || {dotted}"
+        f" || ' ' || {w1} || ' ' || {w3}"
+    )
+
+
+def mid_corpus_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """SELECT producing the (doc_id, text) Mid*-token corpus."""
+    return (
+        f"SELECT {id_col} AS doc_id, {mid_text_expr(id_col)} AS text"
+        f" FROM {table}"
+    )
