@@ -119,10 +119,16 @@ def main() -> None:
     ests = sorted(per_query.values())
     p95 = ests[min(int(len(ests) * 0.95), len(ests) - 1)]
 
-    # batched serving path: the whole suite as ONE Spark job
-    t = time.perf_counter()
-    searcher.search_many(qset, 10).collect()
-    batched_sec = time.perf_counter() - t
+    # batched serving path: the whole suite as ONE Spark job.
+    # min-of-2 like the builds and per-query legs — the sandbox host
+    # has documented 2-12% steal spikes and a single-shot batched
+    # figure whipsawed the r4 signal of record.
+    batched_runs = []
+    for _ in range(2):
+        t = time.perf_counter()
+        searcher.search_many(qset, 10).collect()
+        batched_runs.append(time.perf_counter() - t)
+    batched_sec = min(batched_runs)
 
     out = {
         "metric": "index_build_plus_bm25_query_suite",
@@ -137,6 +143,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p95_query_sec": round(p95, 4),
         "suite_batched_sec": round(batched_sec, 4),
+        "suite_batched_runs_sec": [round(b, 4) for b in batched_runs],
     }
     print(json.dumps(out))
 

@@ -141,8 +141,10 @@ def sampled_facet_counts(
     sampled = matched.where(
         md5_prefix_int_col(F.col("docid").cast("string")) % 100 < sample_pct
     )
+    # both sides are 1-row aggregates: broadcast the right one so the
+    # product plans as a broadcast join, not a BroadcastNestedLoopJoin
     totals = matched.agg(F.count("*").alias("__total")).crossJoin(
-        sampled.agg(F.count("*").alias("__sample"))
+        F.broadcast(sampled.agg(F.count("*").alias("__sample")))
     )
     out = (
         searcher.index.docs.join(sampled, "docid", "left_semi")

@@ -207,7 +207,9 @@ def free_text_suggest(
             ctx_cnt = toks.select(F.explode("toks").alias("t")).agg(
                 F.count(F.lit(1)).cast("long").alias("cc")
             )
-        scored = cand.crossJoin(ctx_cnt).where(F.col("cc") > 0).select(
+        # ctx_cnt is a 1-row aggregate: broadcast for plan hygiene
+        # (BroadcastNestedLoopJoin -> trivial broadcast product)
+        scored = cand.crossJoin(F.broadcast(ctx_cnt)).where(F.col("cc") > 0).select(
             "term",
             F.lit(n).cast("int").alias("ord"),
             (
