@@ -685,6 +685,26 @@ def _q_uax29_mid_terms(spark, sf_dir):
     )
 
 
+def _q_ja_term_query(spark, sf_dir):
+    """Kuromoji-role BM25 TermQuery: '検索' over a CorpusSpec(ja=True)
+    index (analysis/japanese.py min-cost lattice segmentation) on the
+    deterministic JA_TEMPLATES corpus. Multi-character dictionary
+    words index WHOLE (検索/形態素/データ...), unlike the CJK bigram
+    analyzer — the JapaneseTokenizer.cs role."""
+    from lucenenet_spark.sources.synthetic import ja_text_expr
+
+    key = ("ja", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(ja_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", ja=True)
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(TermQuery(term="検索"), 10))
+
+
 def _q_limit_tokens_term(spark, sf_dir):
     """LimitTokenCountFilter role: index only the first 64 emitted
     tokens per doc; scores reflect both the truncated tf AND the
@@ -2232,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_terms_osa": _q_fuzzy_terms_osa,
         "uax29_term_query": _q_uax29_term_query,
         "uax29_mid_terms": _q_uax29_mid_terms,
+        "ja_term_query": _q_ja_term_query,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2566,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_terms_osa": osql.fuzzy_terms_sql("scann", 2, transpositions=True),
         "uax29_term_query": osql.uax29_term_query_sql("mrg:srt"),
         "uax29_mid_terms": osql.uax29_mid_terms_sql(),
+        "ja_term_query": osql.ja_term_query_sql("検索"),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),

@@ -176,6 +176,12 @@ class CorpusSpec:
     # embeds its pinned pattern); this flag swaps the base tokenizer
     # wholesale, so it is exclusive with every other analysis flag.
     uax29: bool = False
+    # JapaneseTokenizer (Kuromoji) role (analysis/japanese.py):
+    # min-cost lattice segmentation over the pinned compact vocabulary
+    # for CJK runs, standard ASCII rules for the rest; NO stop filter
+    # (the reference JapaneseAnalyzer carries its own Japanese stop
+    # set). Exclusive with every other analysis flag.
+    ja: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -348,6 +354,7 @@ class _SegmentWriter:
         token_length: "tuple[int, int] | None" = None,
         stem_lang: "str | None" = None,
         uax29: bool = False,
+        ja: bool = False,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -355,10 +362,19 @@ class _SegmentWriter:
         if uax29 and (
             stem or cjk or stem_lang or synonyms or shingle_size
             or edge_ngram or reverse or payload_delim or common_grams
-            or ngram or max_tokens or token_length
+            or ngram or max_tokens or token_length or ja
         ):
             raise ValueError(
                 "uax29 swaps the base tokenizer; it is exclusive with the"
+                " other analysis flags"
+            )
+        if ja and (
+            stem or cjk or stem_lang or synonyms or shingle_size
+            or edge_ngram or reverse or payload_delim or common_grams
+            or ngram or max_tokens or token_length
+        ):
+            raise ValueError(
+                "ja swaps the analysis pipeline; it is exclusive with the"
                 " other analysis flags"
             )
         if stem_lang is not None:
@@ -377,6 +393,10 @@ class _SegmentWriter:
             from lucenenet_spark.analysis.analyzer import analyze_uax29
 
             self.analyze = analyze_uax29
+        elif ja:
+            from lucenenet_spark.analysis.japanese import analyze_ja
+
+            self.analyze = analyze_ja
         else:
             self.analyze = analyze
         self.synonyms = dict(synonyms) if synonyms else None
@@ -584,13 +604,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -899,10 +919,21 @@ def build_index(
         or spec.shingle_size or spec.edge_ngram or spec.reverse
         or spec.payload_delim or spec.common_grams or spec.ngram
         or spec.max_tokens or spec.token_length or spec.ascii_fold
-        or spec.code
+        or spec.code or spec.ja
     ):
         raise ValueError(
             "uax29 swaps the base tokenizer; it is exclusive with the"
+            " other analysis flags"
+        )
+    if spec.ja and (
+        spec.stem or spec.cjk or spec.stem_lang or spec.synonyms
+        or spec.shingle_size or spec.edge_ngram or spec.reverse
+        or spec.payload_delim or spec.common_grams or spec.ngram
+        or spec.max_tokens or spec.token_length or spec.ascii_fold
+        or spec.code
+    ):
+        raise ValueError(
+            "ja swaps the analysis pipeline; it is exclusive with the"
             " other analysis flags"
         )
     if spec.stem_lang is not None:
@@ -960,7 +991,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja),
             schema=schema,
         )
     else:
@@ -972,7 +1003,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja),
             schema=schema,
         )
     flat_all = flat_all.persist()

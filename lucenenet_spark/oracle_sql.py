@@ -390,6 +390,51 @@ def uax29_term_query_sql(term: str, k: int = K) -> str:
     return body.replace("WITH ", f"WITH {_mid_docs_cte()},\n", 1)
 
 
+def ja_term_query_sql(term: str, k: int = K) -> str:
+    """BM25 top-k TermQuery over the Kuromoji-role index
+    (CorpusSpec(ja=True), analysis/japanese.py lattice segmentation).
+    The corpus is deterministic (JA_TEMPLATES by doc_id % N), so the
+    oracle re-derives each variant's token stream with the same pinned
+    pure segmenter at SQL-GENERATION time and joins it as a literal
+    VALUES table — the cross-engine check then verifies the whole
+    distributed build/scoring path (df/tf/norms/float32 BM25) over the
+    segmented tokens, while the segmenter itself is pinned by the
+    hand-checked fixtures in tests/test_japanese.py. No stop filter:
+    doclen/norms count ALL tokens (JapaneseAnalyzer carries its own
+    stop set, not the English one)."""
+    from lucenenet_spark.analysis.japanese import analyze_ja
+    from lucenenet_spark.sources.synthetic import JA_TEMPLATES
+
+    rows = []
+    for v, s in enumerate(JA_TEMPLATES):
+        for t, p in analyze_ja(s):
+            rows.append(f"({v}, '{t}', {p})")
+    vals = ", ".join(rows)
+    return (
+        f"""
+WITH vtok(variant, term, pos) AS (VALUES {vals}),
+tok AS (
+  SELECT d.doc_id AS docid, v.term, v.pos
+  FROM documents d
+  JOIN vtok v ON (d.doc_id % {len(JA_TEMPLATES)}) = v.variant
+),
+postings AS (
+  SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok
+  GROUP BY docid, term
+),
+doclen AS (
+  SELECT d.doc_id AS docid, CAST(coalesce(t.fl, 0) AS BIGINT) AS fl
+  FROM documents d
+  LEFT JOIN (SELECT docid, count(*) AS fl FROM tok GROUP BY docid) t
+    ON d.doc_id = t.docid
+),"""
+        + _prelude_tail()
+        + ",\n"
+        + _term_scores_cte("t0", term)
+        + _topk("t0", k)
+    )
+
+
 def uax29_mid_terms_sql() -> str:
     """Dictionary slice of the full-UAX#29 index: every term kept
     whole across a MidLetter/MidNum joiner (contains ':' or ','),

@@ -201,3 +201,30 @@ def mid_corpus_sql(table: str = "documents", id_col: str = "doc_id") -> str:
         f"SELECT {id_col} AS doc_id, {mid_text_expr(id_col)} AS text"
         f" FROM {table}"
     )
+
+
+# Deterministic Japanese corpus for the Kuromoji-role entries: each
+# doc gets one of these template sentences by doc_id % len. The
+# templates mix dictionary words, unknown katakana/hiragana runs, and
+# ASCII so the lattice segmenter (analysis/japanese.py) is exercised
+# end-to-end; the oracle re-derives each variant's token stream with
+# the same pinned pure function and joins it as a literal table.
+JA_TEMPLATES: tuple[str, ...] = (
+    "日本語の形態素解析を実行する",
+    "検索システムはデータを高速に処理する",
+    "テーブルのハッシュ索引を構築した",
+    "分散処理で大規模な文書を解析します",
+    "spark で日本語の検索を実行します",
+    "機械学習と自然言語処理の技術",
+    "インデックスはメモリに保存する",
+    "東京大学で情報検索を研究する",
+)
+
+
+def ja_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its JA_TEMPLATES
+    sentence — dialect-portable (CASE/%/string literal only)."""
+    whens = " ".join(
+        f"WHEN {v} THEN '{s}'" for v, s in enumerate(JA_TEMPLATES)
+    )
+    return f"CASE (({id_expr}) % {len(JA_TEMPLATES)}) {whens} END"
