@@ -705,6 +705,24 @@ def _q_ja_term_query(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="検索"), 10))
 
 
+def _q_zh_term_query(spark, sf_dir):
+    """SmartCn-role BM25 TermQuery: '检索' over a CorpusSpec(zh=True)
+    index (analysis/chinese.py min-cost word-DAG segmentation,
+    HHMMSegmenter.cs role) on the deterministic ZH_TEMPLATES corpus."""
+    from lucenenet_spark.sources.synthetic import zh_text_expr
+
+    key = ("zh", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(zh_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", zh=True)
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(TermQuery(term="检索"), 10))
+
+
 def _q_limit_tokens_term(spark, sf_dir):
     """LimitTokenCountFilter role: index only the first 64 emitted
     tokens per doc; scores reflect both the truncated tf AND the
@@ -2253,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uax29_term_query": _q_uax29_term_query,
         "uax29_mid_terms": _q_uax29_mid_terms,
         "ja_term_query": _q_ja_term_query,
+        "zh_term_query": _q_zh_term_query,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2588,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "uax29_term_query": osql.uax29_term_query_sql("mrg:srt"),
         "uax29_mid_terms": osql.uax29_mid_terms_sql(),
         "ja_term_query": osql.ja_term_query_sql("検索"),
+        "zh_term_query": osql.zh_term_query_sql("检索"),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),

@@ -80,8 +80,13 @@ def _char_class(ch: str) -> str:
     return "other"
 
 
-def segment_ja(text: str) -> list[str]:
-    """Min-cost lattice segmentation of one CJK run. O(n * maxlen)."""
+def lattice_segment(text: str, vocab: frozenset[str], max_word_len: int) -> list[str]:
+    """Min-cost lattice segmentation of one CJK run under the pinned
+    cost model. O(n * max_word_len). Shared by the Japanese (Kuromoji
+    role) and Chinese (SmartCn role, analysis/chinese.py) analyzers —
+    both references are min-cost path searches over dictionary +
+    unknown edges (JapaneseTokenizer.cs Viterbi; SmartCn's
+    HHMMSegmenter.cs shortest-path over the word DAG)."""
     n = len(text)
     if n == 0:
         return []
@@ -110,8 +115,8 @@ def segment_ja(text: str) -> list[str]:
                 best[j] = cand
 
         # known-word edges
-        for L in range(1, min(_MAX_WORD_LEN, n - i) + 1):
-            if text[i : i + L] in JA_VOCAB:
+        for L in range(1, min(max_word_len, n - i) + 1):
+            if text[i : i + L] in vocab:
                 relax(i + L, KNOWN_COST, True)
         # unknown edges: single char + the maximal same-class run
         relax(i + 1, UNK_BASE + UNK_PER_CHAR, False)
@@ -127,6 +132,11 @@ def segment_ja(text: str) -> list[str]:
         j = i
     out.reverse()
     return out
+
+
+def segment_ja(text: str) -> list[str]:
+    """Min-cost lattice segmentation of one Japanese CJK run."""
+    return lattice_segment(text, JA_VOCAB, _MAX_WORD_LEN)
 
 
 # CJK runs (Han incl. 々, Hiragana, Katakana, Hangul) vs the pinned

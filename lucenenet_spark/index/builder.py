@@ -182,6 +182,11 @@ class CorpusSpec:
     # (the reference JapaneseAnalyzer carries its own Japanese stop
     # set). Exclusive with every other analysis flag.
     ja: bool = False
+    # SmartChineseAnalyzer role (analysis/chinese.py): min-cost
+    # word-DAG segmentation over the pinned Simplified-Chinese
+    # vocabulary (HHMMSegmenter.cs shortest path). Exclusive with
+    # every other analysis flag.
+    zh: bool = False
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -355,6 +360,7 @@ class _SegmentWriter:
         stem_lang: "str | None" = None,
         uax29: bool = False,
         ja: bool = False,
+        zh: bool = False,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -362,7 +368,7 @@ class _SegmentWriter:
         if uax29 and (
             stem or cjk or stem_lang or synonyms or shingle_size
             or edge_ngram or reverse or payload_delim or common_grams
-            or ngram or max_tokens or token_length or ja
+            or ngram or max_tokens or token_length or ja or zh
         ):
             raise ValueError(
                 "uax29 swaps the base tokenizer; it is exclusive with the"
@@ -371,10 +377,19 @@ class _SegmentWriter:
         if ja and (
             stem or cjk or stem_lang or synonyms or shingle_size
             or edge_ngram or reverse or payload_delim or common_grams
-            or ngram or max_tokens or token_length
+            or ngram or max_tokens or token_length or zh
         ):
             raise ValueError(
                 "ja swaps the analysis pipeline; it is exclusive with the"
+                " other analysis flags"
+            )
+        if zh and (
+            stem or cjk or stem_lang or synonyms or shingle_size
+            or edge_ngram or reverse or payload_delim or common_grams
+            or ngram or max_tokens or token_length
+        ):
+            raise ValueError(
+                "zh swaps the analysis pipeline; it is exclusive with the"
                 " other analysis flags"
             )
         if stem_lang is not None:
@@ -397,6 +412,10 @@ class _SegmentWriter:
             from lucenenet_spark.analysis.japanese import analyze_ja
 
             self.analyze = analyze_ja
+        elif zh:
+            from lucenenet_spark.analysis.chinese import analyze_zh
+
+            self.analyze = analyze_zh
         else:
             self.analyze = analyze
         self.synonyms = dict(synonyms) if synonyms else None
@@ -604,13 +623,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False, zh: bool = False):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja, zh=zh)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -919,7 +938,7 @@ def build_index(
         or spec.shingle_size or spec.edge_ngram or spec.reverse
         or spec.payload_delim or spec.common_grams or spec.ngram
         or spec.max_tokens or spec.token_length or spec.ascii_fold
-        or spec.code or spec.ja
+        or spec.code or spec.ja or spec.zh
     ):
         raise ValueError(
             "uax29 swaps the base tokenizer; it is exclusive with the"
@@ -930,10 +949,21 @@ def build_index(
         or spec.shingle_size or spec.edge_ngram or spec.reverse
         or spec.payload_delim or spec.common_grams or spec.ngram
         or spec.max_tokens or spec.token_length or spec.ascii_fold
-        or spec.code
+        or spec.code or spec.zh
     ):
         raise ValueError(
             "ja swaps the analysis pipeline; it is exclusive with the"
+            " other analysis flags"
+        )
+    if spec.zh and (
+        spec.stem or spec.cjk or spec.stem_lang or spec.synonyms
+        or spec.shingle_size or spec.edge_ngram or spec.reverse
+        or spec.payload_delim or spec.common_grams or spec.ngram
+        or spec.max_tokens or spec.token_length or spec.ascii_fold
+        or spec.code
+    ):
+        raise ValueError(
+            "zh swaps the analysis pipeline; it is exclusive with the"
             " other analysis flags"
         )
     if spec.stem_lang is not None:
@@ -991,7 +1021,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh),
             schema=schema,
         )
     else:
@@ -1003,7 +1033,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -405,9 +405,23 @@ def ja_term_query_sql(term: str, k: int = K) -> str:
     from lucenenet_spark.analysis.japanese import analyze_ja
     from lucenenet_spark.sources.synthetic import JA_TEMPLATES
 
+    return _template_term_query_sql(JA_TEMPLATES, analyze_ja, term, k)
+
+
+def zh_term_query_sql(term: str, k: int = K) -> str:
+    """BM25 top-k TermQuery over the SmartCn-role index
+    (CorpusSpec(zh=True), analysis/chinese.py word-DAG segmentation) —
+    same template-literal oracle shape as ja_term_query_sql."""
+    from lucenenet_spark.analysis.chinese import analyze_zh
+    from lucenenet_spark.sources.synthetic import ZH_TEMPLATES
+
+    return _template_term_query_sql(ZH_TEMPLATES, analyze_zh, term, k)
+
+
+def _template_term_query_sql(templates, analyze_fn, term: str, k: int) -> str:
     rows = []
-    for v, s in enumerate(JA_TEMPLATES):
-        for t, p in analyze_ja(s):
+    for v, s in enumerate(templates):
+        for t, p in analyze_fn(s):
             rows.append(f"({v}, '{t}', {p})")
     vals = ", ".join(rows)
     return (
@@ -416,7 +430,7 @@ WITH vtok(variant, term, pos) AS (VALUES {vals}),
 tok AS (
   SELECT d.doc_id AS docid, v.term, v.pos
   FROM documents d
-  JOIN vtok v ON (d.doc_id % {len(JA_TEMPLATES)}) = v.variant
+  JOIN vtok v ON (d.doc_id % {len(templates)}) = v.variant
 ),
 postings AS (
   SELECT docid, term, CAST(count(*) AS INT) AS freq FROM tok

@@ -224,7 +224,29 @@ JA_TEMPLATES: tuple[str, ...] = (
 def ja_text_expr(id_expr: str = "doc_id") -> str:
     """SQL CASE expression assigning each row its JA_TEMPLATES
     sentence — dialect-portable (CASE/%/string literal only)."""
-    whens = " ".join(
-        f"WHEN {v} THEN '{s}'" for v, s in enumerate(JA_TEMPLATES)
-    )
-    return f"CASE (({id_expr}) % {len(JA_TEMPLATES)}) {whens} END"
+    return _template_expr(JA_TEMPLATES, id_expr)
+
+
+def _template_expr(templates: tuple[str, ...], id_expr: str) -> str:
+    whens = " ".join(f"WHEN {v} THEN '{s}'" for v, s in enumerate(templates))
+    return f"CASE (({id_expr}) % {len(templates)}) {whens} END"
+
+
+# Deterministic Simplified-Chinese corpus for the SmartCn-role entry —
+# same contract as JA_TEMPLATES.
+ZH_TEMPLATES: tuple[str, ...] = (
+    "我们使用分布式系统处理大规模数据",
+    "中文分词是信息检索的技术",
+    "在北京大学研究机器学习",
+    "spark 引擎支持高速查询",
+    "建立索引可以提供高速搜索",
+    "这个方法分析文档的结果",
+    "数据库保存用户的信息",
+    "程序在内存执行计算",
+)
+
+
+def zh_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its ZH_TEMPLATES
+    sentence — dialect-portable."""
+    return _template_expr(ZH_TEMPLATES, id_expr)
