@@ -705,6 +705,35 @@ def _q_ja_term_query(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="検索"), 10))
 
 
+def _q_ja_phrase_query(spark, sf_dir):
+    """PhraseQuery('形態素 解析') over the ja index: the two dictionary
+    words sit at adjacent positions ONLY because the lattice segmented
+    them out of the unbroken run 形態素解析を… — verifies the
+    positional payload of the CorpusSpec(ja=True) build path."""
+    from lucenenet_spark.sources.synthetic import ja_text_expr
+
+    key = ("ja", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(ja_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", ja=True)
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(PhraseQuery(phrase_terms=("形態素", "解析")), 10))
+
+
+def _q_fuzzy_osa_topk(spark, sf_dir):
+    """Scored FuzzyQuery end-to-end with the reference-default
+    transpositions=true: every OSA<=2 dictionary variant of 'scann'
+    becomes a SHOULD clause boosted by 1 - dist/min(len)
+    (FuzzyTermsEnum), float32-folded in term-asc emit order."""
+    _, s = _searcher(spark, sf_dir)
+    q = FuzzyQuery(term="scann", max_edits=2, transpositions=True)
+    return _ranked(s.search_df(q, 10))
+
+
 def _q_zh_term_query(spark, sf_dir):
     """SmartCn-role BM25 TermQuery: '检索' over a CorpusSpec(zh=True)
     index (analysis/chinese.py min-cost word-DAG segmentation,
@@ -2272,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uax29_mid_terms": _q_uax29_mid_terms,
         "ja_term_query": _q_ja_term_query,
         "zh_term_query": _q_zh_term_query,
+        "ja_phrase_query": _q_ja_phrase_query,
+        "fuzzy_osa_topk": _q_fuzzy_osa_topk,
         # -- last verified in r01 (stale) ------------
         "facet_counts": _q_facet,
         "filtered_query": _q_filtered,
@@ -2608,6 +2639,8 @@ def oracle_sql() -> dict[str, str]:
         "uax29_mid_terms": osql.uax29_mid_terms_sql(),
         "ja_term_query": osql.ja_term_query_sql("検索"),
         "zh_term_query": osql.zh_term_query_sql("检索"),
+        "ja_phrase_query": osql.ja_phrase_query_sql("形態素", "解析"),
+        "fuzzy_osa_topk": osql.fuzzy_osa_topk_sql("scann"),
         "phonetic_terms": osql.phonetic_terms_sql("merj"),
         "phonetic_docs": osql.phonetic_docs_sql("merj"),
         "surround_infix_w": osql.span_near_sql("table", "hash", 2, in_order=True),

@@ -418,14 +418,17 @@ def zh_term_query_sql(term: str, k: int = K) -> str:
     return _template_term_query_sql(ZH_TEMPLATES, analyze_zh, term, k)
 
 
-def _template_term_query_sql(templates, analyze_fn, term: str, k: int) -> str:
+def _template_prelude(templates, analyze_fn) -> str:
+    """The tok/postings/doclen + shared-tail prelude over a
+    deterministic template corpus: each variant's token stream is
+    re-derived by the same pinned pure analyzer at SQL-generation time
+    and joined as a literal VALUES table on doc_id % n_templates."""
     rows = []
     for v, s in enumerate(templates):
         for t, p in analyze_fn(s):
             rows.append(f"({v}, '{t}', {p})")
     vals = ", ".join(rows)
-    return (
-        f"""
+    return f"""
 WITH vtok(variant, term, pos) AS (VALUES {vals}),
 tok AS (
   SELECT d.doc_id AS docid, v.term, v.pos
@@ -441,11 +444,91 @@ doclen AS (
   FROM documents d
   LEFT JOIN (SELECT docid, count(*) AS fl FROM tok GROUP BY docid) t
     ON d.doc_id = t.docid
-),"""
-        + _prelude_tail()
+),""" + _prelude_tail()
+
+
+def _template_term_query_sql(templates, analyze_fn, term: str, k: int) -> str:
+    return (
+        _template_prelude(templates, analyze_fn)
         + ",\n"
         + _term_scores_cte("t0", term)
         + _topk("t0", k)
+    )
+
+
+def ja_phrase_query_sql(t0: str, t1: str, k: int = K) -> str:
+    """Exact 2-term phrase over the Kuromoji-role index: positions come
+    from the lattice segmentation (adjacent dictionary words), so this
+    verifies the positional payload of the ja build path; same phrase
+    weight/scoring shape as phrase_sql."""
+    from lucenenet_spark.analysis.japanese import analyze_ja
+    from lucenenet_spark.sources.synthetic import JA_TEMPLATES
+
+    idf0 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t0}')")
+    idf1 = _idf_expr(f"(SELECT df FROM term_stats WHERE term = '{t1}')")
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        _template_prelude(JA_TEMPLATES, analyze_ja)
+        + f""",
+w AS (SELECT (({_f32_lit(0.0)} + {idf0}) + {idf1}) * {_f32_lit(1.0)} * {k1p1} AS w),
+pfreq AS (
+  SELECT a.docid, CAST(count(*) AS INT) AS freq
+  FROM tok a JOIN tok b ON b.docid = a.docid AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.docid
+),
+scored AS (
+  SELECT p.docid,
+         (SELECT w FROM w) * CAST(p.freq AS REAL)
+           / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM pfreq p JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+)"""
+        + _topk("scored", k)
+    )
+
+
+def fuzzy_osa_topk_sql(term: str, max_edits: int = 2, k: int = K) -> str:
+    """Scored FuzzyQuery (transpositions=true) end-to-end: the
+    TopTerms-style expansion keeps every dictionary variant within OSA
+    distance (DuckDB damerau_levenshtein — full-DL==OSA on the
+    decision band, tests/test_osa.py), each clause boosted by
+    1 - dist/min(len) (FuzzyTermsEnum boost), clauses folded float32
+    in term-asc order (the engine's pinned emit order)."""
+    qlen = len(term)
+    k1p1 = f"({_f32_lit(1.2)} + {_f32_lit(1.0)})"
+    return (
+        bm25_prelude()
+        + f""",
+cand AS (
+  SELECT term, df, damerau_levenshtein(term, '{term}') AS dist
+  FROM term_stats
+  WHERE abs(length(term) - {qlen}) <= {max_edits}
+    AND damerau_levenshtein(term, '{term}') <= {max_edits}
+),
+tw AS (
+  SELECT term,
+         row_number() OVER (ORDER BY term ASC) AS cidx,
+         {_idf_expr("df")}
+           * CAST(1.0 - CAST(dist AS DOUBLE)
+                  / least(length(term), {qlen}) AS REAL)
+           * {k1p1} AS w
+  FROM cand
+),
+clause AS (
+  SELECT p.docid, tw.cidx,
+         tw.w * CAST(p.freq AS REAL) / (CAST(p.freq AS REAL) + c.c) AS s
+  FROM postings p
+  JOIN tw ON tw.term = p.term
+  JOIN norms n ON p.docid = n.docid
+  JOIN cache c ON c.nb = n.norm
+),
+folded AS (
+  SELECT docid,
+         list_reduce(list(s ORDER BY cidx), (x, y) -> x + y) * {_f32_lit(1.0)} AS s
+  FROM clause GROUP BY docid
+)"""
+        + _topk("folded", k)
     )
 
 
