@@ -2,7 +2,11 @@ from lucenenet_spark.analysis.analyzer import (  # noqa: F401
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
     TOKEN_PATTERN,
+    UAX29_TOKEN_PATTERN,
     analyze,
     analyze_series,
+    analyze_uax29,
     duckdb_token_sql,
 )
+from lucenenet_spark.analysis.chinese import analyze_zh, segment_zh  # noqa: F401
+from lucenenet_spark.analysis.japanese import analyze_ja, segment_ja  # noqa: F401

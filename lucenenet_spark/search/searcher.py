@@ -1362,7 +1362,3 @@ def _pure_term_disjunction(q: Query) -> list[str] | None:
     return None
 
 
-def _levenshtein(a: str, b: str) -> int:
-    from lucenenet_spark.search.queries import _levenshtein as lv
-
-    return lv(a, b)
