@@ -1459,6 +1459,28 @@ def _q_stemmed_term_da(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="tabl"), 10))
 
 
+def _q_stemmed_term_pl(spark, sf_dir):
+    """Polish Stempel-role stemmed index (Lucene.Net.Analysis.Stempel,
+    StempelStemmer.cs wraps Egothor trained tables — the model files
+    are out of scope, the stemming ROLE is kept by the pinned
+    light stemmer analysis/polish.py): TermQuery('indeks') over a
+    CorpusSpec(stem_lang='pl') index on the deterministic PL_TEMPLATES
+    corpus, where 5 different surface forms (indeks / indeksowania /
+    indeksie / indeksu / indeksów) all reach the queried stem."""
+    from lucenenet_spark.sources.synthetic import pl_text_expr
+
+    key = ("pl", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(pl_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", stem_lang="pl")
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(TermQuery(term="indeks"), 10))
+
+
 def _q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser: prefix inside a phrase -> span near
     with a SpanMultiTermQuery slot, one term-pruned packed scan."""
@@ -2470,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_grams_phrase": _q_common_grams_phrase,
         "lm_doc_quality": _q_lm_doc_quality,
         "pack_sequences": _q_pack_sequences,
+        "stemmed_term_query_pl": _q_stemmed_term_pl,
     }
 
 
@@ -2744,4 +2767,5 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_terms": osql.wildcard_terms_sql("^s.*a.*$"),
         "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),
         "term_range": osql.term_range_sql("p", "t"),
+        "stemmed_term_query_pl": osql.pl_term_query_sql("indeks"),
     }

@@ -10,3 +10,4 @@ from lucenenet_spark.analysis.analyzer import (  # noqa: F401
 )
 from lucenenet_spark.analysis.chinese import analyze_zh, segment_zh  # noqa: F401
 from lucenenet_spark.analysis.japanese import analyze_ja, segment_ja  # noqa: F401
+from lucenenet_spark.analysis.polish import analyze_pl, stem_pl  # noqa: F401

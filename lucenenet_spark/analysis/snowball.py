@@ -49,6 +49,7 @@ from lucenenet_spark.analysis.snowball_russian import russian_stem
 from lucenenet_spark.analysis.snowball_spanish import spanish_stem
 from lucenenet_spark.analysis.kraaij_pohlmann import kp_stem
 from lucenenet_spark.analysis.lovins import lovins_stem
+from lucenenet_spark.analysis.polish import stem_pl as polish_stem
 from lucenenet_spark.analysis.snowball_porter import porter_snowball_stem
 from lucenenet_spark.analysis.snowball_turkish import turkish_stem
 
@@ -91,6 +92,12 @@ STEMMERS = {
     "lovins": lovins_stem,
     "kp": kp_stem,
     "kraaij_pohlmann": kp_stem,
+    # Polish: the Stempel-role pinned light stemmer (analysis/polish.py)
+    # — not a Snowball algorithm; the reference's Egothor trained
+    # tables are model files, out of scope (same scoping as the
+    # Kuromoji/SmartCn dictionaries)
+    "pl": polish_stem,
+    "polish": polish_stem,
 }
 
 # Unicode counterpart of analyzer.TOKEN_PATTERN (same shape, no

@@ -418,6 +418,20 @@ def zh_term_query_sql(term: str, k: int = K) -> str:
     return _template_term_query_sql(ZH_TEMPLATES, analyze_zh, term, k)
 
 
+def pl_term_query_sql(term: str, k: int = K) -> str:
+    """BM25 top-k TermQuery over the Stempel-role stemmed index
+    (CorpusSpec(stem_lang='pl'), analysis/polish.py pinned light
+    stemmer) — same template-literal oracle shape as
+    ja_term_query_sql: the oracle re-derives each PL_TEMPLATES
+    variant's stemmed token stream with the same pinned pure analyzer
+    at SQL-generation time, so the cross-engine check verifies the
+    whole distributed build/scoring path over the stemmed tokens."""
+    from lucenenet_spark.analysis.polish import analyze_pl
+    from lucenenet_spark.sources.synthetic import PL_TEMPLATES
+
+    return _template_term_query_sql(PL_TEMPLATES, analyze_pl, term, k)
+
+
 def _template_prelude(templates, analyze_fn) -> str:
     """The tok/postings/doclen + shared-tail prelude over a
     deterministic template corpus: each variant's token stream is

@@ -250,3 +250,27 @@ def zh_text_expr(id_expr: str = "doc_id") -> str:
     """SQL CASE expression assigning each row its ZH_TEMPLATES
     sentence — dialect-portable."""
     return _template_expr(ZH_TEMPLATES, id_expr)
+
+
+# Deterministic Polish corpus for the Stempel-role entry — same
+# contract as JA_TEMPLATES. The sentences spread inflected case /
+# agreement / gerund forms of shared lemmas (indeks, system,
+# dokument, informacja, wyszukiwanie, przetwarzać) across variants so
+# the light stemmer (analysis/polish.py) is what makes a TermQuery on
+# the stem match them all.
+PL_TEMPLATES: tuple[str, ...] = (
+    "wyszukiwanie informacji w zbiorach dokumentów",
+    "system indeksowania przetwarza dokumenty szybko",
+    "indeks odwrócony przyspiesza wyszukiwania w systemie",
+    "dane tekstowe przetwarzane i zapisywane w indeksie",
+    "szybkie zapytania do systemów wyszukiwania informacji",
+    "dokument zawiera informacje o strukturze indeksu",
+    "silnik przetwarza zapytania nad danymi w pamięci",
+    "budowa indeksów dokumentów w rozproszonym systemie",
+)
+
+
+def pl_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its PL_TEMPLATES
+    sentence — dialect-portable."""
+    return _template_expr(PL_TEMPLATES, id_expr)
