@@ -1481,6 +1481,30 @@ def _q_stemmed_term_pl(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="indeks"), 10))
 
 
+def _q_opennlp_noun_term(spark, sf_dir):
+    """OpenNLP-role POS-gated index (OpenNLPTokenizer.cs sentence
+    detection + OpenNLPPOSFilter.cs tagging + TypeTokenFilter
+    consumer; the trained maxent models are out of scope — the pinned
+    rule tagger in analysis/opennlp_role.py keeps the role):
+    TermQuery('documents') over a CorpusSpec(opennlp_keep=('NN','NNP'))
+    index on EN_POS_TEMPLATES — only noun-tagged tokens are indexed,
+    removed tokens leave position gaps and norms count kept tokens."""
+    from lucenenet_spark.sources.synthetic import en_pos_text_expr
+
+    key = ("opennlp", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(en_pos_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(
+            text_col="text", id_col="doc_id", opennlp_keep=("NN", "NNP")
+        )
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(TermQuery(term="documents"), 10))
+
+
 def _q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser: prefix inside a phrase -> span near
     with a SpanMultiTermQuery slot, one term-pruned packed scan."""
@@ -2493,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_quality": _q_lm_doc_quality,
         "pack_sequences": _q_pack_sequences,
         "stemmed_term_query_pl": _q_stemmed_term_pl,
+        "opennlp_noun_term_query": _q_opennlp_noun_term,
     }
 
 
@@ -2768,4 +2793,5 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_terms": osql.fuzzy_terms_sql("scann", 2),
         "term_range": osql.term_range_sql("p", "t"),
         "stemmed_term_query_pl": osql.pl_term_query_sql("indeks"),
+        "opennlp_noun_term_query": osql.opennlp_term_query_sql("documents"),
     }

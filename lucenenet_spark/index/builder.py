@@ -187,6 +187,14 @@ class CorpusSpec:
     # vocabulary (HHMMSegmenter.cs shortest path). Exclusive with
     # every other analysis flag.
     zh: bool = False
+    # OpenNLP role (analysis/opennlp_role.py): pinned rule-based
+    # sentence detection + POS tagging (OpenNLPTokenizer.cs /
+    # OpenNLPPOSFilter.cs — the trained maxent models are out of
+    # scope), indexing only tokens whose tag is in this keep set
+    # (TypeTokenFilter consumer). Removed tokens leave position gaps
+    # and do not count toward norms. Exclusive with every other
+    # analysis flag.
+    opennlp_keep: "tuple[str, ...] | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -361,6 +369,7 @@ class _SegmentWriter:
         uax29: bool = False,
         ja: bool = False,
         zh: bool = False,
+        opennlp_keep: "tuple[str, ...] | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -392,7 +401,22 @@ class _SegmentWriter:
                 "zh swaps the analysis pipeline; it is exclusive with the"
                 " other analysis flags"
             )
-        if stem_lang is not None:
+        if opennlp_keep is not None and (
+            stem or cjk or stem_lang or synonyms or shingle_size
+            or edge_ngram or reverse or payload_delim or common_grams
+            or ngram or max_tokens or token_length or uax29 or ja or zh
+        ):
+            raise ValueError(
+                "opennlp_keep swaps the analysis pipeline; it is exclusive"
+                " with the other analysis flags"
+            )
+        if opennlp_keep is not None:
+            from lucenenet_spark.analysis.opennlp_role import (
+                make_opennlp_analyzer,
+            )
+
+            self.analyze = make_opennlp_analyzer(opennlp_keep)
+        elif stem_lang is not None:
             from lucenenet_spark.analysis.snowball import make_snowball_analyzer
 
             self.analyze = make_snowball_analyzer(stem_lang)
@@ -623,13 +647,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False, zh: bool = False):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False, zh: bool = False, opennlp_keep=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja, zh=zh)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja, zh=zh, opennlp_keep=opennlp_keep)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -966,6 +990,17 @@ def build_index(
             "zh swaps the analysis pipeline; it is exclusive with the"
             " other analysis flags"
         )
+    if spec.opennlp_keep is not None and (
+        spec.stem or spec.cjk or spec.stem_lang or spec.synonyms
+        or spec.shingle_size or spec.edge_ngram or spec.reverse
+        or spec.payload_delim or spec.common_grams or spec.ngram
+        or spec.max_tokens or spec.token_length or spec.ascii_fold
+        or spec.code or spec.uax29 or spec.ja or spec.zh
+    ):
+        raise ValueError(
+            "opennlp_keep swaps the analysis pipeline; it is exclusive"
+            " with the other analysis flags"
+        )
     if spec.stem_lang is not None:
         from lucenenet_spark.analysis.snowball import snowball_stem
 
@@ -1021,7 +1056,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep),
             schema=schema,
         )
     else:
@@ -1033,7 +1068,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep),
             schema=schema,
         )
     flat_all = flat_all.persist()

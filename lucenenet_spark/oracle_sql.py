@@ -432,6 +432,24 @@ def pl_term_query_sql(term: str, k: int = K) -> str:
     return _template_term_query_sql(PL_TEMPLATES, analyze_pl, term, k)
 
 
+def opennlp_term_query_sql(
+    term: str, keep: tuple[str, ...] = ("NN", "NNP"), k: int = K
+) -> str:
+    """BM25 top-k TermQuery over the OpenNLP-role POS-gated index
+    (CorpusSpec(opennlp_keep=...), analysis/opennlp_role.py pinned
+    sentence detector + rule tagger + TypeTokenFilter consumer) —
+    template-literal oracle shape: kept tokens carry their ORIGINAL
+    positions (gaps where non-kept tags were removed) and doclen
+    counts kept tokens only, both re-derived by the same pinned pure
+    analyzer at SQL-generation time."""
+    from lucenenet_spark.analysis.opennlp_role import make_opennlp_analyzer
+    from lucenenet_spark.sources.synthetic import EN_POS_TEMPLATES
+
+    return _template_term_query_sql(
+        EN_POS_TEMPLATES, make_opennlp_analyzer(keep), term, k
+    )
+
+
 def _template_prelude(templates, analyze_fn) -> str:
     """The tok/postings/doclen + shared-tail prelude over a
     deterministic template corpus: each variant's token stream is

@@ -274,3 +274,25 @@ def pl_text_expr(id_expr: str = "doc_id") -> str:
     """SQL CASE expression assigning each row its PL_TEMPLATES
     sentence — dialect-portable."""
     return _template_expr(PL_TEMPLATES, id_expr)
+
+
+# Deterministic two-sentence English corpus for the OpenNLP-role entry
+# — same contract as JA_TEMPLATES. Each variant has TWO sentences so
+# the sentence detector and the sentence-scoped NNP rule are exercised;
+# shared nouns (documents, memory, index, query) recur across variants.
+EN_POS_TEMPLATES: tuple[str, ...] = (
+    "The search engine indexes documents quickly. It stores postings in memory.",
+    "A distributed system processes the data. Spark executes the query plan.",
+    "The index contains terms and positions. Compression reduces the storage.",
+    "Engineers build scalable systems. The pipeline transforms documents into postings.",
+    "The query returns ranked results. Scoring uses the term frequency.",
+    "A tokenizer splits the text into words. The filter removes stopwords.",
+    "The cluster schedules tasks on executors. Memory limits affect performance.",
+    "Indexes accelerate the search. The merger combines segments efficiently.",
+)
+
+
+def en_pos_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its EN_POS_TEMPLATES
+    sentences — dialect-portable."""
+    return _template_expr(EN_POS_TEMPLATES, id_expr)
