@@ -341,8 +341,17 @@ _DOC_FIELDS = [
 
 def _segment_schema(meta_fields: list[T.StructField]) -> T.StructType:
     """Union schema of the fused segment-writer output: packed posting
-    block rows (``term`` NOT NULL) + doc-level rows (``term`` NULL)."""
-    return T.StructType(list(PACKED_SCHEMA.fields) + _DOC_FIELDS + meta_fields)
+    block rows (``term`` NOT NULL) + doc-level rows (``term`` NULL).
+    Meta fields are forced nullable regardless of the source schema:
+    posting rows carry NULL meta, so a non-nullable source column
+    (e.g. the ``_metadata.file_path`` metadata column) would otherwise
+    NPE inside the JVM when the fused output is cached/serialized."""
+    meta_nullable = [
+        T.StructField(f.name, f.dataType, True) for f in meta_fields
+    ]
+    return T.StructType(
+        list(PACKED_SCHEMA.fields) + _DOC_FIELDS + meta_nullable
+    )
 
 
 class _SegmentWriter:
