@@ -48,6 +48,22 @@ def test_demo_index_update_search(spark, tmp_path, source_tree, capsys):
     assert "d.txt" in out and "b.txt" in out
 
 
+def test_facets_demo_runs(spark, capsys):
+    """Demo/Facet role (examples/facets_demo.py): the three example
+    flows (per-dim counts, drill-sideways, range buckets) run end to
+    end on the sf0.001 table and print non-empty tables."""
+    if not os.path.exists("/root/testdata/sf0.001/documents.parquet"):
+        pytest.skip("testdata not present")
+    import examples.facets_demo as fd
+
+    assert fd.main("/root/testdata/sf0.001") == 0
+    out = capsys.readouterr().out
+    assert "facet counts among matches" in out
+    assert "en: " in out            # lang facet has the en bucket
+    assert "__hits__" in out        # drill-sideways hit-count row
+    assert "medium: " in out        # range facet bucket
+
+
 def test_builder_accepts_non_nullable_meta(spark):
     """Regression: posting rows carry NULL meta, so a NON-nullable
     source meta column (e.g. the _metadata.file_path metadata column)
