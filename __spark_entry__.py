@@ -1481,6 +1481,29 @@ def _q_stemmed_term_pl(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="indeks"), 10))
 
 
+def _q_translit_term_query(spark, sf_dir):
+    """ICUTransformFilter-role transliterated index
+    (Lucene.Net.Analysis.ICU/Analysis/Icu/ICUTransformFilter.cs wraps
+    an ICU Transliterator — the CLDR transform data is out of scope,
+    the transform ROLE is kept by the pinned tables/rule engine in
+    analysis/icu_transform.py): TermQuery('katálogos') over a
+    CorpusSpec(translit='Any-Latin') index on the deterministic Greek
+    EL_TEMPLATES corpus — the Latin-script query term only matches
+    because every Greek token was transliterated at index time."""
+    from lucenenet_spark.sources.synthetic import el_text_expr
+
+    key = ("translit", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _CODE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        corpus = docs.select(
+            "doc_id", F.expr(el_text_expr("doc_id")).alias("text")
+        )
+        spec = CorpusSpec(text_col="text", id_col="doc_id", translit="Any-Latin")
+        _CODE_CACHE[key] = IndexSearcher(build_index(spark, corpus, spec))
+    s = _CODE_CACHE[key]
+    return _ranked(s.search_df(TermQuery(term="katálogos"), 10))
+
+
 def _q_opennlp_noun_term(spark, sf_dir):
     """OpenNLP-role POS-gated index (OpenNLPTokenizer.cs sentence
     detection + OpenNLPPOSFilter.cs tagging + TypeTokenFilter
@@ -2518,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stemmed_term_query_pl": _q_stemmed_term_pl,
         "opennlp_noun_term_query": _q_opennlp_noun_term,
+        "icu_translit_term_query": _q_translit_term_query,
     }
 
 
@@ -2794,4 +2818,5 @@ def oracle_sql() -> dict[str, str]:
         "term_range": osql.term_range_sql("p", "t"),
         "stemmed_term_query_pl": osql.pl_term_query_sql("indeks"),
         "opennlp_noun_term_query": osql.opennlp_term_query_sql("documents"),
+        "icu_translit_term_query": osql.translit_term_query_sql("katálogos"),
     }

@@ -195,6 +195,13 @@ class CorpusSpec:
     # and do not count toward norms. Exclusive with every other
     # analysis flag.
     opennlp_keep: "tuple[str, ...] | None" = None
+    # ICUTransformFilter role (analysis/icu_transform.py): a
+    # transliterator ID ("Any-Latin", "Traditional-Simplified",
+    # "Fullwidth-Halfwidth", compound "A; B", ...) applied per token
+    # after the standard tokenizer (the reference TokenFilter
+    # position, ICUTransformFilter.cs); NO stop filter. Exclusive
+    # with every other analysis flag.
+    translit: "str | None" = None
 
 
 POSTINGS_FLAT_SCHEMA = T.StructType(
@@ -379,6 +386,7 @@ class _SegmentWriter:
         ja: bool = False,
         zh: bool = False,
         opennlp_keep: "tuple[str, ...] | None" = None,
+        translit: "str | None" = None,
     ):
         self.meta_cols = meta_cols
         if stem and cjk:
@@ -419,7 +427,23 @@ class _SegmentWriter:
                 "opennlp_keep swaps the analysis pipeline; it is exclusive"
                 " with the other analysis flags"
             )
-        if opennlp_keep is not None:
+        if translit is not None and (
+            stem or cjk or stem_lang or synonyms or shingle_size
+            or edge_ngram or reverse or payload_delim or common_grams
+            or ngram or max_tokens or token_length or uax29 or ja or zh
+            or opennlp_keep is not None
+        ):
+            raise ValueError(
+                "translit swaps the analysis pipeline; it is exclusive"
+                " with the other analysis flags"
+            )
+        if translit is not None:
+            from lucenenet_spark.analysis.icu_transform import (
+                make_transform_analyzer,
+            )
+
+            self.analyze = make_transform_analyzer(translit)
+        elif opennlp_keep is not None:
             from lucenenet_spark.analysis.opennlp_role import (
                 make_opennlp_analyzer,
             )
@@ -656,13 +680,13 @@ class _SegmentWriter:
         return pd.concat([out, docs], ignore_index=True)
 
 
-def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False, zh: bool = False, opennlp_keep=None):
+def _segment_gen(offsets: dict[int, int] | None, meta_cols: list[str], stem: bool = False, cjk: bool = False, synonyms=None, shingle_size=None, edge_ngram=None, reverse: bool = False, payload_delim=None, common_grams: bool = False, ngram=None, max_tokens=None, token_length=None, stem_lang=None, uax29: bool = False, ja: bool = False, zh: bool = False, opennlp_keep=None, translit=None):
     """mapInPandas worker: whole partition -> packed blocks + doc rows.
     With ``offsets``: docids assigned inline (fused, one Python hop);
     without: batches carry a ``docid`` column (id_col path)."""
 
     def gen(iterator):
-        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja, zh=zh, opennlp_keep=opennlp_keep)
+        w = _SegmentWriter(meta_cols, stem, cjk, synonyms, shingle_size, edge_ngram, reverse, payload_delim, common_grams, ngram, max_tokens, token_length, stem_lang=stem_lang, uax29=uax29, ja=ja, zh=zh, opennlp_keep=opennlp_keep, translit=translit)
         if offsets is None:
             for pdf in iterator:
                 w.add_batch(
@@ -1010,6 +1034,22 @@ def build_index(
             "opennlp_keep swaps the analysis pipeline; it is exclusive"
             " with the other analysis flags"
         )
+    if spec.translit is not None:
+        if (
+            spec.stem or spec.cjk or spec.stem_lang or spec.synonyms
+            or spec.shingle_size or spec.edge_ngram or spec.reverse
+            or spec.payload_delim or spec.common_grams or spec.ngram
+            or spec.max_tokens or spec.token_length or spec.ascii_fold
+            or spec.code or spec.uax29 or spec.ja or spec.zh
+            or spec.opennlp_keep is not None
+        ):
+            raise ValueError(
+                "translit swaps the analysis pipeline; it is exclusive"
+                " with the other analysis flags"
+            )
+        from lucenenet_spark.analysis.icu_transform import get_transform
+
+        get_transform(spec.translit)  # fail on unknown IDs driver-side
     if spec.stem_lang is not None:
         from lucenenet_spark.analysis.snowball import snowball_stem
 
@@ -1065,7 +1105,7 @@ def build_index(
         flat_all = with_ids.select(
             "docid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep),
+            _segment_gen(None, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep, spec.translit),
             schema=schema,
         )
     else:
@@ -1077,7 +1117,7 @@ def build_index(
         flat_all = ordered.select(
             "__pid", F.col(spec.text_col).alias("__text"), *meta
         ).mapInPandas(
-            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep),
+            _segment_gen(offsets, meta, spec.stem, spec.cjk, spec.synonyms, spec.shingle_size, spec.edge_ngram, spec.reverse, spec.payload_delim, spec.common_grams, spec.ngram, spec.max_tokens, spec.token_length, spec.stem_lang, spec.uax29, spec.ja, spec.zh, spec.opennlp_keep, spec.translit),
             schema=schema,
         )
     flat_all = flat_all.persist()

@@ -450,6 +450,27 @@ def opennlp_term_query_sql(
     )
 
 
+def translit_term_query_sql(
+    term: str, transform_id: str = "Any-Latin", k: int = K
+) -> str:
+    """BM25 top-k TermQuery over the ICUTransformFilter-role index
+    (CorpusSpec(translit='Any-Latin'), analysis/icu_transform.py
+    pinned transliteration tables — ICUTransformFilter.cs role) —
+    same template-literal oracle shape as ja_term_query_sql: the
+    oracle re-derives each EL_TEMPLATES variant's transliterated token
+    stream with the same pinned pure analyzer at SQL-generation time,
+    so the cross-engine check verifies the whole distributed
+    build/scoring path over the transformed tokens."""
+    from lucenenet_spark.analysis.icu_transform import (
+        make_transform_analyzer,
+    )
+    from lucenenet_spark.sources.synthetic import EL_TEMPLATES
+
+    return _template_term_query_sql(
+        EL_TEMPLATES, make_transform_analyzer(transform_id), term, k
+    )
+
+
 def _template_prelude(templates, analyze_fn) -> str:
     """The tok/postings/doclen + shared-tail prelude over a
     deterministic template corpus: each variant's token stream is

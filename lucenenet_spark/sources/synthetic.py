@@ -296,3 +296,26 @@ def en_pos_text_expr(id_expr: str = "doc_id") -> str:
     """SQL CASE expression assigning each row its EN_POS_TEMPLATES
     sentences — dialect-portable."""
     return _template_expr(EN_POS_TEMPLATES, id_expr)
+
+
+# Deterministic Greek corpus for the ICUTransformFilter-role entry —
+# same contract as JA_TEMPLATES. Shared content words (κατάλογος,
+# σύστημα, δεδομένα, αναζήτηση, έγγραφο) recur across variants; the
+# Any-Latin transliteration (analysis/icu_transform.py) is what the
+# index stores, so a Latin-script TermQuery matches them all.
+EL_TEMPLATES: tuple[str, ...] = (
+    "ο αλφαβητικός κατάλογος περιέχει τα έγγραφα",
+    "το σύστημα επεξεργάζεται τα δεδομένα γρήγορα",
+    "η αναζήτηση βρίσκει τον κατάλογο των όρων",
+    "τα δεδομένα αποθηκεύονται στη μνήμη του συστήματος",
+    "ο κατάλογος των εγγράφων ενημερώνεται συνεχώς",
+    "η μηχανή εκτελεί την αναζήτηση στα έγγραφα",
+    "το ευρετήριο επιταχύνει τις αναζητήσεις δεδομένων",
+    "οι όροι του καταλόγου ταξινομούνται αλφαβητικά",
+)
+
+
+def el_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its EL_TEMPLATES
+    sentence — dialect-portable."""
+    return _template_expr(EL_TEMPLATES, id_expr)
