@@ -44,7 +44,9 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def ensure_corpus(spark, n_docs: int, seed: int = 42) -> str:
     path = f"/tmp/lucenenet_bench/corpus_{n_docs}_s{seed}.parquet"
-    if not os.path.exists(path):
+    # _SUCCESS guards against a partially-written directory left by an
+    # interrupted prior run (exists() alone would trust it)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synthetic_corpus(spark, n_docs, seed).write.mode("overwrite").parquet(path)
     return path
 
