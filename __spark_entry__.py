@@ -1504,6 +1504,61 @@ def _q_translit_term_query(spark, sf_dir):
     return _ranked(s.search_df(TermQuery(term="katálogos"), 10))
 
 
+def _q_collation_sort_fr(spark, sf_dir):
+    """CollationKeyAnalyzer / ICUCollationKeyAnalyzer role
+    (Analysis.Common/Collation/CollationKeyAnalyzer.cs, ICU/Collation/
+    ICUCollationKeyAnalyzer.cs — the ICU collators are out of scope,
+    the two-level UCA key over pinned locale tailorings keeps the
+    role): per-word doc counts over the CollationTestBase fixture
+    words, ranked by the FRENCH collation key materialized index-time
+    by one Arrow-batched pass (the reference computes keys at index
+    time for exactly this reason — query-time order is binary
+    comparison). fr is forward-secondary (acute < circumflex):
+    péché < pêche."""
+    from pyspark.sql import Window
+
+    from lucenenet_spark.analysis.collation import add_collation_key
+    from lucenenet_spark.sources.synthetic import collate_text_expr
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(collate_text_expr("doc_id")).alias("word"),
+    )
+    keyed = add_collation_key(words, "word", "fr")
+    agg = keyed.groupBy("word", "ckey").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    # 10-row post-aggregate window: bounded by the distinct word count
+    w = Window.orderBy("ckey")
+    return agg.select(
+        F.row_number().over(w).alias("rk"), "word", "n_docs", "min_doc"
+    )
+
+
+def _q_collation_range_sv(spark, sf_dir):
+    """TermRangeQuery-with-collator role (CollationTestBase Farsi
+    range shape, Swedish tailoring): keep fixture words sorting
+    within [HOT, HÅT] under sv (å ä ö AFTER z, so HUT and HÅT
+    qualify, HAT and HØT do not) — binary range predicates on the
+    materialized key column, JVM-side."""
+    from lucenenet_spark.analysis.collation import collated_range
+    from lucenenet_spark.sources.synthetic import collate_text_expr
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(collate_text_expr("doc_id")).alias("word"),
+    )
+    ranged = collated_range(words, "word", "sv", "HOT", "HÅT")
+    return (
+        ranged.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("word")
+    )
+
+
 def _q_opennlp_noun_term(spark, sf_dir):
     """OpenNLP-role POS-gated index (OpenNLPTokenizer.cs sentence
     detection + OpenNLPPOSFilter.cs tagging + TypeTokenFilter
@@ -2542,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_term_query_pl": _q_stemmed_term_pl,
         "opennlp_noun_term_query": _q_opennlp_noun_term,
         "icu_translit_term_query": _q_translit_term_query,
+        "collation_sort_fr": _q_collation_sort_fr,
+        "collation_range_sv": _q_collation_range_sv,
     }
 
 
@@ -2819,4 +2876,6 @@ def oracle_sql() -> dict[str, str]:
         "stemmed_term_query_pl": osql.pl_term_query_sql("indeks"),
         "opennlp_noun_term_query": osql.opennlp_term_query_sql("documents"),
         "icu_translit_term_query": osql.translit_term_query_sql("katálogos"),
+        "collation_sort_fr": osql.collation_sort_sql("fr"),
+        "collation_range_sv": osql.collation_range_sql("sv", "HOT", "HÅT"),
     }

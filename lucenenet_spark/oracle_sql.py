@@ -471,6 +471,70 @@ def translit_term_query_sql(
     )
 
 
+def collation_sort_sql(locale: str = "fr") -> str:
+    """Mirror of the collation_sort entries: per-word doc counts
+    ranked by the pinned locale collation key
+    (analysis/collation.py::collation_key — CollationKeyAnalyzer
+    role).  The key function is pure, so the oracle embeds each
+    word's RANK as a literal computed at SQL-generation time; the
+    cross-engine check then verifies the distributed key
+    materialization + JVM key sort produce the same total order."""
+    from lucenenet_spark.analysis.collation import collation_key
+    from lucenenet_spark.sources.synthetic import (
+        COLLATE_TEMPLATES,
+        collate_text_expr,
+    )
+
+    ranked = sorted(
+        COLLATE_TEMPLATES, key=lambda w: collation_key(w, locale)
+    )
+    vals = ", ".join(f"('{w}', {i + 1})" for i, w in enumerate(ranked))
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {collate_text_expr('doc_id')} AS word
+  FROM documents
+),
+r(word, rk) AS (VALUES {vals})
+SELECT CAST(r.rk AS INT) AS rk, w.word AS word,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(w.doc_id) AS BIGINT) AS min_doc
+FROM w JOIN r ON r.word = w.word
+GROUP BY r.rk, w.word
+ORDER BY rk"""
+
+
+def collation_range_sql(
+    locale: str = "sv", lo: str = "HOT", hi: str = "HÅT"
+) -> str:
+    """Mirror of the collation_range entries (TermRangeQuery-with-
+    collator role): per-word doc counts for the words whose pinned
+    locale key falls within [lo, hi] — the qualifying word set is
+    computed at SQL-generation time by the same pure key function."""
+    from lucenenet_spark.analysis.collation import collation_key
+    from lucenenet_spark.sources.synthetic import (
+        COLLATE_TEMPLATES,
+        collate_text_expr,
+    )
+
+    klo, khi = collation_key(lo, locale), collation_key(hi, locale)
+    keep = [
+        w
+        for w in COLLATE_TEMPLATES
+        if klo <= collation_key(w, locale) <= khi
+    ]
+    inlist = ", ".join(f"'{w}'" for w in keep)
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {collate_text_expr('doc_id')} AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_docs
+FROM w WHERE word IN ({inlist})
+GROUP BY word ORDER BY word"""
+
+
 def _template_prelude(templates, analyze_fn) -> str:
     """The tok/postings/doclen + shared-tail prelude over a
     deterministic template corpus: each variant's token stream is

@@ -319,3 +319,18 @@ def el_text_expr(id_expr: str = "doc_id") -> str:
     """SQL CASE expression assigning each row its EL_TEMPLATES
     sentence — dialect-portable."""
     return _template_expr(EL_TEMPLATES, id_expr)
+
+
+# The CollationTestBase.TestCollationKeySort fixture words (A..J
+# tracer order) for the collation-role entries — same deterministic
+# doc_id % n assignment contract as JA_TEMPLATES.
+COLLATE_TEMPLATES: tuple[str, ...] = (
+    "pêche", "HAT", "péché", "HUT", "peach",
+    "HÅT", "sin", "HØT", "sín", "HOT",
+)
+
+
+def collate_text_expr(id_expr: str = "doc_id") -> str:
+    """SQL CASE expression assigning each row its COLLATE_TEMPLATES
+    word — dialect-portable."""
+    return _template_expr(COLLATE_TEMPLATES, id_expr)
