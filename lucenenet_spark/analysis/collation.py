@@ -73,6 +73,15 @@ _LOCALES = {
 }
 _LOCALES["no"] = _LOCALES["da"]
 
+# Persian (fa): the Perso-Arabic alphabet order — ژ (zhe) sorts BEFORE
+# س (sin), unlike Unicode code-point order (U+0698 > U+0633); this is
+# exactly the inversion CollationTestBase's Farsi range fixtures pin.
+# Arabic-presentation variants ي/ك fold to ی/ک (secondary).
+_LOCALES["fa"] = {
+    "order": "اآبپتثجچحخدذرزژسشصضطظعغفقکگلمنوهی",
+    "letters": {"ي": ("ی", "̈"), "ك": ("ک", "̈")},
+}
+
 
 def collation_key(text: str, locale: str = "root") -> str:
     """Two-level UCA-style sort key; lexicographic (byte/codepoint)

@@ -105,3 +105,29 @@ def test_add_collation_key_is_plain_string_column(words_df):
     # JVM-side comparison on the key equals collator order
     rows = {r["word"]: r["ckey"] for r in keyed.collect()}
     assert rows["HAT"] < rows["HOT"] < rows["HUT"] < rows["HÅT"] < rows["HØT"]
+
+
+# ---- CollationTestBase Farsi range fixtures ----
+# (TestFarsiRangeFilterCollating / TestFarsiRangeQueryCollating /
+# TestFarsiTermRangeQuery: the indexed term "ساب" must NOT fall in
+# [د U+062F, ژ U+0698] under fa collation — Unicode order would
+# include it — and MUST fall in [س U+0633, ط U+0637].)
+
+def test_farsi_key_inverts_codepoint_order():
+    assert "ژ" > "س"  # codepoint: ژ after س
+    assert collation_key("ژ", "fa") < collation_key("س", "fa")
+
+
+def test_farsi_range_fixture():
+    term = "ساب"  # ساب
+    k = collation_key(term, "fa")
+    first = (collation_key("د", "fa"), collation_key("ژ", "fa"))
+    second = (collation_key("س", "fa"), collation_key("ط", "fa"))
+    assert not (first[0] <= k <= first[1]), "must NOT be in [د, ژ] under fa"
+    assert second[0] <= k <= second[1], "must be in [س, ط] under fa"
+
+
+def test_farsi_range_spark(spark):
+    df = spark.createDataFrame([(0, "ساب")], "doc_id long, word string")
+    assert collated_range(df, "word", "fa", "د", "ژ").count() == 0
+    assert collated_range(df, "word", "fa", "س", "ط").count() == 1
