@@ -61,6 +61,7 @@ from lucenenet_spark.functions.varbyte import (
     encode_positions,
     decode_freqs,
     decode_positions,
+    decode_positions_flat,
     delta_decode_docids,
     vbyte_encode,
 )
@@ -610,7 +611,21 @@ class _SegmentWriter:
             self.meta[c].extend(metas[c])
 
     def flush(self) -> pd.DataFrame:
+        from lucenenet_spark.functions.varbyte import (
+            docid_deltas,
+            position_stream,
+            vbyte_encode_concat,
+        )
+
         cols: dict[str, list] = {f.name: [] for f in PACKED_SCHEMA.fields}
+        # raw uint64 streams per block; ONE global vbyte pass at the
+        # end (vbyte_encode_concat) replaces 3 numpy-encode calls per
+        # block — wire-identical, but the per-call fixed cost across
+        # tens of thousands of small blocks was a measurable slice of
+        # the sf1 build
+        doc_streams: list[np.ndarray] = []
+        freq_streams: list[np.ndarray] = []
+        pos_streams: list[np.ndarray] = []
         with_payloads = self.payload_delim is not None
         for term, (dl, fl_, nl, pl, yl) in self.terms.items():
             d = np.asarray(dl, dtype=np.int64)
@@ -647,10 +662,10 @@ class _SegmentWriter:
                     # anywhere in [min_norm, max_norm]; min_norm feeds
                     # the certified lower bound for rank-safe pruning
                     cols["min_norm"].append(int(nb.min()))
-                    cols["docs_enc"].append(delta_encode_docids(db))
-                    cols["freqs_enc"].append(encode_freqs(fb))
+                    doc_streams.append(docid_deltas(db))
+                    freq_streams.append(fb.astype(np.uint64))
                     cols["norms_enc"].append(nb.astype(np.uint8).tobytes())
-                    cols["positions_enc"].append(encode_positions(p[b0:b1]))
+                    pos_streams.append(position_stream(p[b0:b1]))
                     cols["payloads_enc"].append(
                         np.concatenate(
                             [np.asarray(v, dtype=np.float32) for v in y[b0:b1]]
@@ -658,6 +673,9 @@ class _SegmentWriter:
                         if with_payloads
                         else None
                     )
+        cols["docs_enc"] = vbyte_encode_concat(doc_streams)
+        cols["freqs_enc"] = vbyte_encode_concat(freq_streams)
+        cols["positions_enc"] = vbyte_encode_concat(pos_streams)
         n_blocks = len(cols["term"])
         n_docs = len(self.doc_ids)
         out = pd.DataFrame(cols)
@@ -850,16 +868,19 @@ def unpack_postings(packed: DataFrame) -> DataFrame:
                 pdf["norms_enc"], pdf["positions_enc"], pdf["count"],
             ):
                 d = delta_decode_docids(bytes(docs_enc))
-                f = decode_freqs(bytes(freqs_enc))
+                f = decode_freqs(bytes(freqs_enc)).astype(np.int64)
                 n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
-                pos = decode_positions(bytes(pos_enc), int(cnt))
+                # freqs are the per-doc position counts: one flat
+                # vectorized prox decode, then cheap split views
+                flat, _ = decode_positions_flat(bytes(pos_enc), f)
+                pos = np.split(flat.astype(np.int32), np.cumsum(f)[:-1])
                 frames.append(
                     pd.DataFrame(
                         {
                             "docid": d,
                             "term": term,
                             "freq": f.astype(np.int32),
-                            "positions": [p.astype(np.int32) for p in pos],
+                            "positions": pos,
                             "norm": n.astype(np.int32),
                         }
                     )
@@ -898,22 +919,23 @@ def unpack_postings_payloads(packed: DataFrame) -> DataFrame:
                 pdf["count"],
             ):
                 d = delta_decode_docids(bytes(docs_enc))
-                f = decode_freqs(bytes(freqs_enc))
+                f = decode_freqs(bytes(freqs_enc)).astype(np.int64)
                 n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
-                pos = decode_positions(bytes(pos_enc), int(cnt))
+                pflat, _ = decode_positions_flat(bytes(pos_enc), f)
+                splits = np.cumsum(f)[:-1]
+                pos = np.split(pflat.astype(np.int32), splits)
                 if pay_enc is None:
-                    pays = [np.ones(len(x), dtype=np.float32) for x in pos]
+                    pays = [np.ones(int(c), dtype=np.float32) for c in f]
                 else:
-                    flat = np.frombuffer(bytes(pay_enc), dtype=np.float32)
-                    splits = np.cumsum([len(x) for x in pos])[:-1]
-                    pays = [a.copy() for a in np.split(flat, splits)]
+                    yflat = np.frombuffer(bytes(pay_enc), dtype=np.float32)
+                    pays = [a.copy() for a in np.split(yflat, splits)]
                 frames.append(
                     pd.DataFrame(
                         {
                             "docid": d,
                             "term": term,
                             "freq": f.astype(np.int32),
-                            "positions": [x.astype(np.int32) for x in pos],
+                            "positions": pos,
                             "norm": n.astype(np.int32),
                             "payloads": pays,
                         }

@@ -581,16 +581,22 @@ class IndexSearcher:
         def unpack_score(iterator):
             wf = np.float32(w)
             for pdf in iterator:
-                outs = []
+                # accumulate numpy per block, ONE DataFrame per Arrow
+                # batch — a per-block pd.DataFrame costs ~50µs of
+                # constructor overhead and a head term at sf1 spans
+                # ~15k blocks
+                ds, ss = [], []
                 for docs_enc, freqs_enc, norms_enc in zip(
                     pdf["docs_enc"], pdf["freqs_enc"], pdf["norms_enc"]
                 ):
                     d = delta_decode_docids(bytes(docs_enc))
                     f = decode_freqs(bytes(freqs_enc)).astype(np.float32)
                     n = np.frombuffer(bytes(norms_enc), dtype=np.uint8)
-                    s = sim.score(f, n, wf)
-                    outs.append(pd.DataFrame({"docid": d, "score": s}))
-                yield pd.concat(outs) if outs else pd.DataFrame(
+                    ds.append(d)
+                    ss.append(sim.score(f, n, wf))
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ds), "score": np.concatenate(ss)}
+                ) if ds else pd.DataFrame(
                     {"docid": pd.array([], dtype="int64"), "score": pd.array([], dtype="float32")}
                 )
 
@@ -714,7 +720,9 @@ class IndexSearcher:
 
             def unpack(iterator):
                 for pdf in iterator:
-                    outs = []
+                    # numpy accumulation, ONE DataFrame per Arrow batch
+                    # (not per block — see _term_scores.unpack_score)
+                    ds, cs, ks, ss = [], [], [], []
                     for term, de, fe, ne in zip(
                         pdf["term"], pdf["docs_enc"], pdf["freqs_enc"], pdf["norms_enc"]
                     ):
@@ -722,14 +730,16 @@ class IndexSearcher:
                         f = decode_freqs(bytes(fe)).astype(np.float32)
                         n = np.frombuffer(bytes(ne), dtype=np.uint8)
                         for cidx, kind, w in plan[term]:
-                            s = sim.score(f, n, np.float32(w))
-                            outs.append(
-                                pd.DataFrame(
-                                    {"docid": d, "cidx": np.int32(cidx),
-                                     "kind": np.int32(kind), "score": s}
-                                )
-                            )
-                    yield pd.concat(outs) if outs else empty
+                            ds.append(d)
+                            ss.append(sim.score(f, n, np.float32(w)))
+                            cs.append(np.full(d.size, cidx, dtype=np.int32))
+                            ks.append(np.full(d.size, kind, dtype=np.int32))
+                    yield pd.DataFrame(
+                        {"docid": np.concatenate(ds),
+                         "cidx": np.concatenate(cs),
+                         "kind": np.concatenate(ks),
+                         "score": np.concatenate(ss)}
+                    ) if ds else empty
 
             return blocks.mapInPandas(unpack, schema=schema)
 
@@ -895,14 +905,15 @@ class IndexSearcher:
 
         def decode(iterator):
             for pdf in iterator:
-                outs = []
+                ds, sl = [], []
                 for term, de in zip(pdf["term"], pdf["docs_enc"]):
                     d = delta_decode_docids(bytes(de))
                     for s in t2s[term]:
-                        outs.append(
-                            pd.DataFrame({"docid": d, "slot": np.int32(s)})
-                        )
-                yield pd.concat(outs) if outs else pd.DataFrame(
+                        ds.append(d)
+                        sl.append(np.full(d.size, s, dtype=np.int32))
+                yield pd.DataFrame(
+                    {"docid": np.concatenate(ds), "slot": np.concatenate(sl)}
+                ) if ds else pd.DataFrame(
                     {"docid": pd.array([], dtype="int64"),
                      "slot": pd.array([], dtype="int32")}
                 )
@@ -943,7 +954,10 @@ class IndexSearcher:
         ≤ |terms| × 64 blocks per bucket (BUCKET_DOCS = 128·64), so no
         group skew at any corpus size; parallelism = number of buckets,
         which grows with the corpus."""
-        from lucenenet_spark.functions.varbyte import decode_positions
+        from lucenenet_spark.functions.varbyte import (
+            decode_positions_flat,
+            gather_ranges,
+        )
         from lucenenet_spark.functions.sloppy import sloppy_phrase_freq
 
         sim = self.sim
@@ -953,7 +967,7 @@ class IndexSearcher:
         slot_keys = [tuple(s) for s in slots_c]
         blocks = self.index.packed.where(F.col("term").isin(uniq)).select(
             "term", "bucket", "block_id", "count",
-            "docs_enc", "norms_enc", "positions_enc",
+            "docs_enc", "freqs_enc", "norms_enc", "positions_enc",
         )
         empty = pd.DataFrame(
             {"docid": pd.array([], dtype="int64"),
@@ -965,12 +979,12 @@ class IndexSearcher:
             pdf = pdf.sort_values(["term", "block_id"])
             # docid-only decode first (cheap); positions stay encoded
             term_blocks: dict[str, list] = {}
-            for term, cnt, de, ne, pe in zip(
-                pdf["term"], pdf["count"], pdf["docs_enc"],
+            for term, de, fe, ne, pe in zip(
+                pdf["term"], pdf["docs_enc"], pdf["freqs_enc"],
                 pdf["norms_enc"], pdf["positions_enc"],
             ):
                 term_blocks.setdefault(term, []).append(
-                    (delta_decode_docids(bytes(de)), ne, pe, int(cnt))
+                    (delta_decode_docids(bytes(de)), fe, ne, pe)
                 )
             # conjunction over per-slot docid unions
             cand = None
@@ -995,7 +1009,7 @@ class IndexSearcher:
             norms = np.zeros(cand.size, dtype=np.uint8)
             for term, blks in term_blocks.items():
                 gl = glob[term]
-                for d, ne, pe, cnt in blks:
+                for d, fe, ne, pe in blks:
                     lo = np.searchsorted(cand, d[0])
                     hi = np.searchsorted(cand, d[-1], side="right")
                     if lo == hi:
@@ -1005,18 +1019,20 @@ class IndexSearcher:
                     hit = d[idx] == sub
                     if not hit.any():
                         continue
-                    pos = decode_positions(bytes(pe), cnt)
+                    # freqs ARE the per-doc position counts: flat
+                    # vectorized prox decode + multi-range gather
+                    # (no per-doc cumsum/list building — that walk
+                    # dominated span/phrase time on sf1 head terms)
+                    f = decode_freqs(bytes(fe)).astype(np.int64)
+                    flat, starts = decode_positions_flat(bytes(pe), f)
                     nb = np.frombuffer(bytes(ne), dtype=np.uint8)
                     ci = np.flatnonzero(hit) + lo
                     bi = idx[hit]
                     norms[ci] = nb[bi]
-                    plists = [pos[j] for j in bi]
-                    lens = np.fromiter(
-                        (p.size for p in plists), dtype=np.int64, count=bi.size
-                    )
+                    lens = f[bi]
                     gl.append(
                         np.repeat(cand[ci] * SHIFT, lens)
-                        + np.concatenate(plists)
+                        + gather_ranges(flat, starts[bi], lens)
                     )
             # per-slot position unions in the GLOBAL key space
             # (docid·2³² + raw position): docid in the high bits keeps

@@ -326,8 +326,10 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
     skipping), and enumerates spans per doc. No decoded-positions
     shuffle, no collect_list."""
     from lucenenet_spark.functions.varbyte import (
-        decode_positions,
+        decode_freqs,
+        decode_positions_flat,
         delta_decode_docids,
+        gather_ranges,
     )
 
     sim = searcher.sim
@@ -335,7 +337,7 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
     req = _required_slots(q)
     blocks = searcher.index.packed.where(F.col("term").isin(all_terms)).select(
         "term", "bucket", "block_id", "count",
-        "docs_enc", "norms_enc", "positions_enc",
+        "docs_enc", "freqs_enc", "norms_enc", "positions_enc",
     )
     if scored:
         schema = "docid long, score float"
@@ -355,12 +357,12 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "block_id"])
         term_blocks: dict[str, list] = {}
-        for term, cnt, de, ne, pe in zip(
-            pdf["term"], pdf["count"], pdf["docs_enc"],
+        for term, de, fe, ne, pe in zip(
+            pdf["term"], pdf["docs_enc"], pdf["freqs_enc"],
             pdf["norms_enc"], pdf["positions_enc"],
         ):
             term_blocks.setdefault(term, []).append(
-                (delta_decode_docids(bytes(de)), ne, pe, int(cnt))
+                (delta_decode_docids(bytes(de)), fe, ne, pe)
             )
         cand = None
         for slot in req:
@@ -378,7 +380,7 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
         norms = np.zeros(cand.size, dtype=np.uint8)
         for term, blks in term_blocks.items():
             gl = glob[term]
-            for d, ne, pe, cnt in blks:
+            for d, fe, ne, pe in blks:
                 lo = np.searchsorted(cand, d[0])
                 hi = np.searchsorted(cand, d[-1], side="right")
                 if lo == hi:
@@ -388,17 +390,20 @@ def _bucket_span_eval(searcher, q: SpanQuery, scored: bool, wf: float):
                 hit = d[idx] == sub
                 if not hit.any():
                     continue
-                pos = decode_positions(bytes(pe), cnt)
+                # freqs ARE the per-doc position counts: one flat
+                # vectorized prox decode + multi-range gather, no
+                # per-doc numpy calls (the old per-doc cumsum walk was
+                # the sf1 span bottleneck)
+                f = decode_freqs(bytes(fe)).astype(np.int64)
+                flat, starts = decode_positions_flat(bytes(pe), f)
                 nb = np.frombuffer(bytes(ne), dtype=np.uint8)
                 ci = np.flatnonzero(hit) + lo
                 bi = idx[hit]
                 norms[ci] = nb[bi]
-                plists = [pos[j] for j in bi]
-                lens = np.fromiter(
-                    (p.size for p in plists), dtype=np.int64, count=bi.size
-                )
+                lens = f[bi]
                 gl.append(
-                    np.repeat(cand[ci] * SHIFT, lens) + np.concatenate(plists)
+                    np.repeat(cand[ci] * SHIFT, lens)
+                    + gather_ranges(flat, starts[bi], lens)
                 )
         bases = cand * SHIFT
         unions: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
