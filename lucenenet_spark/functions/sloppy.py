@@ -274,3 +274,133 @@ def sloppy_phrase_freq(
             freq + np.float32(np.float32(1.0) / np.float32(match_length + 1))
         )
     return freq
+
+
+def sloppy_freq_2slot_encoded(
+    u0: np.ndarray,
+    u1: np.ndarray,
+    r0: int,
+    r1: int,
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 2-distinct-slot sloppy frequency over DOC-ENCODED
+    position arrays (``docid * 2^32 + raw_position``, sorted) — the
+    whole bucket's docs in one numpy pass, no per-doc Python.
+
+    Closed form of the 2-pp PQ walk (:func:`_freq_2pp`), derived from
+    the walk's invariants (``end == nxt`` throughout every stay; a
+    strict overshoot ends a stay and emits its minimal ``end - cur``;
+    an element equal to ``nxt`` absorbs into the stay) and
+    property-tested bit-for-bit against the walk over randomized and
+    exhaustive inputs (``tests/test_sloppy_vec.py``):
+
+    Per doc, merge the two adjusted position lists into DISTINCT-value
+    events tagged A, B, or BOTH (both slots at the same adjusted
+    position — an exact-phrase site). Walk a "resident side"
+    automaton in value order:
+
+    - the resident starts as the heap tie-break winner (smaller
+      (offset, ord));
+    - a BOTH event always emits match length 0 and FLIPS the resident;
+    - a single-tag event T emits ``v - prev_event_value`` iff
+      ``T != resident`` (a crossing), and sets resident to T; the
+      first real event of a doc never emits as a single.
+
+    So the resident before any event = (last single tag, seeded with
+    the tie-break winner) XOR (parity of BOTH events since) — which
+    makes the whole automaton computable with sorts, forward fills and
+    cumsums, no per-doc Python.
+
+    Returns ``(docids, freqs_f32)`` for docs with freq > 0, docids
+    ascending; the float32 fold order (event order per doc) matches
+    the walk bit-for-bit (round-k masked accumulation).
+    """
+    GUARD = np.int64(256)  # keeps raw_pos - offset + GUARD inside the lane
+    SHIFT = np.int64(32)
+    MASK = (np.int64(1) << SHIFT) - np.int64(1)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    if u0.size == 0 or u1.size == 0:
+        return empty
+    a = np.asarray(u0, dtype=np.int64) - np.int64(r0) + GUARD
+    b = np.asarray(u1, dtype=np.int64) - np.int64(r1) + GUARD
+    winner = 0 if (r0, 0) < (r1, 1) else 1
+
+    # ---- events: distinct adjusted keys, tag 0/1 single or BOTH
+    both = np.intersect1d(a, b, assume_unique=True)
+    keys = np.union1d(a, b)  # sorted distinct event keys
+    is_both = np.zeros(keys.size, dtype=bool)
+    if both.size:
+        is_both[np.searchsorted(keys, both)] = True
+    in_a = np.zeros(keys.size, dtype=bool)
+    in_a[np.searchsorted(keys, a)] = True
+    tag = np.where(in_a, 0, 1).astype(np.int8)  # singles only meaningful
+
+    doc = keys >> SHIFT
+    n = keys.size
+    first_of_doc = np.empty(n, dtype=bool)
+    first_of_doc[0] = True
+    np.not_equal(doc[1:], doc[:-1], out=first_of_doc[1:])
+
+    # ---- resident before each event: last single tag (seeded with
+    # the tie-break winner at each doc start) XOR parity of BOTH
+    # events since that single
+    ev = np.arange(n, dtype=np.int64)
+    is_single = ~is_both
+    # forward-fill of the last PRIOR single's index, doc-seeded:
+    # doc starts reset the fill to a virtual winner-tagged single
+    marker = np.where(is_single, ev, -1)
+    marker = np.where(first_of_doc, ev, marker)  # doc start acts as seed
+    last_idx = np.maximum.accumulate(marker)
+    # index of the last single AT OR BEFORE i, but resident_before(i)
+    # must exclude i itself — shift by one within the doc
+    prev_last_idx = np.empty(n, dtype=np.int64)
+    prev_last_idx[0] = -1
+    prev_last_idx[1:] = last_idx[:-1]
+    seeded = first_of_doc | (prev_last_idx < 0)
+    # prev_last_idx points at a single or a doc-start event (markers
+    # mark nothing else). Tag of that anchor: a real single's own tag;
+    # a doc-start BOTH acts as a winner-tagged virtual single whose
+    # BOTH must still count in the parity below.
+    pl = np.maximum(prev_last_idx, 0)
+    last_is_start_both = (~seeded) & first_of_doc[pl] & is_both[pl]
+    base_tag = np.where(
+        seeded | last_is_start_both, np.int8(winner), tag[pl]
+    ).astype(np.int8)
+
+    # BOTH events strictly between the anchor and event i (anchor's
+    # own BOTH included when the anchor is a doc-start BOTH)
+    cb = np.cumsum(is_both.astype(np.int64))
+    cb_prev = np.empty(n, dtype=np.int64)
+    cb_prev[0] = 0
+    cb_prev[1:] = cb[:-1]
+    cb_at_last = cb[pl] - last_is_start_both.astype(np.int64)
+    n_both_since = np.where(seeded, 0, cb_prev - cb_at_last)
+    resident = (base_tag.astype(np.int64) ^ (n_both_since & 1)).astype(np.int8)
+
+    # ---- emissions
+    prev_val = np.empty(n, dtype=np.int64)
+    prev_val[0] = 0
+    prev_val[1:] = keys[:-1] & MASK
+    gap_single = (keys & MASK) - prev_val
+    emit_single = is_single & (~first_of_doc) & (tag != resident)
+    emit = is_both | emit_single
+    gaps = np.where(is_both, np.int64(0), gap_single)
+    keep = emit & (gaps <= np.int64(slop))
+    if not keep.any():
+        return empty
+    docs_all = doc[keep]  # ascending, event order within doc
+    lens = gaps[keep]
+    # per-doc ordered float32 fold: round-k masked accumulation — the
+    # k-th emission of every doc added in one vectorized f32 op, so
+    # each doc's fold order (and bit pattern) matches the walk
+    udocs, starts, counts = np.unique(
+        docs_all, return_index=True, return_counts=True
+    )
+    freqs = np.zeros(udocs.size, dtype=np.float32)
+    one = np.float32(1.0)
+    kmax = int(counts.max())
+    for k in range(kmax):
+        m = counts > k
+        contrib = one / (lens[starts[m] + k] + 1).astype(np.float32)
+        freqs[m] = freqs[m] + contrib.astype(np.float32)
+    return udocs, freqs

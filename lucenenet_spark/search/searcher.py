@@ -1066,18 +1066,34 @@ class IndexSearcher:
                     return_counts=True,
                 )
                 freqs[np.searchsorted(cand, docs_m)] = counts.astype(np.float32)
+            elif len(slots_c) == 2 and slot_keys[0] != slot_keys[1]:
+                # sloppy, two distinct slots (every 2-term sloppy
+                # phrase — the dominant shape): closed form of the PQ
+                # walk evaluated for the WHOLE bucket in one numpy
+                # pass (``sloppy_freq_2slot_encoded``; bit-for-bit
+                # property-tested against the walk). At sf1 the
+                # per-doc walk was 73% of the stage's single-thread
+                # time over 1.36M matching docs.
+                from lucenenet_spark.functions.sloppy import (
+                    sloppy_freq_2slot_encoded,
+                )
+
+                vd, vf = sloppy_freq_2slot_encoded(
+                    unions_g[0], unions_g[1], rels_c[0], rels_c[1], slop
+                )
+                if vd.size == 0:
+                    return empty
+                freqs[np.searchsorted(cand, vd)] = vf
             else:
-                # sloppy: the faithful SloppyPhraseScorer PQ walk is
-                # inherently per-doc. Before looping, a VECTORIZED
-                # existence prefilter drops docs that cannot match: a
-                # match needs every slot within ``slop`` of the anchor
-                # slot's window, so for each slot s take the nearest
-                # neighbor of every anchor key and keep only docs where
-                # every slot passes (exact for two distinct slots —
-                # the minimal-gap pair is adjacent in merged order —
-                # and a conservative superset otherwise). Skipped for
-                # repeated-term phrases where collision handling can
-                # shift windows.
+                # sloppy, general case: the faithful SloppyPhraseScorer
+                # PQ walk is inherently per-doc. Before looping, a
+                # VECTORIZED existence prefilter drops docs that cannot
+                # match: a match needs every slot within ``slop`` of
+                # the anchor slot's window, so for each slot s take the
+                # nearest neighbor of every anchor key and keep only
+                # docs where every slot passes (a conservative
+                # superset). Skipped for repeated-term phrases where
+                # collision handling can shift windows.
                 walk_docs = cand
                 if len(set(slot_keys)) == len(slot_keys) and len(slots_c) > 1:
                     a = unions_g[0] - np.int64(rels_c[0])
