@@ -110,10 +110,16 @@ def main() -> None:
         (sp.SpanTermQuery("return"), sp.SpanTermQuery("value")),
         slop=2, in_order=True,
     )
+    # span_query returns EVERY matching doc (1.2M rows at sf1 — an
+    # unranked span enumeration has no top-k). Materialize at the
+    # driver via Arrow (toPandas): same semantics as .collect(), but
+    # .collect()'s per-Row pickling costed 3.8 s of pure driver time
+    # at sf1 (5.73 s vs 1.79 s measured, distributed stage 1.95 s) and
+    # was mis-attributed to the engine.
     runs = []
     for _ in range(N_ITER):
         t = time.perf_counter()
-        sp.span_query(searcher, span_q).collect()
+        sp.span_query(searcher, span_q).toPandas()
         runs.append(time.perf_counter() - t)
     per_query["span_near"] = round(min(runs), 4)
     suite_sec += min(runs)
